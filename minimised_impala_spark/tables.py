@@ -1,0 +1,47 @@
+"""Table registration over the driver's parquet fixtures.
+
+The reference's catalog machinery (catalogd + statestored propagation,
+fe/src/main/java/com/cloudera/impala/catalog/HdfsTable.java) is replaced by
+``spark.catalog`` temp views over parquet — schema comes from the parquet
+footers (schema-on-read, same as the reference's HDFS tables).
+
+At 100 TB these would be partitioned external tables (directory-keyed
+partitions, exactly the reference's HdfsPartition model); the loader here
+reads single parquet files because that is what the driver fixture provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTRA_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+# Dimension tables small enough to broadcast at ANY scale factor (region=5,
+# nation=25 rows always; TPC-H dims scale slower than fact tables).
+BROADCASTABLE = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view; returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
