@@ -1,1 +1,299 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Aggregation operator coverage — the reference's aggregate builtins
+(fe/.../catalog/BuiltinsDb.java:532-792, be/src/exprs/aggregate-functions.cc):
+count/min/max/sum/avg, DISTINCT variants, group_concat, ndv (HLL),
+appx_median, stddev/variance family — plus HAVING and Spark-native
+ROLLUP (an extension; the reference grammar has no grouping sets).
+
+Determinism notes: sums over fixed-point money columns use the scaled-round
+trick (see tpch.py); stddev/variance outputs are rounded to 6 decimals in
+both engines (inputs are integer-valued so the moment sums are near-exact).
+Sketch-based ndv/appx_median have no oracle (implementation-defined values);
+they are declared rows-only and exercised in tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.queries.tpch import dsum
+from minimised_impala_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Multi-DISTINCT aggregation: the reference rewrites DISTINCT aggs into a
+# two-phase agg tree (fe/.../analysis/AggregateInfo.java:47-57); Catalyst's
+# RewriteDistinctAggregates does the equivalent expand-based plan.
+@query(
+    "agg_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)  AS nd_parts,
+       count(DISTINCT l_suppkey)  AS nd_supps,
+       round(sum(DISTINCT l_quantity)) AS sum_d_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_suppkey").alias("nd_supps"),
+            F.round(F.sum_distinct(F.col("l_quantity"))).alias("sum_d_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Variance family (reference: Knuth online variance,
+# be/src/exprs/aggregate-functions.cc; BuiltinsDb.java:646-702).
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_linestatus,
+       round(stddev_samp(l_quantity), 6) AS sd_samp,
+       round(stddev_pop(l_quantity), 6)  AS sd_pop,
+       round(var_samp(l_quantity), 6)    AS v_samp,
+       round(var_pop(l_quantity), 6)     AS v_pop,
+       min(l_quantity) AS min_q, max(l_quantity) AS max_q
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop"),
+            F.round(F.var_samp("l_quantity"), 6).alias("v_samp"),
+            F.round(F.var_pop("l_quantity"), 6).alias("v_pop"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# group_concat (BuiltinsDb.java:781-792) — made order-deterministic by
+# sorting the collected list (the reference's group_concat is
+# order-undefined; a deterministic variant is strictly stronger).
+@query(
+    "agg_group_concat",
+    oracle="""
+SELECT n_name, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+FROM (SELECT DISTINCT n_name, c_mktsegment
+      FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_mktsegment")
+        .distinct()
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias("segs")
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact median / percentiles (linear interpolation in both engines).
+# The approximate reference functions (appx_median, BuiltinsDb.java:574)
+# are covered rows-only by agg_ndv_sketches below.
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates — ndv/distinctpc (HLL, aggregate-functions.h:126) →
+# approx_count_distinct; appx_median → percentile_approx. Values are
+# implementation-defined, so no SQL oracle (rows-only check); the pytest
+# suite bounds their error against exact counts.
+@query("agg_ndv_sketches")
+def agg_ndv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("ndv_parts"),
+            F.approx_count_distinct("l_orderkey").alias("ndv_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("appx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING over aggregate (sql-parser.cup having_clause).
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice) * 100) / 100 AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+ORDER BY o_custkey
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP (Spark-native extension; reference grammar has no grouping sets —
+# SURVEY §2.4). grouping() disambiguates NULL-as-total from NULL data.
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS lvl,
+       count(*) AS n,
+       round(sum(l_extendedprice) * 100) / 100 AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY lvl, returnflag, linestatus
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "lvl",
+            "n",
+            "total_price",
+        )
+        .orderBy("lvl", "returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# min/max across types (reference supports min/max on all scalar types,
+# BuiltinsDb.java:560-567) incl. strings and timestamps.
+@query(
+    "agg_minmax_types",
+    oracle="""
+SELECT o_orderstatus,
+       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+       min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_minmax_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+            F.min("o_orderpriority").alias("min_prio"),
+            F.max("o_orderpriority").alias("max_prio"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# UNION ALL / UNION DISTINCT (reference UnionNode + dedup agg, SURVEY §2.7).
+@query(
+    "set_union",
+    oracle="""
+SELECT k, count(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT s_nationkey AS k FROM supplier
+) u GROUP BY k
+ORDER BY k
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    u = cust.select(F.col("c_nationkey").alias("k")).unionAll(
+        supp.select(F.col("s_nationkey").alias("k"))
+    )
+    return u.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+SELECT k FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT n_nationkey + 20 AS k FROM nation
+) u
+ORDER BY k
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.select(F.col("c_nationkey").alias("k"))
+        .union(nation.select((F.col("n_nationkey") + 20).alias("k")))
+        .distinct()
+        .orderBy("k")
+    )

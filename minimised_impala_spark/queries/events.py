@@ -1,1 +1,172 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Event-stream analytics over the ``events`` fixture (batch side).
+
+The reference has no streaming operators (SURVEY §1.1) — these queries are
+the batch formulations of the north-star stream patterns: tumbling-window
+aggregation, sessionization, and JSON payload extraction. The Structured
+Streaming versions live in minimised_impala_spark/streaming/ and reuse the
+same logic.
+
+Scale notes: tumbling windows reduce to a single hash aggregation on
+(window_start, event_type) — fully parallel; sessionization shuffles once
+on user_id then runs window functions within each user's partition slice,
+which is the minimal-shuffle plan for gap-based sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Tumbling 1-hour window aggregate — Spark's window() operator; oracle uses
+# time_bucket (identical alignment for hour buckets).
+@query(
+    "events_window_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value) * 100) / 100 AS total_value
+FROM events
+GROUP BY window_start, event_type
+HAVING count(*) >= 5
+ORDER BY window_start, event_type
+""",
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value") * 100, 0) / 100).alias("total_value"),
+        )
+        .filter(F.col("n") >= 5)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running sum of
+# boundary flags — the classic window-function formulation; the streaming
+# equivalent uses session_window in streaming/windows.py).
+@query(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+HAVING count(*) >= 20
+ORDER BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 20)
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON payload extraction (props is a JSON string; the reference has no JSON
+# functions — Spark-native extension).
+@query(
+    "events_json_extract",
+    oracle="""
+SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket,
+       count(*) AS n,
+       round(sum(value) * 100) / 100 AS total_value
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value") * 100, 0) / 100).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event funnel: conditional aggregation per user → distribution
+# (signup→view→purchase progression).
+@query(
+    "events_funnel",
+    oracle="""
+SELECT stage, count(*) AS n_users FROM (
+  SELECT user_id,
+         CASE WHEN bool_or(event_type = 'purchase') THEN 'purchased'
+              WHEN bool_or(event_type = 'view')     THEN 'viewed'
+              ELSE 'other' END AS stage
+  FROM events
+  GROUP BY user_id
+) t GROUP BY stage
+ORDER BY stage
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "purchase").alias("purchased"),
+        F.max(F.col("event_type") == "view").alias("viewed"),
+    )
+    return (
+        per_user.select(
+            F.when(F.col("purchased"), "purchased")
+            .when(F.col("viewed"), "viewed")
+            .otherwise("other")
+            .alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )

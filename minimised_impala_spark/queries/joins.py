@@ -1,1 +1,243 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Join operator coverage — every TJoinOp mode of the reference
+(common/thrift/PlanNodes.thrift:214-230): INNER, LEFT/RIGHT OUTER, FULL
+OUTER, LEFT/RIGHT SEMI, LEFT/RIGHT ANTI, NULL_AWARE_LEFT_ANTI, CROSS —
+plus theta (non-equi) joins (be/src/exec/nested-loop-join-node.h:46) and
+null-safe equality (IS NOT DISTINCT FROM, sql-parser.cup:2459).
+
+Spark mapping: df.join(how=...) for the DataFrame-expressible modes;
+NOT IN's null-aware anti join goes through spark.sql because Catalyst's
+null-aware anti join is only produced by the SQL rewrite
+(RewritePredicateSubquery), mirroring how the reference's StmtRewriter
+maps [NOT] IN to NULL_AWARE_LEFT_ANTI (fe/.../analysis/StmtRewriter.java:196).
+
+Scale notes: semi/anti joins keep the build side small by aggregating or
+filtering before the join; theta-join examples are dimension-sized on
+purpose (a theta join over two fact tables is a cartesian hazard at 100 TB
+— the reference had the same constraint with its nested-loop join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table, register_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# --------------------------------------------------------------------------
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM orders
+RIGHT OUTER JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        orders.join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderstatus") == "F"),
+            "right_outer",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(a.k, b.k) AS k, a.n_small, b.n_big
+FROM (SELECT o_custkey AS k, count(*) AS n_small FROM orders
+      WHERE o_totalprice < 20000 GROUP BY o_custkey) a
+FULL OUTER JOIN
+     (SELECT o_custkey AS k, count(*) AS n_big FROM orders
+      WHERE o_totalprice > 150000 GROUP BY o_custkey) b
+  ON a.k = b.k
+ORDER BY k
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    small = (
+        orders.filter(F.col("o_totalprice") < 20000)
+        .groupBy(F.col("o_custkey").alias("ak"))
+        .agg(F.count(F.lit(1)).alias("n_small"))
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .groupBy(F.col("o_custkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return (
+        small.join(big, F.col("ak") == F.col("bk"), "full_outer")
+        .select(
+            F.coalesce(F.col("ak"), F.col("bk")).alias("k"),
+            "n_small",
+            "n_big",
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# RIGHT SEMI: planner form of "probe side on the left"; in Spark we express
+# the same semantics by swapping inputs of left_semi.
+@query(
+    "join_right_semi",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+ORDER BY p_partkey
+""",
+)
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        part.join(
+            li.filter(F.col("l_quantity") > 45),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT p_partkey, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                  AND l_returnflag = 'R')
+ORDER BY p_partkey
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        part.join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_anti",
+        )
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# NULL_AWARE_LEFT_ANTI (reference PlanNodes.thrift:228): NOT IN over a
+# nullable probe expression — rows where the expression is NULL are dropped
+# (UNKNOWN), which a plain anti join would wrongly keep.
+@query(
+    "join_null_aware_anti",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE nullif(o_custkey, 7) NOT IN
+      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+ORDER BY o_orderkey
+""",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE nullif(o_custkey, 7) NOT IN
+              (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, count(*) AS n_pairs
+FROM region CROSS JOIN nation
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    return (
+        region.crossJoin(nation)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta join (non-equi conjunct only) → BroadcastNestedLoopJoin in Spark,
+# NestedLoopJoinNode in the reference (be/src/exec/nested-loop-join-node.h:46).
+@query(
+    "join_theta",
+    oracle="""
+SELECT s1.s_nationkey AS nationkey, count(*) AS n_dominated
+FROM supplier s1 JOIN supplier s2
+  ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+GROUP BY s1.s_nationkey
+ORDER BY s1.s_nationkey
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supp,) = _t(spark, sf_dir, "supplier")
+    s1 = supp.select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("bal1")
+    )
+    s2 = supp.select(
+        F.col("s_nationkey").alias("nk2"), F.col("s_acctbal").alias("bal2")
+    )
+    return (
+        s1.join(s2, (F.col("nationkey") == F.col("nk2")) & (F.col("bal1") < F.col("bal2")))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join: IS NOT DISTINCT FROM ↔ Column.eqNullSafe
+# (reference grammar sql-parser.cup:2459-2463).
+@query(
+    "join_null_safe_eq",
+    oracle="""
+SELECT a.g AS g, count(*) AS n
+FROM (SELECT nullif(n_regionkey, 2) AS g, n_nationkey FROM nation) a
+JOIN (SELECT nullif(r_regionkey, 2) AS g FROM region) b
+  ON a.g IS NOT DISTINCT FROM b.g
+GROUP BY a.g
+ORDER BY g NULLS FIRST
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    a = nation.select(F.nullif(F.col("n_regionkey"), F.lit(2)).alias("ag"))
+    b = region.select(F.nullif(F.col("r_regionkey"), F.lit(2)).alias("bg"))
+    return (
+        a.join(b, F.col("ag").eqNullSafe(F.col("bg")))
+        .groupBy(F.col("ag").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("g"))
+    )

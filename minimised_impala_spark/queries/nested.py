@@ -1,1 +1,189 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Nested-types operator coverage — the reference reads Parquet collections
+and queries them via collection table refs + unnesting (SURVEY §2.9:
+SubplanNode be/src/exec/subplan-node.h:30, UnnestNode
+be/src/exec/unnest-node.h:50, IsNotEmptyPredicate). In Spark this is
+explode()/explode_outer() + array functions — Catalyst fuses the subplan.
+
+The driver fixture has no nested parquet, so arrays are constructed in-query
+(split on text, collect_list over joins) — which additionally exercises the
+array-construction path. Oracles use DuckDB list functions or an equivalent
+relational formulation.
+
+Scale notes: explode multiplies row count — at 100 TB keep the projection
+narrow before exploding (only the array column + keys), which these queries
+do; collect_list per group is bounded by group size (orders per customer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# UnnestNode ↔ explode: token frequencies over exploded text arrays.
+@query(
+    "nested_explode_tokens",
+    oracle="""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+WHERE tok <> ''
+GROUP BY tok
+HAVING count(*) >= 50
+ORDER BY n DESC, tok
+""",
+)
+def nested_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .orderBy(F.desc("n"), "tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# Array functions over constructed arrays (reference exposes collections
+# only through unnesting; size/contains/sort are the Spark-native extension).
+@query(
+    "nested_array_funcs",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                    AS n_tokens,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       (list_sort(string_split(text, ' ')))[1:3]       AS first3_sorted,
+       (string_split(text, ' '))[2]                    AS second_tok
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def nested_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+            F.element_at(toks, 2).alias("second_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SubplanNode round-trip: build ARRAY<STRUCT> per customer (collect_list of
+# struct), then unnest it back and aggregate — the oracle states the
+# equivalent relational semantics directly. Exercises struct construction,
+# field access through exploded structs, and IsNotEmptyPredicate
+# (size(...) > 0 ↔ the reference's !empty() guard).
+@query(
+    "nested_struct_roundtrip",
+    oracle="""
+SELECT c_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice) * 100) / 100 AS spend
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        cust.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("o_orderkey"), F.col("o_totalprice"))
+            ).alias("c_orders")
+        )
+    )
+    return (
+        nested.filter(F.size("c_orders") > 0)  # IsNotEmptyPredicate parity
+        .select("c_custkey", F.explode("c_orders").alias("o"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o.o_totalprice") * 100, 0) / 100).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# explode_outer (outer unnest — reference UnnestNode inside a LEFT OUTER
+# subplan): customers keep a row even when their filtered order array is
+# empty.
+@query(
+    "nested_explode_outer",
+    oracle="""
+SELECT c_custkey, o_orderkey
+FROM customer
+LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                 WHERE o_totalprice > 300000) big
+  ON big.o_custkey = c_custkey
+WHERE c_custkey < 200
+ORDER BY c_custkey, o_orderkey
+""",
+)
+def nested_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        cust.filter(F.col("c_custkey") < 200)
+        .join(
+            orders.filter(F.col("o_totalprice") > 300000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.collect_list("o_orderkey").alias("big_orders")  # [] when none
+        )
+    )
+    return (
+        nested.select(
+            "c_custkey", F.explode_outer("big_orders").alias("o_orderkey")
+        ).orderBy("c_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Map type coverage (reference MAP type, fe/.../catalog/MapType.java):
+# construct map from entries, read back keys/values.
+@query(
+    "nested_map_access",
+    oracle="""
+SELECT n_name,
+       CAST(map_extract(map {'region': n_regionkey, 'nation': n_nationkey},
+                        'nation')[1] AS INT) AS nation_val,
+       CAST(map_extract(map {'region': n_regionkey, 'nation': n_nationkey},
+                        'region')[1] AS INT) AS region_val
+FROM nation
+ORDER BY n_name
+""",
+)
+def nested_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("region"), F.col("n_regionkey"), F.lit("nation"), F.col("n_nationkey")
+    )
+    return nation.select(
+        "n_name",
+        F.element_at(m, "nation").cast("int").alias("nation_val"),
+        F.element_at(m, "region").cast("int").alias("region_val"),
+    ).orderBy("n_name")

@@ -1,1 +1,313 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Scalar expression & function coverage — the reference's expression
+library (be/src/exprs/: operators.cc, string-functions.cc 795 LoC,
+math-functions.cc 623 LoC, timestamp-functions.cc 1028 LoC,
+conditional-functions.cc, cast-functions.cc; registry
+common/function-registry/impala_functions.py:56-691).
+
+Each query evaluates a batch of expressions over a deterministic slice of a
+fixture table, with the DuckDB oracle using the dialect-equivalent spelling.
+Cross-dialect gotchas handled here (verified empirically):
+
+- Spark ``concat`` propagates NULL, DuckDB's ignores it → oracle uses ``||``
+  (the reference's concat is NULL-propagating, matching Spark).
+- Spark ``dayofweek`` is 1=Sunday; DuckDB's is 0=Sunday → compare
+  ``weekday()+1`` against ``isodow`` (1=Monday in both).
+- DuckDB ``log`` is log10, Spark's is ln → only explicit ln/log10/log2.
+- DuckDB ``date_trunc('month')`` yields DATE → cast to TIMESTAMP.
+- Spark double→int cast truncates, DuckDB rounds → oracle casts trunc().
+- Spark non-ANSI bad cast yields NULL → oracle uses TRY_CAST.
+- round() at exactly-representable halves (x.25, x.5) differs by rounding
+  mode → rounding here only touches values that cannot be exact halves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+@query(
+    "scalar_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                    AS up,
+       lower(p_brand)                   AS lo,
+       length(p_name)                   AS len,
+       substring(p_name, 1, 4)          AS sub4,
+       strpos(p_name, 'e')              AS pos_e,
+       split_part(p_name, ' ', 2)       AS word2,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       rpad(p_brand, 12, '.')           AS padded_brand,
+       reverse(p_type)                  AS rev_type,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       repeat(substring(p_brand, 1, 2), 2) AS rep2,
+       p_type || '-' || p_brand         AS joined,
+       trim('  ' || p_type || '  ')     AS trimmed,
+       ltrim('xx' || p_name, 'x')       AS ltrimmed,
+       ascii(p_name)                    AS first_code,
+       chr(65 + p_size % 26)            AS size_chr,
+       (p_name LIKE '%red%')            AS has_red,
+       (p_name LIKE 'b%')               AS starts_b,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       instr(p_name, 'ring')            AS ring_at
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.length("p_name").alias("len").cast("bigint"),
+            F.substring("p_name", 1, 4).alias("sub4"),
+            F.instr("p_name", "e").cast("bigint").alias("pos_e"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+            F.rpad("p_brand", 12, ".").alias("padded_brand"),
+            F.reverse("p_type").alias("rev_type"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+            F.repeat(F.substring("p_brand", 1, 2), 2).alias("rep2"),
+            F.concat_ws("-", "p_type", "p_brand").alias("joined"),
+            F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("trimmed"),
+            F.ltrim(F.concat(F.lit("xx"), F.col("p_name")), F.lit("x")).alias("ltrimmed"),
+            F.ascii("p_name").cast("bigint").alias("first_code"),
+            F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_chr"),
+            F.col("p_name").like("%red%").alias("has_red"),
+            F.col("p_name").like("b%").alias("starts_b"),
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.instr("p_name", "ring").cast("bigint").alias("ring_at"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05)                   AS abs_d,
+       CAST(ceil(l_extendedprice) AS BIGINT)    AS ceil_p,
+       CAST(floor(l_extendedprice) AS BIGINT)   AS floor_p,
+       CAST(trunc(l_extendedprice / 7.0) AS BIGINT) AS div7_trunc,
+       round(sqrt(l_quantity), 9)               AS sqrt_q,
+       round(ln(l_extendedprice), 9)            AS ln_p,
+       round(log10(l_extendedprice), 9)         AS log10_p,
+       round(log2(l_quantity + 1), 9)           AS log2_q,
+       round(pow(l_discount, 2), 9)             AS disc_sq,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)  AS sgn,
+       l_orderkey % 97                          AS mod97,
+       CAST(l_orderkey & 255 AS BIGINT)         AS band,
+       CAST(l_orderkey | 4096 AS BIGINT)        AS bor,
+       CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor,
+       CAST(l_linenumber << 3 AS BIGINT)        AS shl,
+       CAST(l_orderkey >> 2 AS BIGINT)          AS shr,
+       greatest(l_quantity, 25.0)               AS gq,
+       least(l_discount, l_tax)                 AS lt,
+       round(sin(l_quantity), 9)                AS sin_q,
+       round(cos(l_quantity), 9)                AS cos_q,
+       round(atan2(l_quantity, 10.0), 9)        AS at2,
+       round(degrees(atan(l_discount)), 9)      AS deg_at,
+       factorial(CAST(l_linenumber AS INT))     AS fact_ln
+FROM lineitem
+WHERE l_orderkey < 500
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+            F.ceil("l_extendedprice").alias("ceil_p"),
+            F.floor("l_extendedprice").alias("floor_p"),
+            (F.col("l_extendedprice") / 7.0).cast("bigint").alias("div7_trunc"),
+            F.round(F.sqrt("l_quantity"), 9).alias("sqrt_q"),
+            F.round(F.log("l_extendedprice"), 9).alias("ln_p"),
+            F.round(F.log10("l_extendedprice"), 9).alias("log10_p"),
+            F.round(F.log2(F.col("l_quantity") + 1), 9).alias("log2_q"),
+            F.round(F.pow("l_discount", F.lit(2)), 9).alias("disc_sq"),
+            F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+            (F.col("l_orderkey") % 97).alias("mod97"),
+            F.col("l_orderkey").bitwiseAND(255).alias("band"),
+            F.col("l_orderkey").bitwiseOR(4096).alias("bor"),
+            F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("bxor"),
+            F.shiftleft(F.col("l_linenumber"), 3).cast("bigint").alias("shl"),
+            F.shiftright(F.col("l_orderkey"), 2).alias("shr"),
+            F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("gq"),
+            F.least(F.col("l_discount"), F.col("l_tax")).alias("lt"),
+            F.round(F.sin("l_quantity"), 9).alias("sin_q"),
+            F.round(F.cos("l_quantity"), 9).alias("cos_q"),
+            F.round(F.atan2(F.col("l_quantity"), F.lit(10.0)), 9).alias("at2"),
+            F.round(F.degrees(F.atan("l_discount")), 9).alias("deg_at"),
+            F.factorial(F.col("l_linenumber").cast("int")).alias("fact_ln"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)      AS y,
+       CAST(month(o_orderdate) AS INT)     AS mo,
+       CAST(day(o_orderdate) AS INT)       AS d,
+       CAST(quarter(o_orderdate) AS INT)   AS q,
+       CAST(isodow(o_orderdate) AS INT)    AS iso_dow,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(weekofyear(o_orderdate) AS INT) AS woy,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)  AS year_start,
+       CAST(epoch(o_orderdate) AS BIGINT)  AS epoch_s,
+       o_orderdate + INTERVAL 30 DAY       AS plus30,
+       o_orderdate - INTERVAL 2 MONTH      AS minus2mo,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       strftime(o_orderdate, '%Y-%m-%d')   AS fmt
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.quarter("o_orderdate").alias("q"),
+            (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.weekofyear("o_orderdate").alias("woy"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.date_trunc("year", F.col("o_orderdate")).alias("year_start"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("plus30"),
+            (F.col("o_orderdate") - F.expr("INTERVAL 2 MONTH")).alias("minus2mo"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("fmt"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditionals (be/src/exprs/conditional-functions.h:31-123): if/ifnull/
+# nullif/coalesce/zeroifnull/nullifzero/case/decode — plus NULL predicates.
+@query(
+    "scalar_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END                        AS bal_class,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 1
+                         WHEN 'MACHINERY' THEN 2
+                         ELSE 0 END                AS seg_code,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg_or_none,
+       (CASE WHEN c_acctbal = 0 THEN NULL ELSE c_acctbal END) AS nullifzero_bal,
+       coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+                                                   AS pos_or_zero,
+       (c_acctbal IS NULL)                         AS is_null_bal,
+       (nullif(c_nationkey, 5) IS NOT NULL)        AS not_null_nk,
+       if(c_acctbal > 0, 'pos', 'nonpos')          AS sign_label,
+       CAST(nullif(c_nationkey, 5) AS INT)         AS nk_or_null
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("rich")
+            .alias("bal_class"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .when(F.col("c_mktsegment") == "MACHINERY", 2)
+            .otherwise(0)
+            .alias("seg_code"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("<none>"))
+            .alias("seg_or_none"),
+            F.nullif(F.col("c_acctbal"), F.lit(0.0)).alias("nullifzero_bal"),
+            F.coalesce(
+                F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
+                F.lit(0.0),
+            ).alias("pos_or_zero"),
+            F.col("c_acctbal").isNull().alias("is_null_bal"),
+            F.nullif(F.col("c_nationkey"), F.lit(5)).isNotNull().alias("not_null_nk"),
+            F.when(F.col("c_acctbal") > 0, "pos").otherwise("nonpos").alias("sign_label"),
+            F.nullif(F.col("c_nationkey"), F.lit(5)).cast("int").alias("nk_or_null"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Casts (be/src/exprs/cast-functions.cc): the reference returns NULL on
+# malformed string→numeric casts rather than erroring; Spark matches with
+# ANSI off, DuckDB via TRY_CAST.
+@query(
+    "scalar_cast",
+    oracle="""
+SELECT p_partkey,
+       CAST(p_partkey AS VARCHAR)           AS key_str,
+       CAST(trunc(p_retailprice) AS BIGINT) AS price_int,
+       CAST(p_size AS DOUBLE)               AS size_d,
+       TRY_CAST(p_brand AS INT)             AS brand_bad_cast,
+       TRY_CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num,
+       CAST(p_retailprice AS VARCHAR)       AS price_str,
+       (p_size > 25)                        AS big_flag,
+       CAST((p_size > 25) AS INT)           AS big_int,
+       TRY_CAST('  42' AS INT)              AS pad_int,
+       TRY_CAST('4.5e2' AS DOUBLE)          AS sci_d
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+)
+def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.col("p_partkey").cast("string").alias("key_str"),
+            F.col("p_retailprice").cast("bigint").alias("price_int"),
+            F.col("p_size").cast("double").alias("size_d"),
+            F.col("p_brand").cast("int").alias("brand_bad_cast"),
+            F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).cast("int").alias("brand_num"),
+            F.col("p_retailprice").cast("string").alias("price_str"),
+            (F.col("p_size") > 25).alias("big_flag"),
+            (F.col("p_size") > 25).cast("int").alias("big_int"),
+            F.lit("  42").cast("int").alias("pad_int"),
+            F.lit("4.5e2").cast("double").alias("sci_d"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -1,1 +1,262 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Window / analytic function coverage — reference AnalyticEvalNode
+(be/src/exec/analytic-eval-node.h:58, planner fe/.../planner/
+AnalyticPlanner.java): rank, dense_rank, row_number, percent_rank,
+cume_dist, ntile, first_value, last_value, lag, lead, plus aggregates over
+ROWS/RANGE frames (fe/.../analysis/AnalyticWindow.java:41-80).
+
+All ORDER BY clauses carry a unique tiebreaker column so rank outputs and
+frame contents are deterministic across engines. Frame sums over money
+columns are rounded to their fixed-point scale (exact — see tpch.py).
+
+Scale notes: every window here partitions by a key (custkey/userkey) —
+Spark executes these with a single hash-partition shuffle + in-partition
+sort, the same shape the reference used (sort + single-pass
+AnalyticEvalNode). Unpartitioned windows (global ORDER BY) are avoided:
+they serialize to one task at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_suite",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       row_number()   OVER w AS rn,
+       round(percent_rank() OVER w, 9) AS prnk,
+       round(cume_dist()    OVER w, 9) AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rn
+""",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+            F.round(F.percent_rank().over(w), 9).alias("prnk"),
+            F.round(F.cume_dist().over(w), 9).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROWS frame: moving sum/min over a sliding 3-row window + running total.
+@query(
+    "window_rows_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100
+         AS moving_sum3,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) / 100
+         AS running_sum,
+       min(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighborhood_min
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wb = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    m100 = lambda c: F.round(c * 100, 0) / 100  # noqa: E731
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            m100(F.sum("o_totalprice").over(wb.rowsBetween(-2, 0))).alias("moving_sum3"),
+            m100(
+                F.sum("o_totalprice").over(wb.rowsBetween(W.unboundedPreceding, 0))
+            ).alias("running_sum"),
+            F.min("o_totalprice").over(wb.rowsBetween(-1, 1)).alias("neighborhood_min"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame — the reference's default frame is RANGE UNBOUNDED
+# PRECEDING..CURRENT ROW (AnalyticWindow.java:37-39): peers (ties in the
+# ordering value) share the aggregate.
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderdate, o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_upto_date
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).alias("n_upto_date"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# lag/lead with offsets and defaults (BuiltinsDb.java:806-886).
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice)          OVER w AS prev_price,
+       lag(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+       lead(o_totalprice)         OVER w AS next_price,
+       lead(o_orderkey, 1, -1)    OVER w AS next_key
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# first_value/last_value over an explicit frame.
+@query(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)  OVER w AS latest_price
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("latest_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-K per group — the canonical row_number pattern (reference TopNNode is
+# global-only; per-group top-k was expressed exactly this way).
+@query(
+    "window_topk_per_group",
+    oracle="""
+SELECT n_name, c_custkey, c_acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) t
+WHERE rn <= 3
+ORDER BY n_name, c_acctbal DESC, c_custkey
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort/limit coverage: ORDER BY with NULLS FIRST/LAST + LIMIT/OFFSET.
+# Reference defaults: NULLS LAST for ASC, NULLS FIRST for DESC
+# (fe/.../analysis/OrderByElement.java:109-111); OFFSET requires ORDER BY
+# (fe/.../analysis/LimitElement.java). Spark 3.4+ has native OFFSET.
+@query(
+    "sort_nulls_limit_offset",
+    oracle="""
+SELECT o_orderkey, g
+FROM (SELECT o_orderkey, nullif(o_custkey % 5, 3) AS g FROM orders
+      WHERE o_orderkey < 2000) t
+ORDER BY g ASC NULLS LAST, o_orderkey DESC
+LIMIT 50 OFFSET 10
+""",
+)
+def sort_nulls_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_custkey") % 5, F.lit(3)).alias("g"),
+        )
+        .orderBy(F.asc_nulls_last("g"), F.desc("o_orderkey"))
+        .offset(10)
+        .limit(50)
+    )

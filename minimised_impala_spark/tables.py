@@ -32,6 +32,16 @@ BROADCASTABLE = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and
+        # rebuild a microsecond timestamp (integer division — a double
+        # division would lose precision above 2^53 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
