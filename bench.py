@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the plan shapes that dominate 100 TB workloads:
+wide-agg scan (q1), selective scan (q6), multi-join star (q3/q5/q9/q18),
+window analytics, sessionization, and the scale-path dedup/similarity
+operators (LSH, not the quadratic baselines).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "window_topk_per_group",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "sim_lsh_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from minimised_impala_spark.session import build_session
+    from minimised_impala_spark.queries import load_all
+    from minimised_impala_spark.queries.registry import QUERIES
+
+    load_all()
+    spark = build_session(
+        app_name="mis-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+
+    # warm the JVM + parquet footers once (not counted)
+    QUERIES["tpch_q6"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,353 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Deduplication operators for training-data pipelines (north-star
+extension; no reference analogue — the reference is pure SQL OLAP).
+
+Four dedup strategies over the ``documents`` table, each a DataFrame
+pipeline with a full SQL oracle:
+
+- exact:          md5 content fingerprint → hash groupBy
+- ngram_jaccard:  exact trigram-shingle Jaccard similarity join (the
+                  small-scale baseline — quadratic in colliding shingles)
+- minhash_lsh:    16-perm MinHash signatures → 4-band LSH bucket join
+                  (the 100 TB path: candidate pairs ∝ true near-dups, not
+                  n²; each stage is a narrow shuffle on doc_id / band key)
+- simhash:        32-bit SimHash + banded hamming-distance join
+
+Because the fixture corpus has no planted duplicates, every query builds a
+deterministic test corpus in-query: documents ∪ twin copies (doc_id +
+100000) where every 5th doc is an exact copy and the rest drop their first
+token (near-dup). The oracle SQL constructs the identical corpus.
+
+Hashing is md5-based so both engines agree exactly:
+Spark  conv(substr(md5(tok),1,8), 16, 10)::bigint
+DuckDB ('0x' || substr(md5(tok),1,8))::BIGINT
+Then minhash_j = min over shingles of (a_j·h + b_j) mod p, p=2147483647,
+a_j=2j+3, b_j=5j+7 — pure int64 arithmetic, no overflow (h<2³¹, a_j≤33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+P = 2147483647  # Mersenne prime 2^31-1
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASH // N_BANDS
+
+# ---------------------------------------------------------------- corpus --
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text
+              ELSE substr(text, strpos(text, ' ') + 1) END AS text
+  FROM documents
+)
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted twins (exact copy every 5th doc, else first token
+    dropped) — mirrors CORPUS_SQL exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.expr("substring(text, instr(text, ' ') + 1)"))
+        .alias("text"),
+    )
+    return docs.unionAll(twins)
+
+
+# Trigram shingles with positions. DuckDB pairs unnest+generate_subscripts;
+# Spark uses posexplode (0-based — only used engine-internally).
+SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+)
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct trigram shingles per doc: (doc_id, sh)."""
+    pos = corpus(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    )
+    a = pos.select("doc_id", F.col("p").alias("pa"), F.col("tok").alias("ta"))
+    b = pos.select(
+        F.col("doc_id").alias("db"), F.col("p").alias("pb"), F.col("tok").alias("tb")
+    )
+    c = pos.select(
+        F.col("doc_id").alias("dc"), F.col("p").alias("pc"), F.col("tok").alias("tc")
+    )
+    return (
+        a.join(b, (F.col("db") == F.col("doc_id")) & (F.col("pb") == F.col("pa") + 1))
+        .join(c, (F.col("dc") == F.col("doc_id")) & (F.col("pc") == F.col("pa") + 2))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "ta", "tb", "tc").alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def _shingle_hash(col: F.Column) -> F.Column:
+    """64-bit-safe 31-bit hash of a shingle, identical in DuckDB (see module
+    docstring)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % P).alias("h")
+
+
+SHINGLE_HASH_SQL = "('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()}
+SELECT fp, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM (SELECT doc_id, md5(text) AS fp FROM corpus) t
+GROUP BY fp
+HAVING count(*) > 1
+ORDER BY fp
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy (scale: one shuffle on the hash;
+    at 100 TB hash first, never shuffle raw text)."""
+    return (
+        corpus(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip().lstrip(',').strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS c
+  FROM shingles s1 JOIN shingles s2
+    ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT d1, d2,
+       round(c * 1.0 / (z1.sz + z2.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = d1
+JOIN sizes z2 ON z2.doc_id = d2
+WHERE c * 1.0 / (z1.sz + z2.sz - c) >= 0.6
+ORDER BY d1, d2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram Jaccard join — the correctness baseline for near-dup
+    detection. Scale note: cost ∝ Σ (docs per shingle)²; fine when shingles
+    are selective, replaced by MinHash-LSH at 100 TB."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = (
+        s1.join(s2, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("zd1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("zd2"), F.col("sz").alias("sz2"))
+    jac = F.col("c") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    return (
+        inter.join(z1, F.col("zd1") == F.col("d1"))
+        .join(z2, F.col("zd2") == F.col("d2"))
+        .filter(jac >= 0.6)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(({2 * j + 3} * h + {5 * j + 7}) % {P}) AS m{j}" for j in range(N_HASH)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({sig}) AS bsig FROM sig".format(
+            b=b,
+            sig=" || '_' || ".join(
+                f"m{j}::VARCHAR" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip().lstrip(',').strip()},
+hashed AS (SELECT doc_id, {SHINGLE_HASH_SQL} AS h FROM shingles),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+FROM bands b1 JOIN bands b2
+  ON b1.band = b2.band AND b1.bsig = b2.bsig AND b1.doc_id < b2.doc_id
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path: signature agg is one
+    shuffle on doc_id, the bucket join shuffles on (band, band_sig) and its
+    output is proportional to true candidates, never n²."""
+    hashed = shingles(spark, sf_dir).select("doc_id", _shingle_hash(F.col("sh")))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * j + 3) * F.col("h") + F.lit(5 * j + 7)) % P).alias(f"m{j}")
+            for j in range(N_HASH)
+        ]
+    )
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        band_df = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("bsig"),
+        )
+        bands = band_df if bands is None else bands.unionAll(band_df)
+    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "bsig")
+    b2 = bands.select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("band2"), F.col("bsig").alias("bsig2")
+    )
+    return (
+        b1.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bsig") == F.col("bsig2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    # 32-bit simhash from shingle hashes; banded hamming join (4×8-bit
+    # chunks cover hamming distance ≤ 3 by pigeonhole).
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip().lstrip(',').strip()},
+hashed AS (SELECT doc_id, {SHINGLE_HASH_SQL} AS h FROM shingles),
+bits AS (
+  SELECT doc_id, b.bit,
+         CAST(sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM hashed, (SELECT unnest(range(32)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (8 * c.chunk)) & 255 AS ck
+  FROM sim, (SELECT unnest(range(4)) AS chunk) c
+),
+cand AS (
+  SELECT DISTINCT c1.doc_id AS d1, c2.doc_id AS d2,
+         c1.simhash AS sh1, c2.simhash AS sh2
+  FROM chunks c1 JOIN chunks c2
+    ON c1.chunk = c2.chunk AND c1.ck = c2.ck AND c1.doc_id < c2.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh1, sh2)) <= 3
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature per doc, candidates via 8-bit
+    chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), exact
+    hamming filter on candidates. All-integer → bit-identical across
+    engines."""
+    hashed = shingles(spark, sf_dir).select("doc_id", _shingle_hash(F.col("sh")))
+    bits = (
+        hashed.join(F.broadcast(
+            spark.range(32).select(F.col("id").cast("int").alias("bit"))
+        ))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+    chunks = (
+        sim.join(F.broadcast(
+            spark.range(4).select(F.col("id").cast("int").alias("chunk"))
+        ))
+        .select(
+            "doc_id",
+            "simhash",
+            "chunk",
+            F.expr("(simhash >> (8 * chunk)) & 255").alias("ck"),
+        )
+    )
+    c1 = chunks.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"), "chunk", "ck"
+    )
+    c2 = chunks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("simhash").alias("sh2"),
+        F.col("chunk").alias("chunk2"),
+        F.col("ck").alias("ck2"),
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        c1.join(
+            c2,
+            (F.col("chunk") == F.col("chunk2"))
+            & (F.col("ck") == F.col("ck2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2", "sh1", "sh2")
+        .distinct()
+        .filter(hamming <= 3)
+        .select("d1", "d2", hamming.cast("int").alias("hamming"))
+        .orderBy("d1", "d2")
+    )

@@ -1,1 +1,115 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Multimodal column handling (north-star extension): image/audio/video
+payloads as opaque BINARY columns with typed metadata, decoded via
+Arrow-batched Pandas UDFs over mapInPandas.
+
+The container has no image/audio libraries and the fixture has no binary
+media, so this module makes the *Spark-side plumbing* real — binary
+payload synthesis (utf-8 of document text standing in for media bytes),
+schema, batch shapes, partitioning, UDF signatures — while the actual
+codec step is a clearly marked stub (deterministic fake decode keyed on
+content hash; `decode_image_real` raises NotImplementedError).
+
+Scale notes: payload bytes never shuffle — metadata is extracted per-row
+map-side and only (id, metadata) leaves the scan stage; mapInPandas
+receives Arrow batches, so the decode path is vectorized batch-at-a-time
+exactly as a real codec UDF would be.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+DECODED_SCHEMA = (
+    "doc_id bigint, byte_len bigint, fmt string, width int, height int, channels int"
+)
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real codec hook — would use PIL/libjpeg etc.
+
+    STUB: media libraries are not available in this container.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def decode_image_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode for plumbing tests: derives plausible
+    dimensions from content bytes (stable across runs/engines)."""
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
+    return (64 + h % 1024, 64 + (h >> 10) % 1024, 3 if h % 4 else 1)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload → decoded metadata rows."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        dims = [decode_image_fake(p) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len),
+                "fmt": payloads.map(
+                    lambda p: "png" if p[:1] in (b"\x89", b"t") else "jpeg"
+                ),
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "channels": [d[2] for d in dims],
+            }
+        )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the synthetic BINARY payload column."""
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+# --------------------------------------------------------------------------
+# Binary metadata extraction — pure built-ins (JVM-side), full oracle.
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))   AS byte_len,
+       md5(text)                    AS content_hash,
+       CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END
+                                    AS size_class
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("byte_len"),
+        F.md5(payload).alias("content_hash"),
+        F.when(F.length(payload) > 300, "large").otherwise("small").alias("size_class"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Decode pipeline through mapInPandas (rows-only: the fake codec is not
+# SQL-expressible; the pytest suite asserts determinism + batch shape).
+@query("multimodal_decode_stub")
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = with_payload(docs).mapInPandas(_decode_batches, DECODED_SCHEMA)
+    return (
+        decoded.groupBy("fmt", "channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.min("width").alias("min_w"),
+            F.max("height").alias("max_h"),
+        )
+        .orderBy("fmt", "channels")
+    )

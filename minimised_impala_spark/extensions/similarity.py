@@ -1,1 +1,224 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Similarity search over embedding vectors (north-star extension).
+
+The ``embeddings`` table carries ``embedding ARRAY<FLOAT>`` (64-dim).
+Two paths:
+
+- brute-force cosine top-k (sim_cosine_topk): the exact baseline.
+  Dot products run JVM-side via zip_with + aggregate (no Python UDF).
+  Scale: O(|queries| × |corpus|) — fine for a bounded query set against
+  a broadcast corpus, or as the in-bucket scorer for the LSH path.
+- LSH-bucketed ANN (sim_lsh_ann): random-hyperplane signatures (sign of
+  dot with deterministic md5-derived ±1 planes) → bucket join → exact
+  re-score within buckets. The 100 TB path: candidates ∝ bucket
+  collisions, not n².
+
+Oracle notes: cosine values are FP sums; both engines accumulate 64 terms
+with error ~1e-15 and outputs are rounded to 6 decimals, so hash-parity
+holds except on astronomically unlikely half-ulp boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.tables import load_table
+
+N_PLANES = 8
+DIM = 64
+
+
+def _vecd(col: str) -> Column:
+    """array<float> → array<double> (match DuckDB's double accumulation)."""
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_cosine_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cosine
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rn
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _vecd("embedding").alias("e"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    cosine = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic ±1 hyperplanes: plane(j, i) = +1 if md5-derived bit else -1,
+# identical in both engines.
+_PLANE_SQL = (
+    "CASE WHEN ('0x' || substr(md5(j.pl::VARCHAR || '_' || c.dim::VARCHAR), 1, 2))::INT"
+    " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+@query(
+    "sim_lsh_buckets",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, i.dim, e[i.dim + 1] AS x
+  FROM v, (SELECT unnest(range({DIM})) AS dim) i
+),
+proj AS (
+  SELECT c.vec_id, j.pl,
+         sum(c.x * {_PLANE_SQL}) AS dot
+  FROM comps c, (SELECT unnest(range({N_PLANES})) AS pl) j
+  GROUP BY c.vec_id, j.pl
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << pl) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vectors
+FROM sig
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (bucket histogram). The
+    bucket-join ANN built on top is sim_lsh_ann (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    comps = emb.select(
+        "vec_id", F.posexplode(F.col("e")).alias("dim", "x")
+    )
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("pl"))
+    plane_val = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("pl"), F.col("dim"))), 1, 2), 16, 10
+        ).cast("int")
+        % 2
+        == 0,
+        1.0,
+    ).otherwise(-1.0)
+    proj = (
+        comps.join(F.broadcast(planes))
+        .groupBy("vec_id", "pl")
+        .agg(F.sum(F.col("x") * plane_val).alias("dot"))
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pl)")).otherwise(0)
+        ).alias("bucket")
+    )
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+@query("sim_lsh_ann")  # rows-only: end-to-end ANN (bucket join + re-score)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 per vector via LSH buckets: candidates share a bucket,
+    exact cosine re-score inside buckets. At 100 TB: the bucket join
+    shuffles on the (small-cardinality) bucket key instead of forming n²
+    pairs; multi-probe = union over several plane sets."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    comps = emb.select("vec_id", F.posexplode(F.col("e")).alias("dim", "x"))
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("pl"))
+    plane_val = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("pl"), F.col("dim"))), 1, 2), 16, 10
+        ).cast("int")
+        % 2
+        == 0,
+        1.0,
+    ).otherwise(-1.0)
+    sig = (
+        comps.join(F.broadcast(planes))
+        .groupBy("vec_id", "pl")
+        .agg(F.sum(F.col("x") * plane_val).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pl)"))
+                .otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    bucketed = emb.join(sig, "vec_id")
+    a = bucketed.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("nid"), F.col("e").alias("ne"), F.col("bucket").alias("b2")
+    )
+    cosine = _dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid", F.round("cosine", 6).alias("cosine"))
+        .orderBy("qid", "nid")
+    )

@@ -1,1 +1,83 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Structured Streaming operators (extension — the reference has no
+streaming: SURVEY §1.1; TPlanNodeType contains no stream operator).
+
+Batch-equivalent semantics are declared in queries/events.py; this module
+runs the same aggregations through readStream → writeStream so the engine
+covers the streaming entry point: tumbling-window counts with a watermark,
+driven to completion over the parquet fixture via the memory sink.
+
+``streaming_window_counts`` is registered with a full SQL oracle: in
+"complete" output mode every window is emitted once the (single) batch is
+processed, so the result equals the batch aggregation.
+
+Scale notes: in production the source is Kafka/files-on-arrival; the
+watermark bounds state (windows older than watermark are evicted), and the
+aggregation state is hash-partitioned by (window, event_type) across
+executors — identical shuffle shape to the batch plan.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP(NANOS) parquet — same legacy-long rebuild as the batch
+    # loader (tables.load_table). The file stream source requires a
+    # *directory*, so stage a symlink dir (fixture dirs are read-only).
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    stage = f"/tmp/mis_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "streaming_window_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts via a real streaming query (memory sink,
+    complete mode), returned as a static DataFrame once the fixture is fully
+    processed."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )

@@ -31,7 +31,17 @@ ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
 BROADCASTABLE = {"region", "nation"}
 
 
+def ensure_engine_semantics(spark: SparkSession) -> None:
+    """Pin the session semantics the engine is specified against, even when
+    running on a caller-provided session: the reference returns NULL on
+    malformed casts / div-by-zero (be/src/exprs/cast-functions.cc,
+    expr-test.cc), i.e. ANSI mode off (Spark 4 defaults it on)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_semantics(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and
