@@ -839,3 +839,164 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: the fixture has no partsupp
+# [FIXTURES.md §1], so lineitem stands in as the part↔supplier relation and
+# min(l_extendedprice) per (part, supplier) as the supply cost). Keeps Q2's
+# defining shape: correlated scalar subquery = "cost equals the global
+# minimum cost for that part" (reference golden:
+# testdata/workloads/tpch/queries/tpch-q2.test), expressed as an
+# aggregate + equi-join — min() comparisons on doubles are exact, no
+# rounding shim needed.
+@query(
+    "tpch_q2",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, c.supplycost
+FROM part p
+JOIN cost c ON c.partkey = p_partkey
+JOIN supplier s ON s_suppkey = c.suppkey
+JOIN nation n ON n_nationkey = s_nationkey
+JOIN region r ON r_regionkey = n_regionkey
+WHERE p_size = 15 AND p_type LIKE '%BRASS'
+  AND r_name = 'EUROPE'
+  AND c.supplycost = (SELECT min(c2.supplycost) FROM cost c2
+                      WHERE c2.partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li, supp, nation, region = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("supplycost"))
+    min_cost = cost.groupBy("partkey").agg(F.min("supplycost").alias("min_cost"))
+    return (
+        part.filter((F.col("p_size") == 15) & F.col("p_type").like("%BRASS"))
+        .join(cost, F.col("partkey") == F.col("p_partkey"))
+        .join(min_cost.withColumnRenamed("partkey", "mpk"), F.col("mpk") == F.col("p_partkey"))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(supp, F.col("s_suppkey") == F.col("suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (adapted: no partsupp — part value per
+# nation computed from lineitem revenue; reference golden tpch-q11.test).
+# Keeps Q11's defining shape: grouped value vs an uncorrelated scalar
+# subquery threshold (fraction of the total). Sums use the dsum shim for
+# bit-identical FP across engines; the threshold multiply is a single op.
+@query(
+    "tpch_q11",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000 AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'GERMANY'
+  GROUP BY l_partkey
+)
+SELECT partkey, value
+FROM val
+WHERE value > (SELECT round(sum(value) * 10000) / 10000 * 0.001 FROM val)
+ORDER BY value DESC, partkey
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    val = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "GERMANY")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(_rev(), 4).alias("value"))
+    )
+    threshold = val.agg((dsum(F.col("value"), 4) * 0.001).alias("threshold"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: the fixture lacks
+# l_receiptdate/l_commitdate, so "late" = shipped more than 90 days after
+# the order date; reference golden tpch-q21.test). Keeps Q21's defining
+# shape: correlated EXISTS (another supplier contributed to the order) +
+# correlated NOT EXISTS (no OTHER supplier was late) — the reference plans
+# these as RIGHT SEMI / RIGHT ANTI hash joins
+# (common/thrift/PlanNodes.thrift:217-228).
+@query(
+    "tpch_q21",
+    oracle="""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM lo l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = lo.filter(late).alias("l1")
+    l2 = lo.alias("l2")
+    l3 = lo.filter(late).alias("l3")
+    return (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
