@@ -16,6 +16,7 @@ def load_all() -> None:
         aggregates,
         windows,
         scalars,
+        parity,
         subqueries,
         nested,
         events,

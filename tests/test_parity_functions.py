@@ -1,0 +1,144 @@
+"""Per-function golden tests for the dialect parity layer — the engine's
+analogue of the reference's be/src/exprs/expr-test.cc (5788 LoC of
+per-function golden values; SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.functions import parity as P
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def fnv1a64(data: bytes) -> int:
+    h = P.FNV64_OFFSET
+    for b in data:
+        h = ((h ^ b) * P.FNV64_PRIME) % (1 << 64)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pytest.mark.parametrize("s", ["", "a", "hello", "TPC-H", "naïve ünïcode", "0" * 100])
+def test_fnv_hash_golden(spark, s):
+    assert _one(spark, P.fnv_hash(F.lit(s))) == fnv1a64(s.encode("utf-8"))
+
+
+def test_fnv_hash_sql_matches_column(spark):
+    P.register_sql_functions(spark)
+    sql_v = spark.sql("SELECT fnv_hash('spark') v").collect()[0]["v"]
+    assert sql_v == fnv1a64(b"spark")
+
+
+def rot64(x: int, n: int, left: bool) -> int:
+    n %= 64
+    if not left:
+        n = (64 - n) % 64
+    v = ((x << n) | (x >> (64 - n))) % (1 << 64) if n else x % (1 << 64)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@pytest.mark.parametrize("x,n", [(1, 0), (1, 1), (1, 63), (1, 64), (0x0F0F, 8), (-1, 17), (7, 130)])
+def test_rotate_golden(spark, x, n):
+    assert _one(spark, P.rotateleft(F.lit(x).cast("bigint"), n)) == rot64(x % (1 << 64), n, True)
+    assert _one(spark, P.rotateright(F.lit(x).cast("bigint"), n)) == rot64(x % (1 << 64), n, False)
+
+
+def test_bit_functions(spark):
+    assert _one(spark, P.getbit(F.lit(5).cast("bigint"), 0)) == 1
+    assert _one(spark, P.getbit(F.lit(5).cast("bigint"), 1)) == 0
+    assert _one(spark, P.setbit(F.lit(0).cast("bigint"), 3)) == 8
+    assert _one(spark, P.setbit(F.lit(15).cast("bigint"), 0, 0)) == 14
+    assert _one(spark, P.setbit(F.lit(8).cast("bigint"), 3, 1)) == 8
+    assert _one(spark, P.countset(F.lit(255).cast("bigint"))) == 8
+    assert _one(spark, P.countset(F.lit(255).cast("bigint"), 0)) == 56
+    assert _one(spark, P.countset(F.lit(-1).cast("bigint"))) == 64
+
+
+def test_conditionals(spark):
+    assert _one(spark, P.nullifzero(F.lit(0))) is None
+    assert _one(spark, P.nullifzero(F.lit(7))) == 7
+    assert _one(spark, P.zeroifnull(F.lit(None).cast("int"))) == 0
+    null_b = F.lit(None).cast("boolean")
+    assert _one(spark, P.istrue(null_b)) is False
+    assert _one(spark, P.isfalse(null_b)) is False
+    assert _one(spark, P.isnottrue(null_b)) is True
+    assert _one(spark, P.isnotfalse(null_b)) is True
+    assert _one(spark, P.istrue(F.lit(True))) is True
+    assert _one(spark, P.isfalse(F.lit(False))) is True
+
+
+def test_decode_null_matches_null(spark):
+    # DECODE treats NULL search == NULL expr as a match (case-expr.cc).
+    v = _one(
+        spark,
+        P.decode(
+            F.lit(None).cast("string"),
+            F.lit("x"), F.lit(1),
+            F.lit(None).cast("string"), F.lit(2),
+            F.lit(0),
+        ),
+    )
+    assert v == 2
+
+
+def test_strleft_strright_edges(spark):
+    assert _one(spark, P.strleft(F.lit("hello"), 99)) == "hello"
+    assert _one(spark, P.strright(F.lit("hello"), 99)) == "hello"
+    assert _one(spark, P.strright(F.lit("hello"), 0)) == ""
+    assert _one(spark, P.strright(F.lit("hello"), 3)) == "llo"
+
+
+def test_quotient(spark):
+    assert _one(spark, P.quotient(F.lit(7), F.lit(2))) == 3
+    assert _one(spark, P.quotient(F.lit(-7), F.lit(2))) == -3  # truncates toward 0
+    assert _one(spark, P.quotient(F.lit(7), F.lit(0))) is None
+
+
+def test_int_months_between(spark):
+    a = F.lit("2024-03-15").cast("timestamp")
+    b = F.lit("2024-01-31").cast("timestamp")
+    assert _one(spark, P.int_months_between(a, b)) == 1
+    assert _one(spark, P.int_months_between(b, a)) == -2
+
+
+def test_trunc_units(spark):
+    t = F.lit("2024-05-17 13:45:33").cast("timestamp")
+    cases = {"YYYY": "2024-01-01 00:00:00", "Q": "2024-04-01 00:00:00",
+             "MM": "2024-05-01 00:00:00", "DD": "2024-05-17 00:00:00",
+             "HH": "2024-05-17 13:00:00", "MI": "2024-05-17 13:45:00",
+             "DAY": "2024-05-13 00:00:00"}  # Monday of that week
+    for unit, expect in cases.items():
+        got = _one(spark, P.trunc_ts(t, unit))
+        assert str(got) == expect, (unit, got)
+    with pytest.raises(ValueError):
+        P.trunc_ts(t, "BOGUS")
+
+
+def test_ts_interval_family_sql(spark):
+    P.register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT milliseconds_add(timestamp'2024-01-01 00:00:00', 250) a, "
+        "       microseconds_sub(timestamp'2024-01-01 00:00:00', 5) b, "
+        "       weeks_add(timestamp'2024-01-01 00:00:00', 2) c, "
+        "       years_sub(timestamp'2024-01-01 00:00:00', 1) d"
+    ).collect()[0]
+    assert str(rows["a"]) == "2024-01-01 00:00:00.250000"
+    assert str(rows["b"]) == "2023-12-31 23:59:59.999995"
+    assert str(rows["c"]) == "2024-01-15 00:00:00"
+    assert str(rows["d"]) == "2023-01-01 00:00:00"
+
+
+def test_sql_registration_names(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT strleft('abcdef', 2) a, strright('abcdef', 2) b, "
+        "       rotateleft(1, 63) c, quotient(9, 4) d, countset(7) e, "
+        "       istrue(CAST(NULL AS BOOLEAN)) f, setbit(0, 2) g"
+    ).collect()[0]
+    assert row["a"] == "ab" and row["b"] == "ef"
+    assert row["c"] == -(1 << 63)
+    assert row["d"] == 2 and row["e"] == 3
+    assert row["f"] is False and row["g"] == 4
