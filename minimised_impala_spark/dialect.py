@@ -1,0 +1,123 @@
+"""Impala-SQL → Spark-SQL dialect translation.
+
+The reference's grammar (fe/src/main/cup/sql-parser.cup) is ~95% ANSI and
+runs unchanged on Spark SQL. This module rewrites the residue:
+
+- plan hints ``JOIN [broadcast] t`` / ``JOIN [shuffle] t``
+  (sql-parser.cup:1996-2000) → Spark ``/*+ BROADCAST(t) / SHUFFLE_HASH(t) */``
+  hint comments injected after the nearest SELECT;
+- ``SELECT STRAIGHT_JOIN`` (keep join order as written) → stripped, and the
+  caller should disable ``spark.sql.cbo.joinReorder.enabled`` for the
+  statement (Engine.sql does);
+- catalog verbs: ``COMPUTE [INCREMENTAL] STATS t`` →
+  ``ANALYZE TABLE t COMPUTE STATISTICS``; ``INVALIDATE METADATA t`` /
+  ``REFRESH t`` → ``REFRESH TABLE t`` (statestored propagation is a no-op
+  in Spark — SURVEY §1.4);
+- dialect function names are NOT rewritten here — they are registered as
+  session SQL functions (functions/parity.py:register_sql_functions), which
+  keeps translation purely syntactic.
+
+Translation is regex-based over a comment/string-masked copy of the text, so
+hints inside string literals are never rewritten.
+"""
+
+from __future__ import annotations
+
+import re
+
+_STRING_OR_COMMENT = re.compile(
+    r"""('(?:[^'\\]|\\.)*')|("(?:[^"\\]|\\.)*")|(--[^\n]*)|(/\*.*?\*/)""",
+    re.DOTALL,
+)
+
+
+def _mask(sql: str) -> str:
+    """Replace string literals/comments with same-length placeholders so
+    positional regex matches on the mask apply safely to the original."""
+
+    def repl(m: re.Match) -> str:
+        return "\x00" * len(m.group(0))
+
+    return _STRING_OR_COMMENT.sub(repl, sql)
+
+
+_HINT = re.compile(r"\bJOIN\s*\[\s*(broadcast|shuffle)\s*\]\s*", re.IGNORECASE)
+_TABLE_REF = re.compile(r"[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?", re.IGNORECASE)
+_SELECT = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_STRAIGHT = re.compile(r"\bSELECT\s+STRAIGHT_JOIN\b", re.IGNORECASE)
+_COMPUTE_STATS = re.compile(
+    r"^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE
+)
+_INVALIDATE = re.compile(r"^\s*INVALIDATE\s+METADATA\s+([\w.`]+)\s*$", re.IGNORECASE)
+_REFRESH = re.compile(r"^\s*REFRESH\s+([\w.`]+)\s*$", re.IGNORECASE)
+
+_SPARK_HINT = {"broadcast": "BROADCAST", "shuffle": "SHUFFLE_HASH"}
+
+# Words that can follow a table ref and must not be mistaken for an alias.
+_KEYWORDS = {
+    "ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "SELECT",
+}
+
+# Spark reserves a handful of keywords Impala treats as identifiers — none
+# relevant to hint rewriting; quoting is passed through untouched.
+
+
+def has_straight_join(sql: str) -> bool:
+    return bool(_STRAIGHT.search(_mask(sql)))
+
+
+def translate(sql: str) -> str:
+    """Rewrite an Impala-dialect statement into Spark SQL text."""
+    m = _COMPUTE_STATS.match(sql)
+    if m:
+        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS"
+    m = _INVALIDATE.match(sql)
+    if m:
+        return f"REFRESH TABLE {m.group(1)}"
+    m = _REFRESH.match(sql)
+    if m and m.group(1).upper() not in ("TABLE", "FUNCTION"):
+        return f"REFRESH TABLE {m.group(1)}"
+
+    masked = _mask(sql)
+
+    # All in-place rewrites below are length-preserving (padded with
+    # spaces) so mask offsets remain valid for every subsequent edit;
+    # the final hint-comment injections run right-to-left.
+    out = sql
+
+    def _splice(s: str, start: int, end: int, text: str) -> str:
+        return s[:start] + text.ljust(end - start) + s[end:]
+
+    # Strip STRAIGHT_JOIN (the Engine pins join order via config instead).
+    for m in reversed(list(_STRAIGHT.finditer(masked))):
+        out = _splice(out, m.start(), m.end(), "SELECT")
+        masked = _splice(masked, m.start(), m.end(), "SELECT")
+
+    # Rewrite [broadcast]/[shuffle] join hints.
+    hints: list[tuple[int, str, str]] = []  # (select_end_pos, kind, table_alias)
+    for m in reversed(list(_HINT.finditer(masked))):
+        kind = m.group(1).lower()
+        ref = _TABLE_REF.match(masked, m.end())
+        if not ref:
+            continue
+        alias = ref.group(1)
+        if alias and alias.upper() in _KEYWORDS:
+            alias = None
+        name = (alias or ref.group(0).split()[0]).split(".")[-1]
+        sel = None
+        for s in _SELECT.finditer(masked, 0, m.start()):
+            sel = s
+        if sel is None:
+            continue
+        hints.append((sel.end(), kind, name))
+        out = _splice(out, m.start(), m.end(), "JOIN ")
+        masked = _splice(masked, m.start(), m.end(), "JOIN ")
+
+    # Inject hint comments right after their governing SELECT (rightmost
+    # insertion first so earlier offsets stay valid).
+    for pos, kind, name in sorted(hints, reverse=True):
+        comment = f" /*+ {_SPARK_HINT[kind]}({name}) */"
+        out = out[:pos] + comment + out[pos:]
+
+    return out

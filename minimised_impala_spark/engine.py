@@ -1,0 +1,64 @@
+"""Engine facade — the user-facing entry points.
+
+Reproduces the reference's three entry points (SURVEY §3): an interactive
+shell (shell.py), this programmatic ``Engine.sql()`` / DataFrame API, and
+DDL against the session catalog. The whole impalad/catalogd/statestored
+fabric (be/src/service/impala-server.cc, be/src/catalog/catalog-server.cc,
+be/src/statestore/statestore.cc) collapses into one SparkSession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from minimised_impala_spark import dialect
+from minimised_impala_spark.functions.parity import register_sql_functions
+from minimised_impala_spark.session import build_session
+from minimised_impala_spark.tables import register_tables
+
+
+class Engine:
+    """A SQL session speaking the reference's dialect over Spark.
+
+    >>> eng = Engine.local()
+    >>> eng.load_fixture_tables("/root/testdata/sf0.001")
+    >>> eng.sql("SELECT count(*) FROM lineitem").show()
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        register_sql_functions(spark)
+
+    @classmethod
+    def local(cls, cpus: int = 4, **conf: str) -> "Engine":
+        return cls(
+            build_session(
+                master=f"local[{cpus}]",
+                shuffle_partitions=cpus,
+                extra_conf=dict(conf) or None,
+            )
+        )
+
+    def load_fixture_tables(self, sf_dir: str) -> None:
+        register_tables(self.spark, sf_dir)
+
+    def sql(self, text: str) -> DataFrame:
+        """Execute one statement in the reference dialect."""
+        translated = dialect.translate(text)
+        if dialect.has_straight_join(text):
+            # STRAIGHT_JOIN pins the join order as written
+            # (fe/.../planner/SingleNodePlanner.java:422 invertJoin is
+            # skipped): disable Catalyst's reorder for this statement only.
+            prev = self.spark.conf.get("spark.sql.cbo.joinReorder.enabled", "true")
+            self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+            try:
+                return self.spark.sql(translated)
+            finally:
+                self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev)
+        return self.spark.sql(translated)
+
+    def explain(self, text: str) -> str:
+        df = self.sql(text)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), "formatted"
+        )

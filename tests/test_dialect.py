@@ -1,0 +1,97 @@
+"""Dialect-translation unit tests + end-to-end Engine.sql checks
+(reference parser surface: fe/src/main/cup/sql-parser.cup:1996-2000 plan
+hints; fe/src/test/.../analysis/ParserTest.java is the model)."""
+
+from __future__ import annotations
+
+from minimised_impala_spark import dialect
+from minimised_impala_spark.engine import Engine
+from minimised_impala_spark.tables import register_tables
+
+
+def test_broadcast_hint_rewrite():
+    out = dialect.translate(
+        "SELECT n_name, count(*) FROM orders JOIN [broadcast] nation n "
+        "ON n_nationkey = o_custkey GROUP BY n_name"
+    )
+    assert "/*+ BROADCAST(n) */" in out
+    assert "[broadcast]" not in out.lower()
+
+
+def test_shuffle_hint_rewrite():
+    out = dialect.translate("SELECT * FROM a JOIN [shuffle] big_table ON a.k = big_table.k")
+    assert "/*+ SHUFFLE_HASH(big_table) */" in out
+
+
+def test_hint_inside_string_untouched():
+    sql = "SELECT '[broadcast] join [shuffle]' AS s FROM t"
+    assert dialect.translate(sql) == sql
+
+
+def test_straight_join_stripped():
+    sql = "SELECT STRAIGHT_JOIN a.x FROM a JOIN b ON a.k = b.k"
+    out = dialect.translate(sql)
+    assert "STRAIGHT_JOIN" not in out.upper()
+    assert dialect.has_straight_join(sql)
+    assert not dialect.has_straight_join(out)
+
+
+def test_catalog_verb_mapping():
+    assert dialect.translate("COMPUTE STATS lineitem") == (
+        "ANALYZE TABLE lineitem COMPUTE STATISTICS"
+    )
+    assert dialect.translate("COMPUTE INCREMENTAL STATS db.t") == (
+        "ANALYZE TABLE db.t COMPUTE STATISTICS"
+    )
+    assert dialect.translate("INVALIDATE METADATA lineitem") == "REFRESH TABLE lineitem"
+    assert dialect.translate("REFRESH lineitem") == "REFRESH TABLE lineitem"
+
+
+def test_plain_sql_passthrough():
+    sql = "SELECT l_orderkey FROM lineitem WHERE l_quantity > 5 ORDER BY 1"
+    assert dialect.translate(sql) == sql
+
+
+def test_engine_sql_end_to_end(spark, sf_dir):
+    engine = Engine(spark)
+    register_tables(spark, sf_dir, ("orders", "nation", "customer"))
+    df = engine.sql(
+        "SELECT count(*) AS n FROM orders JOIN [broadcast] customer c "
+        "ON c.c_custkey = o_custkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert df.collect()[0]["n"] > 0
+
+
+def test_engine_dialect_functions_available(spark):
+    engine = Engine(spark)
+    row = engine.sql("SELECT strleft('hello', 2) a, fnv_hash('x') b").collect()[0]
+    assert row["a"] == "he"
+    assert isinstance(row["b"], int)
+
+
+def test_engine_straight_join_runs(spark, sf_dir):
+    engine = Engine(spark)
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    df = engine.sql(
+        "SELECT STRAIGHT_JOIN count(*) AS n FROM orders "
+        "JOIN customer ON c_custkey = o_custkey"
+    )
+    assert df.collect()[0]["n"] > 0
+    # config restored afterwards
+    assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true"
+
+
+def test_engine_compute_stats(spark, sf_dir):
+    engine = Engine(spark)
+    # ANALYZE needs a catalog table, not a temp view.
+    spark.sql("DROP TABLE IF EXISTS _stats_probe")
+    engine.sql(f"CREATE TABLE _stats_probe USING parquet AS SELECT * FROM parquet.`{sf_dir}/region.parquet`")
+    try:
+        engine.sql("COMPUTE STATS _stats_probe")
+        engine.sql("INVALIDATE METADATA _stats_probe")
+        stats = spark.sql("DESCRIBE EXTENDED _stats_probe").collect()
+        assert any("Statistics" in str(r) for r in stats)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _stats_probe")
