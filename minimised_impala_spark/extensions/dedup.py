@@ -351,3 +351,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", hamming.cast("int").alias("hamming"))
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection: the semantic-dedup stage of a
+# training-data pipeline (exact/minhash/simhash above are lexical). Pairs
+# with cosine >= threshold are duplicates; each duplicated vector reports
+# its lowest-id partner as the canonical representative.
+#
+# Scale path: this oracled query scores all pairs exactly (the corpus-side
+# table is broadcast); at 100 TB the pair space is first pruned by LSH
+# bucketing (similarity.sim_lsh_buckets) and this exact scorer runs only
+# within buckets — identical semantics, candidates ∝ collisions not n².
+_EMB_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, round(cosine, 6) AS cosine
+FROM pairs
+WHERE cosine >= 0.45
+ORDER BY left_id, right_id
+"""
+
+
+@query("dedup_embedding", oracle=_EMB_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    a = emb.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
+    cosine = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        F.broadcast(a)
+        .join(b, F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("left_id", "right_id")
+    )
