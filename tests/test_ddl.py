@@ -1,0 +1,145 @@
+"""DDL / DML / utility-statement surface tests (SURVEY §2.11 — the
+reference grammar's statement list, fe/src/main/cup/sql-parser.cup; DDL
+execution path fe/.../service/CatalogOpExecutor.java). All statements are
+native Spark SQL; these tests pin the surface the engine promises.
+
+INSERT semantics reference: be/src/exec/hdfs-table-sink.h:122 (INSERT
+INTO/OVERWRITE with static and dynamic partitions, partitioned writes)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ddl(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("mis_ddl_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS mis_ddl LOCATION '{loc}'")
+    spark.sql("USE mis_ddl")
+    yield spark
+    spark.sql("USE default")
+    spark.sql("DROP DATABASE IF EXISTS mis_ddl CASCADE")
+
+
+def test_create_insert_select_drop(ddl):
+    ddl.sql("CREATE TABLE t1 (k INT, v STRING) USING parquet")
+    ddl.sql("INSERT INTO t1 VALUES (1, 'a'), (2, 'b')")
+    ddl.sql("INSERT INTO t1 SELECT 3, 'c'")
+    assert ddl.sql("SELECT count(*) n FROM t1").collect()[0]["n"] == 3
+    ddl.sql("INSERT OVERWRITE t1 VALUES (9, 'z')")
+    assert [r["k"] for r in ddl.sql("SELECT k FROM t1").collect()] == [9]
+    ddl.sql("DROP TABLE t1")
+    assert not any(r["tableName"] == "t1" for r in ddl.sql("SHOW TABLES").collect())
+
+
+def test_ctas_and_create_like(ddl, sf_dir):
+    ddl.sql(
+        f"CREATE TABLE nat USING parquet AS "
+        f"SELECT * FROM parquet.`{sf_dir}/nation.parquet`"
+    )
+    assert ddl.sql("SELECT count(*) n FROM nat").collect()[0]["n"] == 25
+    # CREATE TABLE LIKE (schema clone, no data) — reference
+    # fe/.../analysis/CreateTableLikeStmt.java
+    ddl.sql("CREATE TABLE nat2 LIKE nat")
+    assert ddl.sql("SELECT count(*) n FROM nat2").collect()[0]["n"] == 0
+    assert ddl.table("nat2").schema == ddl.table("nat").schema
+
+
+def test_partitioned_insert_static_and_dynamic(ddl, sf_dir):
+    """Dynamic-partition INSERT — the HdfsTableSink behavior
+    (be/src/exec/hdfs-table-sink.h:122): one output dir per partition key."""
+    ddl.sql(
+        "CREATE TABLE orders_p (o_orderkey BIGINT, o_totalprice DOUBLE) "
+        "USING parquet PARTITIONED BY (status STRING)"
+    )
+    # dynamic: partition value from the data
+    ddl.sql(
+        f"INSERT INTO orders_p PARTITION (status) "
+        f"SELECT o_orderkey, o_totalprice, o_orderstatus AS status "
+        f"FROM parquet.`{sf_dir}/orders.parquet`"
+    )
+    # static: all rows into one declared partition
+    ddl.sql(
+        "INSERT INTO orders_p PARTITION (status='X') VALUES (999999999, 1.0)"
+    )
+    parts = {r[0] for r in ddl.sql("SHOW PARTITIONS orders_p").collect()}
+    assert {"status=F", "status=O", "status=X"} <= parts
+    # partition pruning: static filter should read only one partition
+    plan = (
+        ddl.sql("SELECT count(*) FROM orders_p WHERE status = 'X'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert ddl.sql(
+        "SELECT count(*) n FROM orders_p WHERE status='X'"
+    ).collect()[0]["n"] == 1
+    # INSERT OVERWRITE a single partition replaces only that partition
+    ddl.sql("INSERT OVERWRITE orders_p PARTITION (status='X') VALUES (1, 2.0)")
+    rows = ddl.sql("SELECT o_orderkey FROM orders_p WHERE status='X'").collect()
+    assert [r[0] for r in rows] == [1]
+    n_f = ddl.sql("SELECT count(*) n FROM orders_p WHERE status='F'").collect()[0]["n"]
+    assert n_f > 0
+
+
+def test_alter_table(ddl):
+    ddl.sql("CREATE TABLE alt (a INT) USING parquet")
+    ddl.sql("ALTER TABLE alt ADD COLUMNS (b STRING)")
+    assert [f.name for f in ddl.table("alt").schema.fields] == ["a", "b"]
+    ddl.sql("ALTER TABLE alt SET TBLPROPERTIES ('engine.note'='mis')")
+    props = ddl.sql("SHOW TBLPROPERTIES alt").collect()
+    assert any(r["key"] == "engine.note" and r["value"] == "mis" for r in props)
+    ddl.sql("ALTER TABLE alt RENAME TO alt2")
+    names = {r["tableName"] for r in ddl.sql("SHOW TABLES").collect()}
+    assert "alt2" in names and "alt" not in names
+
+
+def test_views_and_cte(ddl, sf_dir):
+    ddl.sql(
+        f"CREATE OR REPLACE VIEW big_orders AS "
+        f"SELECT * FROM parquet.`{sf_dir}/orders.parquet` WHERE o_totalprice > 100000"
+    )
+    n_view = ddl.sql("SELECT count(*) n FROM big_orders").collect()[0]["n"]
+    n_cte = ddl.sql(
+        f"WITH b AS (SELECT * FROM parquet.`{sf_dir}/orders.parquet` "
+        f"WHERE o_totalprice > 100000) SELECT count(*) n FROM b"
+    ).collect()[0]["n"]
+    assert n_view == n_cte > 0
+    ddl.sql("ALTER VIEW big_orders AS SELECT 1 AS one")
+    assert ddl.sql("SELECT * FROM big_orders").collect()[0]["one"] == 1
+    ddl.sql("DROP VIEW big_orders")
+
+
+def test_truncate(ddl):
+    ddl.sql("CREATE TABLE tr (x INT) USING parquet")
+    ddl.sql("INSERT INTO tr VALUES (1), (2)")
+    ddl.sql("TRUNCATE TABLE tr")
+    assert ddl.sql("SELECT count(*) n FROM tr").collect()[0]["n"] == 0
+
+
+def test_show_describe_explain_set_use(ddl):
+    ddl.sql("CREATE TABLE IF NOT EXISTS meta_t (x INT) USING parquet")
+    assert any(r["namespace"] == "mis_ddl" for r in ddl.sql("SHOW DATABASES").collect())
+    desc = ddl.sql("DESCRIBE TABLE meta_t").collect()
+    assert desc[0]["col_name"] == "x"
+    desc_fmt = ddl.sql("DESCRIBE FORMATTED meta_t").collect()
+    assert any("Provider" in str(r) or "Type" in str(r) for r in desc_fmt)
+    fns = ddl.sql("SHOW FUNCTIONS LIKE 'concat*'").collect()
+    assert fns
+    explain = ddl.sql("EXPLAIN SELECT * FROM meta_t WHERE x > 1").collect()[0][0]
+    assert "Scan" in explain or "FileScan" in explain
+    ddl.sql("SET spark.sql.shuffle.partitions=7")
+    assert ddl.conf.get("spark.sql.shuffle.partitions") == "7"
+    ddl.sql("SET spark.sql.shuffle.partitions=8")
+
+
+def test_analyze_compute_stats(ddl, sf_dir):
+    ddl.sql(
+        f"CREATE TABLE stat_t USING parquet AS "
+        f"SELECT * FROM parquet.`{sf_dir}/region.parquet`"
+    )
+    # reference: COMPUTE STATS (fe/.../analysis/ComputeStatsStmt.java) →
+    # ANALYZE TABLE; per-column NDV feeds the CBO like the reference's
+    # column stats fed its join planner.
+    ddl.sql("ANALYZE TABLE stat_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    detail = ddl.sql("DESCRIBE EXTENDED stat_t r_regionkey").collect()
+    stats = {r["info_name"]: r["info_value"] for r in detail}
+    assert stats.get("distinct_count") not in (None, "NULL")
