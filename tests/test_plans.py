@@ -75,7 +75,10 @@ def test_whole_stage_codegen(spark, sf_dir):
     be/src/codegen/llvm-codegen.h)."""
     df = QUERIES["tpch_q6"](spark, sf_dir)
     df.collect()  # AQE finalizes the plan (and codegen ids) on execution
-    assert "WholeStageCodegen" in _physical(df)
+    plan = _physical(df)
+    # codegen'd operators carry a "*(stageId)" prefix in the plan string
+    assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan
+    assert "*(1) Filter" in plan  # scan-side pipeline is fused
 
 
 def test_aqe_enabled(spark, sf_dir):
