@@ -60,7 +60,12 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("substring(text, instr(text, ' ') + 1)"))
         .alias("text"),
     )
-    return docs.unionAll(twins)
+    # The downstream shingle/hash work is CPU-bound per row; the fixture is
+    # a single small parquet file (2 input splits), so fan the corpus out
+    # across all cores first. On a real cluster with many splits this
+    # re-balance is equally correct: one narrow shuffle of raw text vs
+    # hash-heavy stages bound by the input file count.
+    return docs.unionAll(twins).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 # Trigram shingles with positions. DuckDB pairs unnest+generate_subscripts;
@@ -80,27 +85,30 @@ shingles AS (
 """
 
 
+def _gram_array() -> F.Column:
+    """Distinct trigram shingles of ``text`` as one array, built per-row
+    with array expressions — at 100 TB this is a narrow map over the
+    corpus, vs the 3-way positional self-join a naive port would do."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct trigram shingles per doc: (doc_id, sh)."""
-    pos = corpus(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
-    )
-    a = pos.select("doc_id", F.col("p").alias("pa"), F.col("tok").alias("ta"))
-    b = pos.select(
-        F.col("doc_id").alias("db"), F.col("p").alias("pb"), F.col("tok").alias("tb")
-    )
-    c = pos.select(
-        F.col("doc_id").alias("dc"), F.col("p").alias("pc"), F.col("tok").alias("tc")
-    )
-    return (
-        a.join(b, (F.col("db") == F.col("doc_id")) & (F.col("pb") == F.col("pa") + 1))
-        .join(c, (F.col("dc") == F.col("doc_id")) & (F.col("pc") == F.col("pa") + 2))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "ta", "tb", "tc").alias("sh"),
-        )
-        .distinct()
-    )
+    return corpus(spark, sf_dir).select("doc_id", F.explode(_gram_array()).alias("sh"))
 
 
 def _shingle_hash(col: F.Column) -> F.Column:
@@ -222,34 +230,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path: signature agg is one
     shuffle on doc_id, the bucket join shuffles on (band, band_sig) and its
     output is proportional to true candidates, never n²."""
-    hashed = shingles(spark, sf_dir).select("doc_id", _shingle_hash(F.col("sh")))
+    # Shingle hashes are computed once each (one md5 per shingle) inside a
+    # narrow explode — no distinct: min() is insensitive to shingle
+    # multiplicity, so the dedup shuffle is skipped entirely. The 16
+    # permuted mins run in ONE whole-stage-codegen'd hash aggregate whose
+    # map-side partial mins shrink the shuffle to |docs| rows × 16 ints
+    # (the reference's streaming pre-aggregation pattern,
+    # be/src/exec/partitioned-aggregation-node.h:45-75).
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = (
+        corpus(spark, sf_dir)
+        .select("doc_id", F.explode(grams).alias("sh"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint") % P).alias("h"),
+        )
+    )
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(2 * j + 3) * F.col("h") + F.lit(5 * j + 7)) % P).alias(f"m{j}")
             for j in range(N_HASH)
         ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
-        band_df = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *cols)).alias("bsig"),
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+                    )
+                ).alias("bsig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+    # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
+    # ONE exchange on the bucket key, instead of a self-join's two (and the
+    # self-join would execute the signature lineage twice). Pair count per
+    # bucket is k², bounded by near-dup cluster size — the same bound the
+    # self-join has; a giant bucket means a degenerate band either way.
+    ids = F.sort_array(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
         )
-        bands = band_df if bands is None else bands.unionAll(band_df)
-    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "bsig")
-    b2 = bands.select(
-        F.col("doc_id").alias("d2"), F.col("band").alias("band2"), F.col("bsig").alias("bsig2")
     )
     return (
-        b1.join(
-            b2,
-            (F.col("band") == F.col("band2"))
-            & (F.col("bsig") == F.col("bsig2"))
-            & (F.col("d1") < F.col("d2")),
-        )
-        .select("d1", "d2")
+        bands.groupBy("band", "bsig")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
         .orderBy("d1", "d2")
     )

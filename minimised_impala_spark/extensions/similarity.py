@@ -40,6 +40,30 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _plane(pl: int) -> list[float]:
+    """±1 hyperplane pl: component i = +1 iff the first md5 byte of
+    '{pl}_{i}' is even — the exact definition _PLANE_SQL evaluates in
+    DuckDB, precomputed here so the Spark side is a literal (the signature
+    becomes a pure projection: no explode, no join, no shuffle)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{pl}_{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+        for i in range(DIM)
+    ]
+
+
+def _bucket_expr(e: Column) -> Column:
+    """LSH bucket id: bit pl set iff dot(e, plane_pl) > 0."""
+    bucket = F.lit(0).cast("bigint")
+    for pl in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(pl)])
+        bucket = bucket + F.when(_dot(e, plane) > 0, F.lit(1 << pl).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
 # --------------------------------------------------------------------------
 @query(
     "sim_cosine_topk",
@@ -140,28 +164,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    comps = emb.select(
-        "vec_id", F.posexplode(F.col("e")).alias("dim", "x")
-    )
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("pl"))
-    plane_val = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("pl"), F.col("dim"))), 1, 2), 16, 10
-        ).cast("int")
-        % 2
-        == 0,
-        1.0,
-    ).otherwise(-1.0)
-    proj = (
-        comps.join(F.broadcast(planes))
-        .groupBy("vec_id", "pl")
-        .agg(F.sum(F.col("x") * plane_val).alias("dot"))
-    )
-    sig = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pl)")).otherwise(0)
-        ).alias("bucket")
-    )
+    sig = emb.select("vec_id", _bucket_expr(F.col("e")).alias("bucket"))
     return (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -181,29 +184,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    comps = emb.select("vec_id", F.posexplode(F.col("e")).alias("dim", "x"))
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("pl"))
-    plane_val = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("pl"), F.col("dim"))), 1, 2), 16, 10
-        ).cast("int")
-        % 2
-        == 0,
-        1.0,
-    ).otherwise(-1.0)
-    sig = (
-        comps.join(F.broadcast(planes))
-        .groupBy("vec_id", "pl")
-        .agg(F.sum(F.col("x") * plane_val).alias("dot"))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pl)"))
-                .otherwise(0)
-            ).alias("bucket")
-        )
-    )
-    bucketed = emb.join(sig, "vec_id")
+    bucketed = emb.select("vec_id", "e", _bucket_expr(F.col("e")).alias("bucket"))
     a = bucketed.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "bucket"
     )
