@@ -1,0 +1,134 @@
+"""File-format sources and sinks — the reference's scanner/writer family
+(SURVEY §2.1):
+
+- delimited text with escaping + compression
+  (be/src/exec/hdfs-text-scanner.h:30, delimited-text-parser.cc:293,
+  writer hdfs-text-table-writer.h:40) → ``read_text``/``write_text``
+  over Spark's csv source;
+- parquet (be/src/exec/hdfs-parquet-scanner.h:282, writer
+  hdfs-parquet-table-writer.h:49) → vectorized built-in;
+- avro with schema resolution (be/src/exec/hdfs-avro-scanner.h:81) →
+  ``spark.read.format("avro")``, gated: the spark-avro jar may be absent
+  in offline deployments;
+- json (no reference analogue; standard Spark source, included for
+  pipeline completeness);
+- partitioned table sink (INSERT path, be/src/exec/hdfs-table-sink.h:122)
+  → ``write_partitioned``.
+
+Every reader returns a plain DataFrame so all downstream operators are
+source-agnostic, exactly like the reference's scanner→exec-node seam.
+
+Scale notes: compression codec choice controls scan parallelism — gzip is
+NOT splittable (one task per file; the reference had the same constraint,
+hdfs-text-scanner.h compression notes), so large text datasets should use
+bzip2 (splittable), many smaller gzip files, or parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    escape: str = "\\",
+    quote: str = '"',
+    header: bool = False,
+    compression: str | None = None,
+) -> DataFrame:
+    """Delimited-text scan (csv source). Infers schema when not given —
+    the reference instead required declared schemas (schema-on-read from
+    the metastore); pass ``schema`` for parity-exact typing."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("escape", escape)
+        .option("quote", quote)
+        .option("header", str(header).lower())
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    escape: str = "\\",
+    header: bool = False,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = (
+        df.write.mode(mode)
+        .option("sep", sep)
+        .option("escape", escape)
+        .option("header", str(header).lower())
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, compression: str = "snappy", mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro data source is on the classpath."""
+    try:
+        spark.read.format("avro").load("/nonexistent-probe-path")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # Missing-source errors name the format; path errors mean the
+        # source itself resolved.
+        return "AVRO" not in msg.upper() or "PATH_NOT_FOUND" in msg
+    return True
+
+
+def read_avro(spark: SparkSession, path: str, avro_schema: str | None = None) -> DataFrame:
+    """Avro scan with optional reader-schema resolution
+    (hdfs-avro-scanner.h:81 semantics: reader schema may add defaulted or
+    drop trailing fields). Raises if spark-avro is absent."""
+    reader = spark.read.format("avro")
+    if avro_schema is not None:
+        reader = reader.option("avroSchema", avro_schema)
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Dynamic-partitioned sink: one directory per partition-key value —
+    the reference's HdfsTableSink partition layout
+    (be/src/exec/hdfs-table-sink.h:122, HdfsPartition.java)."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)

@@ -1,0 +1,120 @@
+"""Source/sink round-trip tests — the reference's format matrix
+("test vectors", testdata/workloads/README: per-format × compression
+execution of the same queries; SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.sources import formats
+from minimised_impala_spark.tables import load_table
+
+
+@pytest.fixture()
+def sample(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy(df.columns[0]).collect()]
+
+
+def test_text_roundtrip_plain(spark, sample, tmp_path):
+    path = str(tmp_path / "txt")
+    formats.write_text(sample, path, sep="|", header=True)
+    back = formats.read_text(
+        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        sep="|", header=True,
+    )
+    assert _sorted_rows(back) == _sorted_rows(sample)
+
+
+def test_text_roundtrip_gzip(spark, sample, tmp_path):
+    path = str(tmp_path / "txt_gz")
+    formats.write_text(sample, path, compression="gzip", header=True)
+    import glob
+
+    assert glob.glob(f"{path}/*.gz"), "expected gzip part files"
+    back = formats.read_text(
+        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT", header=True
+    )
+    assert back.count() == 25
+
+
+def test_text_escaping(spark, tmp_path):
+    """Delimiters/quotes inside values survive the round trip
+    (delimited-text-parser.cc:293 escaping semantics)."""
+    df = spark.createDataFrame(
+        [(1, 'a,b'), (2, 'c"d'), (3, "e\\f"), (4, None)], "k INT, v STRING"
+    )
+    path = str(tmp_path / "esc")
+    formats.write_text(df, path, header=True)
+    back = formats.read_text(spark, path, schema="k INT, v STRING", header=True)
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_json_roundtrip(spark, sample, tmp_path):
+    path = str(tmp_path / "json")
+    formats.write_json(sample, path)
+    back = formats.read_json(spark, path, schema=sample.schema)
+    assert _sorted_rows(back) == _sorted_rows(sample)
+
+
+def test_parquet_roundtrip_codecs(spark, sample, tmp_path):
+    for codec in ("snappy", "gzip", "zstd"):
+        path = str(tmp_path / f"pq_{codec}")
+        formats.write_parquet(sample, path, compression=codec)
+        assert formats.read_parquet(spark, path).count() == 25
+
+
+def test_partitioned_write_layout(spark, sample, tmp_path):
+    """One directory per key value, pruned on read — the HdfsTableSink/
+    HdfsPartition directory model."""
+    import os
+
+    path = str(tmp_path / "part")
+    formats.write_partitioned(sample, path, ["n_regionkey"])
+    dirs = {d for d in os.listdir(path) if d.startswith("n_regionkey=")}
+    assert dirs == {f"n_regionkey={i}" for i in range(5)}
+    back = formats.read_parquet(spark, path).filter("n_regionkey = 3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == 5
+
+
+def test_avro_roundtrip_if_available(spark, sample, tmp_path):
+    if not formats.avro_available(spark):
+        pytest.skip("spark-avro not on classpath in this deployment")
+    path = str(tmp_path / "avro")
+    sample.write.format("avro").mode("overwrite").save(path)
+    assert formats.read_avro(spark, path).count() == 25
+
+
+def test_source_agnostic_operators(spark, sample, tmp_path):
+    """The same aggregation runs identically over text/json/parquet copies
+    of one table — the reference's per-format test-vector matrix."""
+    results = []
+    p1 = str(tmp_path / "m_txt")
+    formats.write_text(sample, p1, header=True)
+    results.append(
+        formats.read_text(
+            spark, p1, schema="n_nationkey INT, n_name STRING, n_regionkey INT", header=True
+        )
+    )
+    p2 = str(tmp_path / "m_json")
+    formats.write_json(sample, p2)
+    results.append(formats.read_json(spark, p2, schema=sample.schema))
+    p3 = str(tmp_path / "m_pq")
+    formats.write_parquet(sample, p3)
+    results.append(formats.read_parquet(spark, p3))
+    counts = {
+        tuple(
+            sorted(
+                tuple(r)
+                for r in df.groupBy("n_regionkey").agg(F.count("*").alias("n")).collect()
+            )
+        )
+        for df in results
+    }
+    assert len(counts) == 1
