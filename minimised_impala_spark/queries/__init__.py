@@ -28,3 +28,4 @@ def load_all() -> None:
         multimodal,
     )
     from minimised_impala_spark.streaming import windows as stream_windows  # noqa: F401
+    from minimised_impala_spark.streaming import stateful as stream_stateful  # noqa: F401
