@@ -1,0 +1,119 @@
+"""Randomized differential testing — the engine's analogue of the
+reference's random-query comparison framework
+(tests/comparison/query_generator.py + discrepancy_searcher.py, which
+diffed Impala against Postgres/MySQL; SURVEY §5.6). A seeded generator
+emits ANSI SELECTs that are valid in both dialects; each runs on Spark and
+DuckDB over the same parquet and must produce identical canonical rows.
+
+Determinism: aggregates over 2-decimal fixed-point DOUBLE columns use the
+scaled-sum rounding shim (see queries/tpch.py module doc); floats are
+canonicalized to 9 significant digits by tests.oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.oracle import canon_rows, duckdb_connect
+
+TABLES = {
+    "orders": {
+        "numeric": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "unique": ["o_orderkey"],
+        "money": ["o_totalprice"],
+        "group": ["o_orderstatus", "o_orderpriority"],
+        "string": {"o_orderstatus": ["F", "O", "P"]},
+    },
+    "lineitem": {
+        "numeric": ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"],
+        "unique": ["l_orderkey", "l_linenumber"],
+        "money": ["l_extendedprice"],
+        "group": ["l_returnflag", "l_linestatus"],
+        "string": {"l_returnflag": ["A", "N", "R"]},
+    },
+    "customer": {
+        "numeric": ["c_custkey", "c_nationkey", "c_acctbal"],
+        "unique": ["c_custkey"],
+        "money": ["c_acctbal"],
+        "group": ["c_mktsegment"],
+        "string": {"c_mktsegment": ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"]},
+    },
+}
+
+N_QUERIES = 30
+
+
+def _gen_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+
+    preds = []
+    for _ in range(rng.randint(0, 3)):
+        kind = rng.random()
+        if kind < 0.5:
+            col = rng.choice(meta["numeric"])
+            op = rng.choice(["<", "<=", ">", ">=", "<>"])
+            preds.append(f"{col} {op} {rng.randint(0, 5000)}")
+        elif kind < 0.8 and meta["string"]:
+            col = rng.choice(list(meta["string"]))
+            vals = rng.sample(meta["string"][col], rng.randint(1, 2))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            neg = "NOT " if rng.random() < 0.3 else ""
+            preds.append(f"{col} {neg}IN ({quoted})")
+        else:
+            col = rng.choice(meta["numeric"])
+            lo = rng.randint(0, 2000)
+            preds.append(f"{col} BETWEEN {lo} AND {lo + rng.randint(1, 3000)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+
+    if rng.random() < 0.7:
+        gcol = rng.choice(meta["group"])
+        mcol = rng.choice(meta["money"])
+        ncol = rng.choice(meta["numeric"])
+        aggs = [
+            "count(*) AS n",
+            f"min({ncol}) AS mn",
+            f"max({ncol}) AS mx",
+            f"round(sum({mcol}) * 100) / 100 AS s",
+        ]
+        if rng.random() < 0.5:
+            aggs.append(f"count(DISTINCT {gcol}) AS nd")
+        return (
+            f"SELECT {gcol}, {', '.join(aggs)} FROM {table}{where} "
+            f"GROUP BY {gcol} ORDER BY {gcol}"
+        )
+    # projection branch: order by the table's unique key so LIMIT is
+    # deterministic across engines
+    cols = rng.sample(meta["numeric"], 2)
+    key = meta["unique"]
+    sel = ", ".join(dict.fromkeys([*key, *cols]))
+    return (
+        f"SELECT {sel} FROM {table}{where} "
+        f"ORDER BY {', '.join(key)} LIMIT {rng.randint(1, 200)}"
+    )
+
+
+_RNG = random.Random(20260813)
+QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES))
+def test_random_differential(spark, sf_dir, idx):
+    sql = QUERIES[idx]
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    sdf = spark.sql(sql)
+    s_rows = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+
+    con = duckdb_connect(sf_dir)
+    try:
+        cur = con.execute(sql)
+        d_cols = [d[0] for d in cur.description]
+        d_rows = canon_rows(d_cols, [tuple(r) for r in cur.fetchall()])
+    finally:
+        con.close()
+
+    assert s_rows == d_rows, f"mismatch for: {sql}"
