@@ -311,3 +311,24 @@ def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Constant VALUES select — the reference's UnionNode also materializes
+# constant rows for VALUES / SELECT <literals> (be/src/exec/union-node.h,
+# fe/.../analysis/ValuesStmt via UnionStmt); here it is a LocalRelation.
+_VALUES_ORACLE = """
+SELECT k, name, CAST(weight AS DOUBLE) AS weight
+FROM (VALUES (1, 'one', 1.5), (2, 'two', 2.5), (3, NULL, NULL))
+  AS t(k, name, weight)
+ORDER BY k
+"""
+
+
+@query("select_values", oracle=_VALUES_ORACLE)
+def select_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT k, name, weight FROM "
+        "VALUES (1, 'one', 1.5D), (2, 'two', 2.5D), (3, CAST(NULL AS STRING), "
+        "CAST(NULL AS DOUBLE)) AS t(k, name, weight) ORDER BY k"
+    )

@@ -121,3 +121,30 @@ def test_partition_filter_prunes_input(spark, tmp_path):
     # Spark reports the pruned partition count in the scan node
     assert "PartitionFilters: [" in plan
     assert df.count() == 25
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Bucketed tables joined on the bucket key need no exchange — the
+    100 TB co-located join strategy (supersedes the reference's
+    hash-partitioned DataStreamSender, be/src/runtime/data-stream-sender.h:35;
+    partitioning is persisted instead of re-done per query)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    try:
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+        customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+        # disable broadcast so the join must pick a partitioned strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders")["o_custkey"] == spark.table("b_customer")["c_custkey"],
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
