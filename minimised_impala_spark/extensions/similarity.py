@@ -1,7 +1,7 @@
 """Similarity search over embedding vectors (north-star extension).
 
 The ``embeddings`` table carries ``embedding ARRAY<FLOAT>`` (64-dim).
-Two paths:
+Three paths:
 
 - brute-force cosine top-k (sim_cosine_topk): the exact baseline.
   Dot products run JVM-side via zip_with + aggregate (no Python UDF).
@@ -11,6 +11,8 @@ Two paths:
   dot with deterministic md5-derived ±1 planes) → bucket join → exact
   re-score within buckets. The 100 TB path: candidates ∝ bucket
   collisions, not n².
+- IVF ANN (sim_ivf_ann): k-means coarse quantizer → inverted lists →
+  nprobe nearest-centroid probe → exact re-score inside probed lists.
 
 Oracle notes: cosine values are FP sums; both engines accumulate 64 terms
 with error ~1e-15 and outputs are rounded to 6 decimals, so hash-parity
@@ -202,4 +204,88 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "nid", F.round("cosine", 6).alias("cosine"))
         .orderBy("qid", "nid")
+    )
+
+
+# --------------------------------------------------------------------------
+@query("sim_ivf_ann")  # rows-only: k-means training is not SQL-expressible
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (nlist=16, seed-fixed)
+    partitions the corpus into inverted lists; each query probes its
+    nprobe=2 nearest centroids and re-scores exactly (cosine) only inside
+    the probed lists. Top-3 neighbors per query vector.
+
+    Scale path: centroids are tiny and broadcast; list assignment is a
+    narrow map; the probe join shuffles on list id, so scored candidates
+    are ∝ corpus/nlist × nprobe, not n². Train on a sample at 100 TB.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window as W
+
+    NLIST, NPROBE, TOPK = 16, 2, 3
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    feat = emb.select("vec_id", "e", array_to_vector("e").alias("fv"))
+    km = KMeans(k=NLIST, seed=42, featuresCol="fv", predictionCol="list_id")
+    model = km.fit(feat)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    assigned = model.transform(feat).select("vec_id", "e", "list_id")
+
+    # distance of a vector to every centroid, as one fused array expr
+    def center_dists(e: Column) -> Column:
+        return F.array(
+            *[
+                _dot(
+                    F.zip_with(e, F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
+                    F.zip_with(e, F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
+                ).alias(f"d{i}")
+                for i, c in enumerate(centers)
+            ]
+        )
+
+    # probe lists: indices of the NPROBE smallest centroid distances
+    dists = center_dists(F.col("e"))
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        NPROBE,
+    )
+    queries_df = (
+        assigned.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(probe).alias("probe_list"),
+        )
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "list_id"
+    )
+    cosine = _dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries_df)
+        .join(
+            cands,
+            (F.col("probe_list") == F.col("list_id"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "neighbor_id")
     )
