@@ -332,3 +332,50 @@ def select_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "VALUES (1, 'one', 1.5D), (2, 'two', 2.5D), (3, CAST(NULL AS STRING), "
         "CAST(NULL AS DOUBLE)) AS t(k, name, weight) ORDER BY k"
     )
+
+
+# --------------------------------------------------------------------------
+# DECIMAL arithmetic parity — the SURVEY §7 risk register flags precision/
+# scale inference as a dialect corner (fe/.../catalog/ScalarType.java:121,
+# be/src/exprs/decimal-operators.cc vs Spark's decimalOperations). The
+# fixture has no DECIMAL columns, so decimals are constructed by casting;
+# every arithmetic result is cast to an explicit DECIMAL type so both
+# engines' inference differences are pinned at the boundary — Impala's
+# approach of a fully-determined result type.
+_DECIMAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(12,2))                                 AS d,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(0.05 AS DECIMAL(4,2))
+            AS DECIMAL(13,2))                                              AS d_add,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.07 AS DECIMAL(4,2))
+            AS DECIMAL(16,4))                                              AS d_mul,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) / CAST(3 AS DECIMAL(4,0))
+            AS DECIMAL(18,6))                                              AS d_div,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS d_round,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) % CAST(100 AS DECIMAL(5,0))
+            AS DECIMAL(7,2))                                               AS d_mod,
+       CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2))         AS d_neg
+FROM orders
+WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+
+@query("scalar_decimal", oracle=_DECIMAL_ORACLE)
+def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            d.alias("d"),
+            (d + F.lit(0.05).cast("decimal(4,2)")).cast("decimal(13,2)").alias("d_add"),
+            (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(16,4)").alias("d_mul"),
+            (d / F.lit(3).cast("decimal(4,0)")).cast("decimal(18,6)").alias("d_div"),
+            F.round(d, 1).cast("decimal(12,1)").alias("d_round"),
+            (d % F.lit(100).cast("decimal(5,0)")).cast("decimal(7,2)").alias("d_mod"),
+            (-d).cast("decimal(12,2)").alias("d_neg"),
+        )
+        .orderBy("o_orderkey")
+    )
