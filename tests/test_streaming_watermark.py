@@ -1,0 +1,76 @@
+"""Watermark / late-data semantics for streaming window aggregation:
+in append mode a window is emitted only once the watermark passes its end,
+and events arriving later than the watermark allows are dropped —
+the state-bounding contract that makes streaming aggs safe at scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def staged(tmp_path):
+    return str(tmp_path / "stream_src")
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, "ts STRING, k STRING").select(
+        F.col("ts").cast("timestamp").alias("ts"), "k"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_append_mode_watermark_finalizes_and_drops_late(spark, staged):
+    import os
+
+    os.makedirs(staged, exist_ok=True)
+    # batch 1: two events in the 10:00 window, one in 11:00
+    _write_batch(
+        spark,
+        staged,
+        [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:20:00", "a"), ("2024-01-01 11:10:00", "b")],
+    )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, k STRING").format("parquet").load(staged)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: event at 13:00 → watermark advances to 12:30, past the
+        # END of both the 10:00 and 11:00 windows → they finalize, emit,
+        # and are EVICTED from state (bounded state: the scale contract).
+        _write_batch(spark, staged, [("2024-01-01 13:00:00", "c")])
+        q.processAllAvailable()
+        # batch 3: an event for the already-evicted 10:00 window (too late:
+        # watermark 12:30 > window end 11:00) must be dropped; 15:00
+        # advances the watermark so the 13:00 window finalizes too.
+        _write_batch(
+            spark,
+            staged,
+            [("2024-01-01 10:30:00", "a"), ("2024-01-01 15:00:00", "d")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = [
+        ((str(r["w"]["start"]), r["k"]), r["n"]) for r in spark.table(name).collect()
+    ]
+    rows = dict(emitted)
+    assert len(emitted) == len(rows), f"window emitted twice: {emitted}"
+    # finalized BEFORE the too-late 10:30 event: count stays 2, and the
+    # late row must not re-open the window (no second emission)
+    assert rows.get(("2024-01-01 10:00:00", "a")) == 2
+    assert rows.get(("2024-01-01 11:00:00", "b")) == 1
+    assert rows.get(("2024-01-01 13:00:00", "c")) == 1
+    # the 15:00 window is still open (watermark hasn't passed its end) —
+    # append mode must NOT have emitted it
+    assert ("2024-01-01 15:00:00", "d") not in rows
