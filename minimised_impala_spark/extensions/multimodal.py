@@ -113,3 +113,96 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "channels")
     )
+
+
+# --------------------------------------------------------------------------
+# Resize + feature-extraction kernels (stubs with real plumbing).
+
+
+def resize_image_real(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize hook (PIL.Image.resize).
+
+    STUB: media libraries are not available in this container.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _resize_batches(target_w: int, target_h: int):
+    """mapInPandas kernel factory: deterministic fake resize — output
+    payload is a content-keyed slice, output dims are the targets. The
+    shape (binary in → binary out + dims) matches a real resize UDF."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = pdf["payload"].map(
+                lambda p: bytes(p)[: max(8, (target_w * target_h) % max(len(p), 1))]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return kernel
+
+
+def resized(docs: DataFrame, w: int = 224, h: int = 224) -> DataFrame:
+    return with_payload(docs).mapInPandas(
+        _resize_batches(w, h), "doc_id bigint, payload binary, width int, height int"
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_hash string"
+
+
+def _frame_sample_batches(every_k: int):
+    """Video frame sampling stub: treat each 64-byte payload chunk as a
+    'frame', keep every k-th. Output cardinality is data-dependent
+    (n_frames/k rows per video) — the real frame-sampler's shape."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+                for no in range(0, len(frames), every_k):
+                    ids.append(doc_id)
+                    nos.append(no)
+                    hashes.append(hashlib.md5(bytes(frames[no])).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame_hash": hashes})
+
+    return kernel
+
+
+@query("multimodal_frame_sample")  # rows-only: codec stub not SQL-expressible
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 4th 'frame' of each synthetic video payload and count
+    sampled frames per doc (top 100 docs for determinism)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = with_payload(docs).mapInPandas(_frame_sample_batches(4), FRAME_SCHEMA)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.min("frame_hash").alias("first_hash"))
+        .orderBy("doc_id")
+    )
+
+
+def extract_features(docs: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic fake feature extractor: payload → dim-float vector
+    (md5-derived), Arrow-batched. Stands in for a real image/audio
+    embedding model; output feeds the similarity operators."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                digest = hashlib.md5(bytes(payload)).digest()
+                vecs.append([digest[i % 16] / 255.0 for i in range(dim)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return with_payload(docs).mapInPandas(kernel, "doc_id bigint, embedding array<double>")
