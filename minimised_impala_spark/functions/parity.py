@@ -274,6 +274,27 @@ def trunc_ts(ts: Column, unit: str) -> Column:
 # nullifzero, zeroifnull, getbit, decode, left/right, dayname(abbrev),
 # find_in_set, parse_url, conv, instr, locate, split_part, bit_count.
 _SQL_UDFS: dict[str, str] = {
+    # C-style truncated remainder (math-functions.cc fmod); Spark's % on
+    # doubles matches but the NAME is part of the dialect.
+    "fmod": (
+        "(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN "
+        "CASE WHEN b = 0 THEN CAST('NaN' AS DOUBLE) ELSE a - b * CAST(a / b AS BIGINT) END"
+    ),
+    "is_nan": "(x DOUBLE) RETURNS BOOLEAN RETURN isnan(x)",
+    "is_inf": (
+        "(x DOUBLE) RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)"
+    ),
+    # utility-functions.cc: effective_user == user outside impersonation;
+    # timeofday is the current UTC time as a display string. (pid() is not
+    # reproducible on an executor fleet and is intentionally omitted;
+    # dayname: Spark's builtin returns 'Mon' and builtins cannot be
+    # shadowed — use dayname_full() for the reference's 'Monday'.)
+    "effective_user": "() RETURNS STRING RETURN current_user()",
+    "timeofday": (
+        "() RETURNS STRING RETURN "
+        "date_format(now(), 'EEE MMM dd HH:mm:ss yyyy zzz')"
+    ),
+    "dayname_full": "(t TIMESTAMP) RETURNS STRING RETURN date_format(t, 'EEEE')",
     "istrue": "(b BOOLEAN) RETURNS BOOLEAN RETURN coalesce(b, false)",
     "isfalse": "(b BOOLEAN) RETURNS BOOLEAN RETURN coalesce(NOT b, false)",
     "isnottrue": "(b BOOLEAN) RETURNS BOOLEAN RETURN NOT coalesce(b, false)",

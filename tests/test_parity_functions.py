@@ -142,3 +142,21 @@ def test_sql_registration_names(spark):
     assert row["c"] == -(1 << 63)
     assert row["d"] == 2 and row["e"] == 3
     assert row["f"] is False and row["g"] == 4
+
+
+def test_misc_dialect_functions(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT fmod(CAST(10.5 AS DOUBLE), CAST(3.0 AS DOUBLE)) a, "
+        "       fmod(CAST(-10.5 AS DOUBLE), CAST(3.0 AS DOUBLE)) b, "
+        "       is_nan(CAST('NaN' AS DOUBLE)) c, is_nan(CAST(1.0 AS DOUBLE)) d, "
+        "       is_inf(CAST('Infinity' AS DOUBLE)) e, is_inf(CAST(1.0 AS DOUBLE)) f, "
+        "       effective_user() g, length(timeofday()) > 10 h, "
+        "       dayname_full(timestamp'2024-01-01') i"
+    ).collect()[0]
+    assert abs(row["a"] - 1.5) < 1e-9
+    assert abs(row["b"] + 1.5) < 1e-9  # truncated (C fmod), not floored
+    assert row["c"] is True and row["d"] is False
+    assert row["e"] is True and row["f"] is False
+    assert isinstance(row["g"], str) and row["h"] is True
+    assert row["i"] == "Monday"
