@@ -972,29 +972,28 @@ LIMIT 100
 """,
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The EXISTS/NOT-EXISTS pair is algebraized into ONE per-order
+    # aggregate instead of two correlated self-joins (which would execute
+    # the lineitem⋈orders subtree three times): for a late row of supplier
+    # s, "another supplier contributed" ⟺ ndv(suppliers) > 1, and "no
+    # OTHER supplier was late" ⟺ the late-supplier set is exactly {s}
+    # ⟺ ndv(late suppliers) = 1. One extra shuffle on l_orderkey replaces
+    # two semi/anti hash joins — at 100 TB: 2 passes over the join, not 3.
     li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     lo = li.join(
         orders.filter(F.col("o_orderstatus") == "F"),
         F.col("o_orderkey") == F.col("l_orderkey"),
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    l1 = lo.filter(late).alias("l1")
-    l2 = lo.alias("l2")
-    l3 = lo.filter(late).alias("l3")
+    stats = lo.groupBy(F.col("l_orderkey").alias("sk")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
     return (
-        l1.join(
-            l2,
-            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
-            "left_anti",
-        )
-        .join(supp, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        lo.filter(late)
+        .join(stats, F.col("sk") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
