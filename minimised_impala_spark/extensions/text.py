@@ -180,3 +180,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(F.md5("text"), 1, 16).alias("exact_fp_prefix"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: the composed training-data pipeline —
+# quality gate → exact dedup (canonical = min doc_id per content hash) →
+# token-bucket statistics. Each stage is one of the operators above; the
+# composition stays a single Catalyst plan (gate pushes into the scan,
+# dedup is one shuffle on the content hash, stats a map-side-combined agg).
+_PIPELINE_ORACLE = """
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text
+  FROM gated GROUP BY md5(text)
+),
+stats AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
+  FROM canon
+)
+SELECT (n_tokens // 50) * 50 AS token_bucket,
+       count(*)              AS n_docs,
+       sum(n_tokens)         AS total_tokens,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+FROM stats
+GROUP BY token_bucket
+ORDER BY token_bucket
+"""
+
+
+@query("pipeline_corpus_curation", oracle=_PIPELINE_ORACLE)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    gated = docs.filter((F.length("text") >= 100) & (toks >= 20))
+    canon = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    stats = canon.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    bucket = (F.col("n_tokens") - F.col("n_tokens") % 50).alias("token_bucket")
+    return (
+        stats.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+        .orderBy("token_bucket")
+    )
