@@ -143,3 +143,22 @@ def test_analyze_compute_stats(ddl, sf_dir):
     detail = ddl.sql("DESCRIBE EXTENDED stat_t r_regionkey").collect()
     stats = {r["info_name"]: r["info_value"] for r in detail}
     assert stats.get("distinct_count") not in (None, "NULL")
+
+
+def test_char_varchar_semantics(ddl):
+    """CHAR(n) pads on read, VARCHAR(n) enforces length (SURVEY §1.3:
+    reference types.h:54-55; Spark CharType/VarcharType)."""
+    ddl.sql("CREATE TABLE cv (c CHAR(5), v VARCHAR(5)) USING parquet")
+    ddl.sql("INSERT INTO cv VALUES ('ab', 'ab')")
+    row = ddl.sql("SELECT c, v, length(c) lc, length(v) lv FROM cv").collect()[0]
+    assert row["c"] == "ab   " and row["lc"] == 5  # CHAR pads to width
+    assert row["v"] == "ab" and row["lv"] == 2     # VARCHAR stores as-is
+    # equality ignores CHAR trailing pad (reference CHAR comparison rule)
+    n = ddl.sql("SELECT count(*) n FROM cv WHERE c = 'ab'").collect()[0]["n"]
+    assert n == 1
+    # overlong VARCHAR insert is rejected (declared length enforced)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ddl.sql("INSERT INTO cv VALUES ('x', 'toolongvalue')")
+    ddl.sql("DROP TABLE cv")
