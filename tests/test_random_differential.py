@@ -84,6 +84,20 @@ def _gen_query(rng: random.Random) -> str:
             f"SELECT {gcol}, {', '.join(aggs)} FROM {table}{where} "
             f"GROUP BY {gcol} ORDER BY {gcol}"
         )
+    if rng.random() < 0.5:
+        # join branch: orders⋈customer or lineitem⋈orders, grouped agg
+        if table == "customer" or (table == "orders" and rng.random() < 0.5):
+            join = "orders JOIN customer ON o_custkey = c_custkey"
+            gcol, mcol = rng.choice(["o_orderstatus", "c_mktsegment"]), "o_totalprice"
+        else:
+            join = "lineitem JOIN orders ON o_orderkey = l_orderkey"
+            gcol, mcol = rng.choice(["l_returnflag", "o_orderpriority"]), "l_extendedprice"
+        jwhere = where.replace(" WHERE ", " WHERE ", 1) if preds else ""
+        return (
+            f"SELECT {gcol}, count(*) AS n, "
+            f"round(sum({mcol}) * 100) / 100 AS s FROM {join}{jwhere} "
+            f"GROUP BY {gcol} ORDER BY {gcol}"
+        )
     # projection branch: order by the table's unique key so LIMIT is
     # deterministic across engines
     cols = rng.sample(meta["numeric"], 2)
