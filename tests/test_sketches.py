@@ -1,0 +1,40 @@
+"""Accuracy bounds for sketch aggregates — approx results can't hash-match
+a DuckDB oracle (engine-specific HLL), so this is the stronger replacement
+for the rows-only driver check: the estimate must fall within the sketch's
+documented error envelope of the exact answer (reference ndv contract:
+HyperLogLog with ~5% typical error, be/src/exprs/aggregate-functions.cc)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.tables import load_table
+
+RSD_BOUND = 0.15  # generous 3x the ~5% default rsd
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r["approx"] - r["exact"]) <= RSD_BOUND * r["exact"], dict(r.asDict())
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).collect()[0]
+    spread = row["hi"] - row["lo"]
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * spread
