@@ -40,7 +40,24 @@ def ensure_engine_semantics(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# DataFrame (logical-plan) cache: repeated load_table calls across the
+# query suite re-list files and re-read parquet footers otherwise. Keyed
+# by applicationId so a new session never sees stale plans — this mirrors
+# the reference's catalogd metadata cache (SURVEY §1.4) at nano-scale.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _DF_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_semantics(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
