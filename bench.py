@@ -52,6 +52,10 @@ def main() -> None:
     )
 
     # warm the JVM + parquet footers once (not counted)
+    from minimised_impala_spark.tables import ALL_TABLES, load_table
+
+    for t in ALL_TABLES:
+        load_table(spark, sf_dir, t)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
     times: dict[str, float] = {}
