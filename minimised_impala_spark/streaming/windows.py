@@ -81,3 +81,48 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+WITH starts AS (
+  SELECT ts, event_type, time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
+  UNION ALL
+  SELECT ts, event_type,
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w
+  FROM events
+)
+SELECT w AS window_start, event_type, count(*) AS n
+FROM starts
+GROUP BY w, event_type
+ORDER BY window_start, event_type
+""",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour / 30-minute-slide event counts via readStream: every
+    event belongs to two overlapping windows (the oracle materializes both
+    window starts per event). Same complete-mode memory-sink drive as
+    streaming_window_counts."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
