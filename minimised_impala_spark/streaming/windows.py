@@ -126,3 +126,56 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) over the event stream —
+    Spark's built-in dynamic-gap windowing; the applyInPandasWithState
+    sessionizer (streaming/stateful.py) is the custom-logic variant of
+    the same operator. Oracle: gaps-and-islands in plain SQL."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
