@@ -160,3 +160,35 @@ def test_misc_dialect_functions(spark):
     assert row["e"] is True and row["f"] is False
     assert isinstance(row["g"], str) and row["h"] is True
     assert row["i"] == "Monday"
+
+
+def test_fnv_hash_random_batch(spark):
+    """Property check over a batch of random strings (seeded): the Spark
+    expression equals the Python FNV-1a reference for arbitrary unicode."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ 0189 éü漢字🙂\t"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    got = {r["s"]: r["h"] for r in df.select("s", P.fnv_hash(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        assert got[s] == fnv1a64(s.encode("utf-8")), repr(s)
+
+
+def test_rotate_random_batch(spark):
+    import random
+
+    rng = random.Random(7)
+    cases = [(rng.getrandbits(64) - (1 << 63), rng.randint(0, 130)) for _ in range(100)]
+    df = spark.createDataFrame([(x, n) for x, n in cases], "x LONG, n INT")
+    got = df.select(
+        "x", "n",
+        P.rotateleft(F.col("x"), F.col("n")).alias("rl"),
+        P.rotateright(F.col("x"), F.col("n")).alias("rr"),
+    ).collect()
+    for r in got:
+        assert r["rl"] == rot64(r["x"] % (1 << 64), r["n"], True)
+        assert r["rr"] == rot64(r["x"] % (1 << 64), r["n"], False)
