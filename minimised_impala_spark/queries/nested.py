@@ -187,3 +187,61 @@ def nested_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "nation").cast("int").alias("nation_val"),
         F.element_at(m, "region").cast("int").alias("region_val"),
     ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Nested TPC-H (the reference's tpch_nested workload,
+# testdata/workloads/tpch_nested/queries/: TPC-H rewritten over nested
+# customer/orders/lineitems). The nested table is built in-query
+# (collect_list of structs per order — the write side of nested parquet),
+# then unnested back through explode (UnnestNode/SubplanNode,
+# be/src/exec/unnest-node.h:50) into the Q1-style pricing aggregate —
+# round-tripping construction AND consumption of nested data.
+_NESTED_TPCH_ORACLE = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list(struct_pack(qty := l_quantity, price := l_extendedprice,
+                          disc := l_discount, rf := l_returnflag)
+              ORDER BY l_linenumber) AS items
+  FROM lineitem
+  GROUP BY l_orderkey
+),
+flat AS (
+  SELECT unnest(items, recursive := true) FROM nested
+)
+SELECT rf AS l_returnflag,
+       count(*) AS n_items,
+       sum(qty) AS sum_qty,
+       round(sum(price * (1 - disc)) * 10000) / 10000 AS sum_disc_price
+FROM flat
+GROUP BY rf
+ORDER BY rf
+"""
+
+
+@query("nested_tpch_pricing", oracle=_NESTED_TPCH_ORACLE)
+def nested_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_discount").alias("disc"),
+                F.col("l_returnflag").alias("rf"),
+            )
+        ).alias("items")
+    )
+    flat = nested.select(F.explode("items").alias("it")).select("it.*")
+    s = 10000.0
+    return (
+        flat.groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+            (F.round(F.sum(F.col("price") * (1 - F.col("disc"))) * s, 0) / s).alias(
+                "sum_disc_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
