@@ -19,6 +19,25 @@ from decimal import Decimal
 GOLDEN_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+def _split_types(line: str) -> list[str]:
+    """Split a TYPES line on commas outside parens (decimal(2,1) stays whole)."""
+    out, depth, cur = [], 0, []
+    for ch in line:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 @dataclass
 class GoldenCase:
     name: str
@@ -41,7 +60,7 @@ def parse_golden_file(path: str) -> list[GoldenCase]:
                 GoldenCase(
                     name=f"{os.path.basename(path)}#{idx}",
                     query="\n".join(buf["QUERY"]).strip(),
-                    types=[t.strip() for t in ",".join(buf.get("TYPES", [])).split(",") if t.strip()],
+                    types=_split_types(",".join(buf.get("TYPES", []))),
                     results=[r for r in buf.get("RESULTS", []) if r.strip()],
                 )
             )
