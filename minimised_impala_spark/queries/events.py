@@ -170,3 +170,66 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior-or-equal
+# click. Neither the reference nor Spark has a dedicated as-of operator
+# (reference joins are equi+theta only, common/thrift/PlanNodes.thrift:214);
+# the engine expresses it as a COMPOSITION: union-tag both streams, one
+# window pass per user carries the last click forward (last_value IGNORE
+# NULLS), then filter to purchases — O(n log n) per user partition, ONE
+# shuffle, no range self-join blowup. This is the scale path for time-series
+# alignment at 100 TB (a naive theta join is quadratic per user).
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts,
+         last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_id, round(value, 6) AS purchase_value,
+       asof_click_id,
+       CAST(date_diff('second', asof_click_ts, ts) AS BIGINT) AS lag_seconds
+FROM carried
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_id
+"""
+
+
+@query("events_asof_join", oracle=_ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("asof_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("asof_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.round("value", 6).alias("purchase_value"),
+            "asof_click_id",
+            (F.col("ts").cast("long") - F.col("asof_click_ts").cast("long")).alias(
+                "lag_seconds"
+            ),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
