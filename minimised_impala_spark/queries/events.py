@@ -233,3 +233,58 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Range join: view events falling inside any error-incident window
+# [error.ts, error.ts + 10 min] of the same user. No range-join operator
+# exists in the reference (equi+theta only) or core Spark; a naive theta
+# join is O(n·m) per user. The engine's scale path: quantize time into
+# 10-minute buckets, explode each incident to the (≤2) buckets its window
+# overlaps, EQUI-join on (user_id, bucket) — Catalyst plans a hash join —
+# then apply the exact range predicate to the tiny candidate set.
+_RANGE_ORACLE = """
+SELECT e.user_id,
+       CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views_in_incident
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+  ON v.user_id = e.user_id
+ AND v.ts >= e.ts AND v.ts <= e.ts + INTERVAL 10 MINUTE
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+_BUCKET_S = 600  # 10-minute quantization == the window length
+
+
+@query("events_range_join", oracle=_RANGE_ORACLE)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        (F.col("ts").cast("long") / _BUCKET_S).cast("long").alias("e_bucket"),
+    )
+    # a 10-min window starting anywhere overlaps its own and the next bucket
+    incidents = errors.select(
+        "e_user", "e_ts", F.explode(F.array(F.col("e_bucket"), F.col("e_bucket") + 1)).alias("bucket")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+        (F.col("ts").cast("long") / _BUCKET_S).cast("long").alias("v_bucket"),
+    )
+    in_range = (F.col("v_ts") >= F.col("e_ts")) & (
+        F.col("v_ts").cast("long") <= F.col("e_ts").cast("long") + _BUCKET_S
+    )
+    return (
+        incidents.join(
+            views,
+            (F.col("v_user") == F.col("e_user")) & (F.col("bucket") == F.col("v_bucket")),
+        )
+        .filter(in_range)
+        .groupBy(F.col("e_user").alias("user_id"))
+        .agg(F.countDistinct("v_id").alias("n_views_in_incident"))
+        .orderBy("user_id")
+    )
