@@ -457,3 +457,40 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("left_id", "right_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate resolution policy: real pipelines keep the HIGHEST-QUALITY copy
+# of each duplicate group, not an arbitrary one — rank within the exact-
+# duplicate group (content hash) by quality (longer text, then lower id as
+# the deterministic tiebreak) and keep rank 1. One window pass, one shuffle
+# on the content hash.
+_KEEP_BEST_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY length(text) DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+  FROM corpus
+)
+SELECT doc_id, CAST(group_size AS BIGINT) AS group_size
+FROM ranked
+WHERE rn = 1 AND group_size > 1
+ORDER BY doc_id
+""".replace("corpus", "(" + CORPUS_SQL.strip()[len("corpus AS ("):-1] + ")")
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = corpus(spark, sf_dir)
+    w = W.partitionBy(F.md5("text")).orderBy(F.length("text").desc(), F.col("doc_id"))
+    wc = W.partitionBy(F.md5("text"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .select("doc_id", F.col("group_size").cast("bigint").alias("group_size"))
+        .orderBy("doc_id")
+    )

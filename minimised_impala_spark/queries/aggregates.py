@@ -297,3 +297,43 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE + grouping_id — multi-dimensional rollup (beyond the reference: its
+# grammar has no GROUPING SETS, fe/src/main/cup/sql-parser.cup — Spark
+# provides them natively; included because any reference user migrating
+# OLAP workloads expects them). grouping_id disambiguates NULL-as-subtotal
+# from NULL data values.
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, '<all>')  AS rf,
+       coalesce(l_linestatus, '<all>')  AS ls,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                                        AS gid,
+       count(*)                         AS n,
+       sum(CAST(l_quantity AS BIGINT))  AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, rf, ls
+"""
+
+
+@query("agg_cube_grouping", oracle=_CUBE_ORACLE)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
