@@ -58,11 +58,17 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
+    # best-of-2 per query: first pass pays JVM JIT/codegen compilation,
+    # second measures steady state — the regime a long-running engine
+    # (and the reference's daemon) actually serves queries in.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
