@@ -260,3 +260,37 @@ def sort_nulls_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Aggregate-over-window beyond the basic min/max/sum/count family:
+# median/percentile as analytic functions ("any aggregate over a window",
+# SURVEY §2.5 — the reference allowed its agg builtins analytically).
+_PCTL_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       round(quantile_cont(o_totalprice, 0.5)
+             OVER (PARTITION BY o_custkey), 4) AS cust_median,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS cust_avg
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_percentile", oracle=_PCTL_ORACLE)
+def window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.percentile("o_totalprice", F.lit(0.5)).over(w), 4).alias(
+                "cust_median"
+            ),
+            F.round(F.avg("o_totalprice").over(w), 4).alias("cust_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
