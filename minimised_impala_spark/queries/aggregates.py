@@ -337,3 +337,39 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "rf", "ls")
     )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT / EXCEPT — absent from the reference's grammar (SURVEY §2.7:
+# UNION only, sql-parser.cup:1633), native in Spark; included because the
+# reference rewrote them manually as semi/anti joins and a migrating user
+# gets them back as first-class operators. Both compile to semi/anti hash
+# joins — same scale shape as §2.3.
+_INTERSECT_EXCEPT_ORACLE = """
+SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) t
+UNION ALL
+SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) t
+ORDER BY op
+"""
+
+
+@query("set_intersect_except", oracle=_INTERSECT_EXCEPT_ORACLE)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    inter = f.intersect(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    exc = f.subtract(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return exc.unionAll(inter).orderBy("op")
