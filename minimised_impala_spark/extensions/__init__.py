@@ -1,1 +1,2 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Training-data pipeline operators: dedup.py, similarity.py, text.py,
+multimodal.py (the north-star extensions; see COVERAGE.md)."""

@@ -1,1 +1,1 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Scalar-function parity layer (SURVEY §2.8) — see functions/parity.py."""

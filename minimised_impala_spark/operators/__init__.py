@@ -1,1 +1,2 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Custom relational operators beyond Catalyst built-ins: skew-salted
+join and aggregation (skew.py)."""

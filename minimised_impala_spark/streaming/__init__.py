@@ -1,1 +1,2 @@
-"""(round 1 placeholder — filled in as operators land)"""
+"""Structured Streaming operators: windowed aggregation with watermarks
+(windows.py) and custom stateful sessionization (stateful.py)."""
