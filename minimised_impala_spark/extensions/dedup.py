@@ -65,7 +65,11 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across all cores first. On a real cluster with many splits this
     # re-balance is equally correct: one narrow shuffle of raw text vs
     # hash-heavy stages bound by the input file count.
-    return docs.unionAll(twins).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect sessions expose no sparkContext
+        parallelism = 32
+    return docs.unionAll(twins).repartition(parallelism, "doc_id")
 
 
 # Trigram shingles with positions. DuckDB pairs unnest+generate_subscripts;
