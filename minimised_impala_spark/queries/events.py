@@ -288,3 +288,60 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("v_id").alias("n_views_in_incident"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: signup → first view AFTER the signup → first purchase
+# AFTER that view. Sequential-dependency funnel (events_funnel above is the
+# unordered reachability variant): each stage joins back on user and keeps
+# the earliest qualifying timestamp — three grouped passes, all equi-joins
+# on user_id, one shuffle each at scale.
+_FUNNEL_ORDERED_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_after_signup,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after_view
+"""
+
+
+@query("events_funnel_ordered", oracle=_FUNNEL_ORDERED_ORACLE)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1.withColumnRenamed("user_id", "u1"), F.col("u1") == F.col("user_id"))
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.withColumnRenamed("user_id", "u2"), F.col("u2") == F.col("user_id"))
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_view_after_signup"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_view"))
+    return n1.crossJoin(n2).crossJoin(n3)
