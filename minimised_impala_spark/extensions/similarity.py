@@ -56,14 +56,21 @@ def _plane(pl: int) -> list[float]:
 
 
 def _bucket_expr(e: Column) -> Column:
-    """LSH bucket id: bit pl set iff dot(e, plane_pl) > 0."""
-    bucket = F.lit(0).cast("bigint")
-    for pl in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane(pl)])
-        bucket = bucket + F.when(_dot(e, plane) > 0, F.lit(1 << pl).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return bucket
+    """LSH bucket id: bit pl set iff dot(e, plane_pl) > 0.
+
+    All planes ship as ONE 2-D array literal and the 8 sign bits fold in a
+    single zip_with+aggregate — a compact expression tree (the unrolled
+    8×64-literal form costs ~8× more analysis time per query)."""
+    planes = F.lit([_plane(pl) for pl in range(N_PLANES)])
+    powers = F.lit([float(1 << pl) for pl in range(N_PLANES)])
+    bits = F.transform(
+        planes, lambda plane: F.when(_dot(e, plane) > 0, 1.0).otherwise(0.0)
+    )
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: b * p),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
 
 
 # --------------------------------------------------------------------------
@@ -186,16 +193,26 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    bucketed = emb.select("vec_id", "e", _bucket_expr(F.col("e")).alias("bucket"))
+    # Pre-normalize each vector ONCE (norm bound via a 1-element-array
+    # lambda so it isn't re-evaluated per component); the pair stage then
+    # computes a single dot product per candidate instead of three.
+    e = F.col("e")
+    normalized = F.flatten(
+        F.transform(
+            F.array(F.sqrt(_dot(e, e))),
+            lambda nrm: F.transform(e, lambda x: x / nrm),
+        )
+    )
+    bucketed = emb.select(
+        "vec_id", normalized.alias("e"), _bucket_expr(F.col("e")).alias("bucket")
+    )
     a = bucketed.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "bucket"
     )
     b = bucketed.select(
         F.col("vec_id").alias("nid"), F.col("e").alias("ne"), F.col("bucket").alias("b2")
     )
-    cosine = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
-    )
+    cosine = _dot(F.col("qe"), F.col("ne"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("qid") != F.col("nid")))
