@@ -373,3 +373,35 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("op"), "n"
     )
     return exc.unionAll(inter).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# PIVOT — wide-format aggregation (beyond the reference; Spark-native).
+# Oracle expresses the same result as conditional aggregates, which is
+# exactly Catalyst's own lowering of PIVOT.
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0) * 100) / 100 AS f_total,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0) * 100) / 100 AS o_total,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0) * 100) / 100 AS p_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = 100.0
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        (F.round(F.coalesce(F.col("F"), F.lit(0.0)) * s, 0) / s).alias("f_total"),
+        (F.round(F.coalesce(F.col("O"), F.lit(0.0)) * s, 0) / s).alias("o_total"),
+        (F.round(F.coalesce(F.col("P"), F.lit(0.0)) * s, 0) / s).alias("p_total"),
+    ).orderBy("o_orderpriority")
