@@ -28,7 +28,10 @@ TABLES = {
     },
     "lineitem": {
         "numeric": ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"],
-        "unique": ["l_orderkey", "l_linenumber"],
+        # NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # fixture (the generator reuses line numbers); this 5-tuple is
+        # verified unique at every SF, keeping ORDER BY+LIMIT deterministic.
+        "unique": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"],
         "money": ["l_extendedprice"],
         "group": ["l_returnflag", "l_linestatus"],
         "string": {"l_returnflag": ["A", "N", "R"]},
