@@ -405,3 +405,54 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.coalesce(F.col("O"), F.lit(0.0)) * s, 0) / s).alias("o_total"),
         (F.round(F.coalesce(F.col("P"), F.lit(0.0)) * s, 0) / s).alias("p_total"),
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Datasketches suite — the modern replacement for the reference's
+# distinctpc/distinctpcsa sketches (BuiltinsDb.java:605-636): mergeable
+# HLL sketches (build per partition/group, union, estimate — the pattern
+# that makes distinct counting composable across 100 TB partitions) plus
+# approx_top_k frequent items. At the fixture's tiny cardinalities both
+# sketches are EXACT, so this query carries a full SQL oracle; the error
+# envelope at high cardinality is bounded in tests/test_sketches.py.
+_SKETCH_ORACLE = """
+WITH topk AS (
+  SELECT o_orderpriority AS item, count(*) AS cnt
+  FROM orders GROUP BY o_orderpriority
+),
+merged AS (
+  SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status
+  FROM orders
+)
+SELECT t.item, t.cnt, m.ndv_status
+FROM topk t CROSS JOIN merged m
+ORDER BY t.cnt DESC, t.item
+"""
+
+
+@query("agg_sketch_suite", oracle=_SKETCH_ORACLE)
+def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # frequent items: approx_top_k is exact when cardinality ≪ maxItemsTracked
+    # (k=5 covers every priority — no ambiguous boundary ties at the cut)
+    topk = (
+        orders.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )
+    # mergeable HLL: per-status sketches unioned, then estimated — the
+    # distributed two-level pattern (sketch per partition, union at root)
+    # ndv target with tiny true cardinality (3) so the HLL estimate is
+    # exact at every SF; the high-cardinality error envelope is bounded
+    # separately in tests/test_sketches.py.
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_orderstatus").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_status")
+    )
+    return (
+        topk.crossJoin(F.broadcast(merged))
+        .select("item", "cnt", "ndv_status")
+        .orderBy(F.desc("cnt"), "item")
+    )
