@@ -234,3 +234,43 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic (reproducible) sampling — pipelines must be able to re-run
+# a corpus subsample bit-identically across engines and months; rand()
+# cannot. Sample membership = md5(doc_id) bucket < rate, so the same doc
+# is always in/out regardless of partitioning, engine, or cluster size.
+_SAMPLE_ORACLE = """
+WITH sampled AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM sampled
+WHERE bucket < 20
+"""
+
+
+@query("text_sample_deterministic", oracle=_SAMPLE_ORACLE)
+def text_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 20)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
