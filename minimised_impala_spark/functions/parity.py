@@ -22,9 +22,15 @@ Implemented here (reference impl in parentheses):
   hash the UTF-8 string form (documented dialect difference, same
   distribution properties)
 - timestamps (be/src/exprs/timestamp-functions.cc): the
-  {years..microseconds}_{add,sub} interval family,
-  int_months_between, trunc(ts, fmt) with Impala/Oracle unit names
-  (fe/.../analysis/TimestampArithmeticExpr.java)
+  {years..microseconds}_{add,sub} interval family (+ nanoseconds_*,
+  truncating to Spark's µs precision), int_months_between,
+  from_timestamp, timestamp_cmp, trunc(ts, fmt) with Impala/Oracle unit
+  names (fe/.../analysis/TimestampArithmeticExpr.java)
+- named bit ops (bitand/bitor/bitxor/bitnot), type-limit constants
+  (max_tinyint..min_bigint — math-functions.cc), IS [NOT] DISTINCT FROM
+  function forms (distinctfrom/notdistinct), regexp_match_count,
+  decimal precision()/scale() as schema metadata helpers
+  (decimal-functions.cc — compile-time in the reference too)
 
 All bit ops are defined on BIGINT (64-bit width); narrower inputs are
 widened first — the reference is width-polymorphic
@@ -245,6 +251,65 @@ def int_months_between(a: Column, b: Column) -> Column:
     return F.floor(F.months_between(a, b)).cast("int")
 
 
+def nanoseconds_add(ts: Column, n: Column | int) -> Column:
+    """timestamp-functions.cc nanoseconds_add. Spark TIMESTAMP is
+    µs-precision (SURVEY §7 risk register): sub-µs components truncate
+    toward zero — a documented precision difference, not a bug."""
+    n = F.lit(n) if isinstance(n, int) else n
+    micros = (n.cast("bigint") / 1000).cast("bigint")
+    return F.timestamp_add("MICROSECOND", micros, ts)
+
+
+def nanoseconds_sub(ts: Column, n: Column | int) -> Column:
+    n = F.lit(n) if isinstance(n, int) else n
+    return nanoseconds_add(ts, -n.cast("bigint"))
+
+
+def timestamp_cmp(a: Column, b: Column) -> Column:
+    """utility-functions.cc timestamp_cmp: -1/0/1, NULL if either is NULL."""
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
+        .when(a < b, F.lit(-1))
+        .when(a > b, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def regexp_match_count(s: Column, pat: Column | str) -> Column:
+    """string-functions.cc regexp_match_count: number of (possibly empty)
+    matches of ``pat`` in ``s``."""
+    pat = F.lit(pat) if isinstance(pat, str) else pat
+    return F.size(F.regexp_extract_all(s, pat, F.lit(0)))
+
+
+def from_timestamp(ts: Column, fmt: Column | str) -> Column:
+    """timestamp-functions.cc from_timestamp: format a timestamp as a
+    string (the inverse of to_timestamp)."""
+    return F.date_format(ts, fmt)
+
+
+def decimal_precision(df, col_name: str) -> int:
+    """decimal-functions.cc precision(): compile-time metadata of the
+    decimal expression's type. In Spark the type lives on the DataFrame
+    schema, so this is a schema lookup, not a row expression."""
+    from pyspark.sql.types import DecimalType
+
+    t = df.schema[col_name].dataType
+    if not isinstance(t, DecimalType):
+        raise TypeError(f"{col_name} is {t}, not DECIMAL")
+    return t.precision
+
+
+def decimal_scale(df, col_name: str) -> int:
+    """decimal-functions.cc scale() — see decimal_precision."""
+    from pyspark.sql.types import DecimalType
+
+    t = df.schema[col_name].dataType
+    if not isinstance(t, DecimalType):
+        raise TypeError(f"{col_name} is {t}, not DECIMAL")
+    return t.scale
+
+
 # Impala/Oracle trunc() unit tokens → Spark date_trunc unit
 # (timestamp-functions.cc TruncUnit; 'WW'/'W' week-of-year/month variants
 # are approximated by ISO week — documented difference).
@@ -327,6 +392,50 @@ _SQL_UDFS: dict[str, str] = {
     "int_months_between": (
         "(a TIMESTAMP, b TIMESTAMP) RETURNS INT RETURN "
         "CAST(floor(months_between(a, b)) AS INT)"
+    ),
+    # bit-byte-functions.cc named bit ops (Spark spells them as operators;
+    # BIGINT width per the module-docstring convention).
+    "bitand": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "bitor": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+    "bitxor": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    "bitnot": "(a BIGINT) RETURNS BIGINT RETURN ~a",
+    # operators.cc IS [NOT] DISTINCT FROM function forms
+    # (sql-parser.cup:2459-2463). STRING signature: SQL-UDF params are
+    # monomorphic; other types go through the native operator syntax.
+    "distinctfrom": (
+        "(a STRING, b STRING) RETURNS BOOLEAN RETURN NOT (a <=> b)"
+    ),
+    "notdistinct": "(a STRING, b STRING) RETURNS BOOLEAN RETURN a <=> b",
+    # math-functions.cc type-limit constants
+    "max_tinyint": "() RETURNS TINYINT RETURN CAST(127 AS TINYINT)",
+    "min_tinyint": "() RETURNS TINYINT RETURN CAST(-128 AS TINYINT)",
+    "max_smallint": "() RETURNS SMALLINT RETURN CAST(32767 AS SMALLINT)",
+    "min_smallint": "() RETURNS SMALLINT RETURN CAST(-32768 AS SMALLINT)",
+    "max_int": "() RETURNS INT RETURN CAST(2147483647 AS INT)",
+    "min_int": "() RETURNS INT RETURN CAST(-2147483648 AS INT)",
+    "max_bigint": "() RETURNS BIGINT RETURN CAST(9223372036854775807 AS BIGINT)",
+    "min_bigint": "() RETURNS BIGINT RETURN CAST(-9223372036854775808 AS BIGINT)",
+    # timestamp-functions.cc residue
+    "from_timestamp": (
+        "(t TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(t, fmt)"
+    ),
+    "timestamp_cmp": (
+        "(a TIMESTAMP, b TIMESTAMP) RETURNS INT RETURN "
+        "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+        "WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END"
+    ),
+    "nanoseconds_add": (
+        "(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN "
+        "timestampadd(MICROSECOND, n div 1000, t)"
+    ),
+    "nanoseconds_sub": (
+        "(t TIMESTAMP, n BIGINT) RETURNS TIMESTAMP RETURN "
+        "timestampadd(MICROSECOND, -(n div 1000), t)"
+    ),
+    # string-functions.cc regexp_match_count (2-arg form)
+    "regexp_match_count": (
+        "(s STRING, pat STRING) RETURNS INT RETURN "
+        "size(regexp_extract_all(s, pat, 0))"
     ),
 }
 

@@ -162,6 +162,86 @@ def test_misc_dialect_functions(spark):
     assert row["i"] == "Monday"
 
 
+def test_bit_named_ops_and_limits(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT bitand(12, 10) a, bitor(12, 10) b, bitxor(12, 10) c, bitnot(0) d, "
+        "       max_tinyint() e, min_tinyint() f, max_smallint() g, min_smallint() h, "
+        "       max_int() i, min_int() j, max_bigint() k, min_bigint() l"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (8, 14, 6, -1)
+    assert (row["e"], row["f"]) == (127, -128)
+    assert (row["g"], row["h"]) == (32767, -32768)
+    assert (row["i"], row["j"]) == (2147483647, -2147483648)
+    assert (row["k"], row["l"]) == ((1 << 63) - 1, -(1 << 63))
+
+
+def test_timestamp_residue_functions(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT from_timestamp(timestamp'2024-05-17 13:45:33', 'yyyy-MM-dd HH:mm') a, "
+        "       timestamp_cmp(timestamp'2024-01-01', timestamp'2024-01-02') b, "
+        "       timestamp_cmp(timestamp'2024-01-02', timestamp'2024-01-01') c, "
+        "       timestamp_cmp(timestamp'2024-01-01', timestamp'2024-01-01') d, "
+        "       timestamp_cmp(CAST(NULL AS TIMESTAMP), timestamp'2024-01-01') e, "
+        "       nanoseconds_add(timestamp'2024-01-01 00:00:00', 2500) f, "
+        "       nanoseconds_sub(timestamp'2024-01-01 00:00:00', 3000) g"
+    ).collect()[0]
+    assert row["a"] == "2024-05-17 13:45"
+    assert (row["b"], row["c"], row["d"], row["e"]) == (-1, 1, 0, None)
+    # ns truncate to µs (Spark TIMESTAMP precision — documented)
+    assert str(row["f"]) == "2024-01-01 00:00:00.000002"
+    assert str(row["g"]) == "2023-12-31 23:59:59.999997"
+    assert _one(spark, P.timestamp_cmp(
+        F.lit("2024-01-01").cast("timestamp"), F.lit("2024-01-02").cast("timestamp"))) == -1
+
+
+def test_regexp_match_count(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT regexp_match_count('aaa', 'a') a, "
+        "       regexp_match_count('abcab', 'ab') b, "
+        "       regexp_match_count('xyz', 'q') c"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (3, 2, 0)
+    assert _one(spark, P.regexp_match_count(F.lit("a1b2c3"), r"\d")) == 3
+
+
+def test_distinctfrom_operator_and_named_forms(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT (NULL IS DISTINCT FROM NULL) a, (1 IS DISTINCT FROM 2) b, "
+        "       (NULL IS NOT DISTINCT FROM NULL) c, "
+        "       distinctfrom(NULL, NULL) d, notdistinct('x', 'x') e"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (False, True, True)
+    assert (row["d"], row["e"]) == (False, True)
+
+
+def test_spark_native_dialect_names(spark):
+    """Names the reference registers that are already Spark builtins —
+    pinned so a Spark upgrade can't silently drop the dialect surface."""
+    row = spark.sql(
+        "SELECT bin(13) a, btrim('  x  ') b, chr(65) c, "
+        "       date_part('YEAR', timestamp'2024-05-17') d, "
+        "       regexp_like('acm', 'a.m') e, translate('aab', 'ab', 'xy') f, "
+        "       conv('ff', 16, 10) g, find_in_set('b', 'a,b,c') h, "
+        "       parse_url('http://h/p?q=1', 'HOST') i, split_part('a:b:c', ':', 2) j"
+    ).collect()[0]
+    assert row["a"] == "1101" and row["b"] == "x" and row["c"] == "A"
+    assert row["d"] == 2024 and row["e"] is True and row["f"] == "xxy"
+    assert row["g"] == "255" and row["h"] == 2
+    assert row["i"] == "h" and row["j"] == "b"
+
+
+def test_decimal_precision_scale_metadata(spark):
+    df = spark.sql("SELECT CAST(1.25 AS DECIMAL(12,4)) d, 1 i")
+    assert P.decimal_precision(df, "d") == 12
+    assert P.decimal_scale(df, "d") == 4
+    with pytest.raises(TypeError):
+        P.decimal_precision(df, "i")
+
+
 def test_fnv_hash_random_batch(spark):
     """Property check over a batch of random strings (seeded): the Spark
     expression equals the Python FNV-1a reference for arbitrary unicode."""
