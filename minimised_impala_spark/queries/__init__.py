@@ -12,6 +12,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from minimised_impala_spark.queries import (  # noqa: F401
         tpch,
+        tpcds,
         joins,
         aggregates,
         windows,

@@ -1,0 +1,442 @@
+"""TPC-DS-shaped suite adapted to the driver fixture schema.
+
+The reference ships a 26-query TPC-DS subset as golden tests
+(testdata/workloads/tpcds/queries/tpcds-q3.test … tpcds-q98.test). The
+fixture has no TPC-DS schema, so — as with tpch.py — we port the *plan
+shapes*, not the literal queries: each entry here names the reference
+query whose shape it reproduces over the TPC-H-ish tables
+(orders/lineitem/part/customer/supplier/nation/region).
+
+Shapes covered (reference file in parentheses):
+- star join over two dims with dim filters → grouped sum (tpcds-q3.test)
+- month-series window lag/lead over a grouped aggregate (tpcds-q47.test)
+- deviation-from-partition-average filter (tpcds-q53.test / q89)
+- day-of-week pivot + period-over-period self-join ratios (tpcds-q59.test)
+- scalar-aggregate promo/total ratio via cross join (tpcds-q61.test)
+- part-level sum vs brand-level average threshold join (tpcds-q65.test)
+- count-per-customer HAVING band joined back to the dim (tpcds-q73.test)
+- N independent banded counts cross-joined into one row (tpcds-q88.test)
+- ratio-to-total within class via window sum (tpcds-q98.test)
+
+Determinism: same rules as tpch.py — every double aggregate that feeds a
+comparison or output is the scaled-round of an exact fixed-point rational
+(`dsum`), so Spark and DuckDB produce bit-identical doubles; downstream
+divisions/comparisons on identical doubles are identical IEEE ops.
+Window sums get the same treatment inline (round(sum*10^4)/10^4).
+
+Scale notes: part/nation/region sides of the star joins broadcast
+(constant or ~thousands of rows at any SF); the fact-fact self-join in
+q59 is an agg→agg join whose inputs are one row per (nation, month) —
+tiny regardless of fact size. q88's eight scans AQE-coalesce and share
+the cached lineitem scan at bench time.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.queries.tpch import dsum, ts
+from minimised_impala_spark.tables import load_table
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _wround(c: F.Column, dec: int = 4) -> F.Column:
+    """Deterministic window-sum wrapper (see module docstring)."""
+    s = float(10**dec)
+    return F.round(c * s, 0) / s
+
+
+# --------------------------------------------------------------------------
+# Q3 shape: dims with selective filters joined into the fact, grouped by
+# (year, brand). Reference: testdata/workloads/tpcds/queries/tpcds-q3.test
+@query(
+    "tpcds_q3_star",
+    oracle="""
+SELECT year(o.o_orderdate) AS d_year,
+       p.p_brand           AS brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS sum_agg
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p   ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 15 AND month(o.o_orderdate) = 12
+GROUP BY year(o.o_orderdate), p.p_brand
+ORDER BY d_year, sum_agg DESC, brand
+""",
+)
+def tpcds_q3_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.month("o_orderdate") == 12)
+        .groupBy(F.year("o_orderdate").alias("d_year"), F.col("p_brand").alias("brand"))
+        .agg(dsum(_rev(), 4).alias("sum_agg"))
+        .orderBy("d_year", F.desc("sum_agg"), "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q47 shape: grouped monthly series with lag/lead neighbours per entity.
+# Reference: tpcds-q47.test (v1_lag/v1_lead over monthly store sales).
+@query(
+    "tpcds_q47_monthly_lag",
+    oracle="""
+WITH ms AS (
+  SELECT n.n_name AS nation,
+         year(l.l_shipdate)  AS yr,
+         month(l.l_shipdate) AS mon,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS sum_sales
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE year(l.l_shipdate) BETWEEN 1995 AND 1997
+  GROUP BY n.n_name, year(l.l_shipdate), month(l.l_shipdate)
+)
+SELECT nation, yr, mon, sum_sales,
+       lag(sum_sales)  OVER (PARTITION BY nation ORDER BY yr, mon) AS prev_sales,
+       lead(sum_sales) OVER (PARTITION BY nation ORDER BY yr, mon) AS next_sales
+FROM ms
+ORDER BY nation, yr, mon
+""",
+)
+def tpcds_q47_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    ms = (
+        li.filter(F.year("l_shipdate").between(1995, 1997))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mon"),
+        )
+        .agg(dsum(_rev(), 4).alias("sum_sales"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr", "mon")
+    return ms.select(
+        "nation", "yr", "mon", "sum_sales",
+        F.lag("sum_sales").over(w).alias("prev_sales"),
+        F.lead("sum_sales").over(w).alias("next_sales"),
+    ).orderBy("nation", "yr", "mon")
+
+
+# --------------------------------------------------------------------------
+# Q53/Q89 shape: quarterly sums per brand, kept only where they deviate
+# >10% from the brand's average quarter. Reference: tpcds-q53.test (the
+# commented-out avg_quarterly_sales filter is the original's intent, which
+# q89 runs uncommented).
+@query(
+    "tpcds_q53_deviation",
+    oracle="""
+WITH qs AS (
+  SELECT p.p_brand AS brand,
+         quarter(l.l_shipdate) AS qoy,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS sum_sales
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) = 1996
+  GROUP BY p.p_brand, quarter(l.l_shipdate)
+), win AS (
+  SELECT brand, qoy, sum_sales,
+         round(sum(sum_sales) OVER (PARTITION BY brand) * 10000) / 10000
+           / count(*) OVER (PARTITION BY brand) AS avg_quarterly
+  FROM qs
+)
+SELECT brand, qoy, sum_sales, avg_quarterly
+FROM win
+WHERE abs(sum_sales - avg_quarterly) / avg_quarterly > 0.1
+ORDER BY brand, qoy
+""",
+)
+def tpcds_q53_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qs = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.quarter("l_shipdate").alias("qoy"))
+        .agg(dsum(_rev(), 4).alias("sum_sales"))
+    )
+    w = Window.partitionBy("brand")
+    win = qs.withColumn(
+        "avg_quarterly",
+        _wround(F.sum("sum_sales").over(w)) / F.count(F.lit(1)).over(w),
+    )
+    return (
+        win.filter(F.abs(F.col("sum_sales") - F.col("avg_quarterly")) / F.col("avg_quarterly") > 0.1)
+        .select("brand", "qoy", "sum_sales", "avg_quarterly")
+        .orderBy("brand", "qoy")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q59 shape: day-of-week pivot per (entity, period), then a self-join of
+# period p against p+1 producing per-day ratios.
+# Reference: tpcds-q59.test (week-over-year comparison).
+@query(
+    "tpcds_q59_dow_ratio",
+    oracle="""
+WITH dws AS (
+  SELECT n.n_name AS nation, month(o.o_orderdate) AS mon,
+         round(sum(CASE WHEN dayname(o.o_orderdate) = 'Monday'   THEN o.o_totalprice END) * 100) / 100 AS mon_sales,
+         round(sum(CASE WHEN dayname(o.o_orderdate) = 'Wednesday' THEN o.o_totalprice END) * 100) / 100 AS wed_sales,
+         round(sum(CASE WHEN dayname(o.o_orderdate) = 'Saturday' THEN o.o_totalprice END) * 100) / 100 AS sat_sales
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1997
+  GROUP BY n.n_name, month(o.o_orderdate)
+)
+SELECT a.nation AS nation, a.mon AS mon,
+       a.mon_sales / b.mon_sales AS mon_ratio,
+       a.wed_sales / b.wed_sales AS wed_ratio,
+       a.sat_sales / b.sat_sales AS sat_ratio
+FROM dws a JOIN dws b ON a.nation = b.nation AND b.mon = a.mon + 1
+ORDER BY nation, mon
+""",
+)
+def tpcds_q59_dow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def day_sum(day: str, alias: str) -> F.Column:
+        s = F.sum(
+            F.when(F.date_format("o_orderdate", "EEEE") == day, F.col("o_totalprice"))
+        )
+        return (F.round(s * 100, 0) / 100).alias(alias)
+
+    dws = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.month("o_orderdate").alias("mon"))
+        .agg(
+            day_sum("Monday", "mon_sales"),
+            day_sum("Wednesday", "wed_sales"),
+            day_sum("Saturday", "sat_sales"),
+        )
+    )
+    a, b = dws.alias("a"), dws.alias("b")
+    return (
+        a.join(b, (F.col("a.nation") == F.col("b.nation")) & (F.col("b.mon") == F.col("a.mon") + 1))
+        .select(
+            F.col("a.nation").alias("nation"),
+            F.col("a.mon").alias("mon"),
+            (F.col("a.mon_sales") / F.col("b.mon_sales")).alias("mon_ratio"),
+            (F.col("a.wed_sales") / F.col("b.wed_sales")).alias("wed_ratio"),
+            (F.col("a.sat_sales") / F.col("b.sat_sales")).alias("sat_ratio"),
+        )
+        .orderBy("nation", "mon")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61 shape: promotional vs total revenue as two scalar aggregates over the
+# same star, cross-joined into a ratio. Reference: tpcds-q61.test.
+@query(
+    "tpcds_q61_promo_ratio",
+    oracle="""
+SELECT promo.promotions AS promotions, total.total AS total,
+       promo.promotions / total.total * 100 AS promo_pct
+FROM (
+  SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS promotions
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996 AND l.l_discount >= 0.06
+) promo, (
+  SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS total
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+) total
+""",
+)
+def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.year("o_orderdate") == 1996)
+    )
+    promo = base.filter(F.col("l_discount") >= 0.06).agg(dsum(_rev(), 4).alias("promotions"))
+    total = base.agg(dsum(_rev(), 4).alias("total"))
+    return promo.crossJoin(total).select(
+        "promotions",
+        "total",
+        (F.col("promotions") / F.col("total") * 100).alias("promo_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q65 shape: part-level revenue joined against its brand's average part
+# revenue, keeping under-performers (<= 50% of brand average).
+# Reference: tpcds-q65.test (item revenue <= 0.1 * store average).
+@query(
+    "tpcds_q65_brand_share",
+    oracle="""
+WITH ps AS (
+  SELECT p.p_brand AS brand, p.p_partkey AS partkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS part_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_partkey
+), ba AS (
+  SELECT brand, round(sum(part_rev) * 10000) / 10000 / count(*) AS brand_avg
+  FROM ps GROUP BY brand
+)
+SELECT ps.brand AS brand, ps.partkey AS partkey, ps.part_rev AS part_rev, ba.brand_avg AS brand_avg
+FROM ps JOIN ba ON ps.brand = ba.brand
+WHERE ps.part_rev <= 0.5 * ba.brand_avg
+ORDER BY brand, partkey
+""",
+)
+def tpcds_q65_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("partkey"))
+        .agg(dsum(_rev(), 4).alias("part_rev"))
+    )
+    ba = ps.groupBy("brand").agg(
+        (_wround(F.sum("part_rev")) / F.count(F.lit(1))).alias("brand_avg")
+    )
+    return (
+        ps.join(F.broadcast(ba), "brand")
+        .filter(F.col("part_rev") <= 0.5 * F.col("brand_avg"))
+        .select("brand", "partkey", "part_rev", "brand_avg")
+        .orderBy("brand", "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q73 shape: orders-per-customer in a priority slice, HAVING band, joined
+# back to the customer dim. Reference: tpcds-q73.test (frequent ticket
+# counts joined to customer names).
+@query(
+    "tpcds_q73_order_counts",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       c.c_mktsegment AS c_mktsegment, oc.cnt AS cnt
+FROM (
+  SELECT o_custkey, count(*) AS cnt
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) BETWEEN 1995 AND 1997
+  GROUP BY o_custkey
+  HAVING count(*) BETWEEN 5 AND 10
+) oc JOIN customer c ON oc.o_custkey = c.c_custkey
+ORDER BY cnt DESC, c_custkey
+""",
+)
+def tpcds_q73_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.year("o_orderdate").between(1995, 1997)
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(5, 10))
+    )
+    return (
+        oc.join(cust, oc.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "cnt")
+        .orderBy(F.desc("cnt"), "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q88 shape: eight independent banded counts of the fact table combined
+# into a single row via cross join. Reference: tpcds-q88.test (eight
+# half-hour time slots). AQE broadcasts each single-row side.
+@query(
+    "tpcds_q88_band_counts",
+    oracle="""
+SELECT h1.c AS h1, h2.c AS h2, h3.c AS h3, h4.c AS h4,
+       h5.c AS h5, h6.c AS h6, h7.c AS h7, h8.c AS h8
+FROM (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 1 AND 5) h1,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 6 AND 10) h2,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 11 AND 15) h3,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 16 AND 20) h4,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 21 AND 25) h5,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 26 AND 30) h6,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 31 AND 35) h7,
+     (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 36 AND 40) h8
+""",
+)
+def tpcds_q88_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = [(1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30), (31, 35), (36, 40)]
+    counts = [
+        li.filter(F.col("l_quantity").between(lo, hi)).agg(
+            F.count(F.lit(1)).alias(f"h{i+1}")
+        )
+        for i, (lo, hi) in enumerate(bands)
+    ]
+    return reduce(lambda acc, df: acc.crossJoin(df), counts)
+
+
+# --------------------------------------------------------------------------
+# Q98 shape: revenue share of each brand within its type via a window sum.
+# Reference: tpcds-q98.test (revenueratio = itemrevenue*100/sum over class).
+@query(
+    "tpcds_q98_class_share",
+    oracle="""
+WITH br AS (
+  SELECT p.p_type AS p_type, p.p_brand AS p_brand,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS itemrevenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY p.p_type, p.p_brand
+)
+SELECT p_type, p_brand, itemrevenue,
+       itemrevenue * 100 /
+         (round(sum(itemrevenue) OVER (PARTITION BY p_type) * 10000) / 10000)
+         AS revenueratio
+FROM br
+ORDER BY p_type, revenueratio DESC, p_brand
+""",
+)
+def tpcds_q98_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    br = (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(dsum(_rev(), 4).alias("itemrevenue"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        br.withColumn("revenueratio", F.col("itemrevenue") * 100 / _wround(F.sum("itemrevenue").over(w)))
+        .select("p_type", "p_brand", "itemrevenue", "revenueratio")
+        .orderBy("p_type", F.desc("revenueratio"), "p_brand")
+    )
