@@ -498,3 +498,57 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("group_size").cast("bigint").alias("group_size"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering: pairwise candidates (the LSH output) are only half
+# the dedup story — transitive pairs must collapse into CLUSTERS (a≈b,
+# b≈c ⇒ {a,b,c}), i.e. connected components over the pair graph
+# (operators/graph.py: min-label propagation + pointer jumping —
+# O(log diameter) rounds of key-partitioned joins, the 100 TB path).
+# Edge set here is deterministic: every doc pairs with its twin
+# (doc_id+100000), and chain edges (d, d+1 | d%10<4) create multi-hop
+# components of up to 10 nodes so convergence genuinely takes >1 round.
+# The oracle computes the same components via DuckDB's recursive CTE —
+# the iterative algorithm IS SQL-expressible through WITH RECURSIVE.
+_CC_ORACLE = """
+WITH RECURSIVE
+edges AS (
+  SELECT doc_id AS u, doc_id + 100000 AS v FROM documents
+  UNION ALL
+  SELECT d1.doc_id AS u, d2.doc_id AS v
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 10 < 4
+),
+sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+)
+SELECT id AS doc_id, min(r) AS component FROM reach
+GROUP BY id ORDER BY doc_id
+"""
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    twin_edges = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 100000).alias("dst")
+    )
+    d1, d2 = docs.alias("d1"), docs.alias("d2")
+    chain_edges = (
+        d1.join(d2, F.col("d2.doc_id") == F.col("d1.doc_id") + 1)
+        .filter(F.col("d1.doc_id") % 10 < 4)
+        .select(F.col("d1.doc_id").alias("src"), F.col("d2.doc_id").alias("dst"))
+    )
+    labels = connected_components(twin_edges.union(chain_edges))
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")

@@ -274,3 +274,90 @@ def text_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination check: find training documents whose trigram-
+# shingle CONTAINMENT of a benchmark document exceeds a threshold —
+# the standard decontamination step before LLM training (n-gram overlap
+# against eval sets). Containment, not Jaccard: a benchmark item fully
+# quoted inside a much longer training doc must still flag.
+#
+# The fixture has no benchmark set, so one is derived deterministically:
+# docs with doc_id % 17 == 0 contribute their text minus the first token
+# (a "leaked" variant) as benchmark items. Both engines build the same set.
+#
+# Scale notes: shingle both sides (narrow map), join on the shingle
+# (shuffle of (shingle, id) pairs — bench side is tiny so Spark broadcasts
+# it), count distinct shared shingles per (train, bench) pair. Cost is
+# ∝ |bench shingles| × avg docs per shingle, NOT |train|².
+_CONTAMINATION_ORACLE = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+),
+bench AS (
+  SELECT doc_id AS bench_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 17 = 0
+),
+btoks AS (
+  SELECT bench_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM bench
+),
+bshingles AS (
+  SELECT DISTINCT a.bench_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM btoks a
+  JOIN btoks b ON b.bench_id = a.bench_id AND b.p = a.p + 1
+  JOIN btoks c ON c.bench_id = a.bench_id AND c.p = a.p + 2
+),
+bsizes AS (SELECT bench_id, count(*) AS bsz FROM bshingles GROUP BY bench_id),
+inter AS (
+  SELECT s.doc_id AS train_id, b.bench_id, count(*) AS c
+  FROM shingles s JOIN bshingles b ON s.sh = b.sh
+  GROUP BY s.doc_id, b.bench_id
+)
+SELECT i.train_id AS train_id, i.bench_id AS bench_id,
+       round(i.c * 1.0 / z.bsz, 6) AS containment
+FROM inter i JOIN bsizes z ON z.bench_id = i.bench_id
+WHERE i.c * 1.0 / z.bsz >= 0.5
+ORDER BY train_id, bench_id
+"""
+
+
+@query("text_contamination", oracle=_CONTAMINATION_ORACLE)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions.dedup import _gram_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    train_sh = docs.select(
+        F.col("doc_id").alias("train_id"), F.explode(_gram_array()).alias("sh")
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    bench_sh = bench.select("bench_id", F.explode(_gram_array()).alias("sh"))
+    bsizes = bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    inter = (
+        train_sh.join(F.broadcast(bench_sh.withColumnRenamed("sh", "bsh")),
+                      F.col("sh") == F.col("bsh"))
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    containment = F.col("c") * 1.0 / F.col("bsz")
+    return (
+        inter.join(F.broadcast(bsizes), "bench_id")
+        .filter(containment >= 0.5)
+        .select("train_id", "bench_id", F.round(containment, 6).alias("containment"))
+        .orderBy("train_id", "bench_id")
+    )

@@ -219,6 +219,52 @@ ORDER BY rf
 """
 
 
+# --------------------------------------------------------------------------
+# Nested TPC-H Q18 shape (tpch_nested/queries/tpch-q18.test): a correlated
+# scalar aggregate over each row's collection —
+#   `where (select sum(l_quantity) from o.o_lineitems) > N`
+# — is the SubplanNode+UnnestNode pattern (be/src/exec/subplan-node.h:30).
+# In Spark the per-row collection aggregate is F.aggregate over the array
+# (no re-explode, no join): the subplan is fused into a single projection.
+# The `size(items) > 0` guard is IsNotEmptyPredicate
+# (be/src/exprs/is-not-empty-predicate.cc). Array-order note: qty is
+# integer-valued, so the fold's FP sum is exact in any collect_list order.
+_NESTED_Q18_ORACLE = """
+WITH nested AS (
+  SELECT l_orderkey, list(l_quantity) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+       o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       o.o_totalprice AS o_totalprice,
+       list_sum(n.qtys) AS sum_qty
+FROM nested n
+JOIN orders o   ON n.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE len(n.qtys) > 0 AND list_sum(n.qtys) > 150
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@query("nested_tpch_q18", oracle=_NESTED_Q18_ORACLE)
+def nested_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nested = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qtys"))
+    qty_sum = F.aggregate("qtys", F.lit(0.0), lambda acc, q: acc + q)
+    return (
+        nested.filter((F.size("qtys") > 0) & (qty_sum > 150))
+        .withColumn("sum_qty", qty_sum)
+        .join(orders, nested.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
 @query("nested_tpch_pricing", oracle=_NESTED_TPCH_ORACLE)
 def nested_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -179,3 +179,62 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+def _events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture staged TWICE (two symlinks to the same file), so
+    the stream delivers every event exactly two times — the at-least-once
+    replay scenario streaming dedup exists for."""
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    stage = f"/tmp/mis_stream_dup_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    for link_name in ("events_a.parquet", "events_b.parquet"):
+        link = f"{stage}/{link_name}"
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the ingestion-side dedup of a training-data
+    pipeline (at-least-once sources replay records; state keyed on the
+    record id drops replays). The stream carries every event twice
+    (duplicated stage dir); dropDuplicates on event_id restores
+    exactly-once, proven by the per-type counts matching the batch oracle
+    over the ORIGINAL (single-copy) events table.
+
+    Scale: dedup state is hash-partitioned on event_id across executors;
+    with a watermark the state is bounded to the replay horizon
+    (dropDuplicatesWithinWatermark). Here the fixture is finite, so the
+    unbounded variant is exercised and the watermarked variant is covered
+    in tests/test_streaming_watermark.py.
+    """
+    deduped = _events_stream_duplicated(spark, sf_dir).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("event_type", "n").orderBy("event_type")

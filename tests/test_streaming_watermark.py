@@ -74,3 +74,39 @@ def test_append_mode_watermark_finalizes_and_drops_late(spark, staged):
     # the 15:00 window is still open (watermark hasn't passed its end) —
     # append mode must NOT have emitted it
     assert ("2024-01-01 15:00:00", "d") not in rows
+
+
+def test_drop_duplicates_within_watermark(spark, staged):
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped; state for expired keys is evictable
+    (dropDuplicatesWithinWatermark — the 100 TB ingestion-dedup shape)."""
+    import os
+
+    os.makedirs(staged, exist_ok=True)
+    # batch 1: id 1 twice (replay) + id 2 once
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:00:01", 1), ("2024-01-01 10:01:00", 2)],
+        "ts STRING, event_id LONG",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    df.coalesce(1).write.mode("append").parquet(staged)
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_id LONG").format("parquet").load(staged)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"wmdd_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: id 2 replayed within horizon → dropped; id 3 new → kept
+        df2 = spark.createDataFrame(
+            [("2024-01-01 10:02:00", 2), ("2024-01-01 10:03:00", 3)],
+            "ts STRING, event_id LONG",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        df2.coalesce(1).write.mode("append").parquet(staged)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
