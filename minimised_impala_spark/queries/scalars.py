@@ -379,3 +379,46 @@ def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# External data-source scan (DataSourceScanNode,
+# be/src/exec/data-source-scan-node.h:38 / ext-data-source API): the
+# ext_kv Python DataSource generates rows executor-side with range
+# pushdown on id; the oracle regenerates the identical relation via
+# generate_series. v = id*0.5 is exact in binary FP, so sums need no
+# rounding shim.
+_EXT_KV_ORACLE = """
+SELECT k, count(*) AS n, sum(v) AS sum_v, min(id) AS min_id, max(id) AS max_id
+FROM (
+  SELECT i AS id, 'k' || CAST(i % 10 AS VARCHAR) AS k, CAST(i * 0.5 AS DOUBLE) AS v
+  FROM generate_series(0, 9999) t(i)
+)
+WHERE id >= 2500 AND id < 7500
+GROUP BY k
+ORDER BY k
+"""
+
+
+@query("source_ext_kv_scan", oracle=_EXT_KV_ORACLE)
+def source_ext_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.sources import ext_kv
+
+    ext_kv.register(spark)
+    df = (
+        spark.read.format("ext_kv")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.filter((F.col("id") >= 2500) & (F.col("id") < 7500))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("k")
+    )
