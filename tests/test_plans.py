@@ -148,3 +148,46 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_tpcds_star_broadcasts_dims(spark, sf_dir):
+    """tpcds_q3_star: both dim sides broadcast; exactly one shuffle (the
+    groupBy) — the star-join shape that holds at 100 TB with runtime
+    filters on the fact scan."""
+    plan = _physical(QUERIES["tpcds_q3_star"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpcds_scalar_counts_single_partition(spark, sf_dir):
+    """tpcds_q88_band_counts: each banded count collapses to a single-row
+    aggregate (Exchange SinglePartition), combined by broadcast nested-loop
+    cross joins — never a shuffled join of full tables."""
+    plan = _physical(QUERIES["tpcds_q88_band_counts"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 8
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ext_kv_pushdown_partition_planning(spark, tmp_path):
+    """source_ext_kv: pushed range conjuncts narrow partition planning
+    driver-side (the ext-data-source accepted_conjuncts contract)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from minimised_impala_spark.sources import ext_kv
+
+    ext_kv.register(spark)
+    trace = tmp_path / "t.json"
+    df = (
+        spark.read.format("ext_kv")
+        .option("rows", "1000")
+        .option("partitions", "10")
+        .option("pushdown_trace", str(trace))
+        .load()
+        .filter(F.col("id") >= 900)
+    )
+    assert df.count() == 100
+    assert json.loads(trace.read_text())["lo"] == 900
