@@ -45,13 +45,10 @@ TABLES = {
     },
 }
 
-N_QUERIES = 30
+N_QUERIES = 48
 
 
-def _gen_query(rng: random.Random) -> str:
-    table = rng.choice(list(TABLES))
-    meta = TABLES[table]
-
+def _preds(rng: random.Random, meta: dict) -> list[str]:
     preds = []
     for _ in range(rng.randint(0, 3)):
         kind = rng.random()
@@ -69,9 +66,73 @@ def _gen_query(rng: random.Random) -> str:
             col = rng.choice(meta["numeric"])
             lo = rng.randint(0, 2000)
             preds.append(f"{col} BETWEEN {lo} AND {lo + rng.randint(1, 3000)}")
-    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    return preds
 
-    if rng.random() < 0.7:
+
+def _gen_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+
+    preds = _preds(rng, meta)
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    key = meta["unique"]
+    keys = ", ".join(key)
+
+    branch = rng.random()
+
+    if branch < 0.12:
+        # window branch: analytics over a unique order are deterministic
+        g = rng.choice(meta["group"])
+        m = rng.choice(meta["money"])
+        over = f"OVER (PARTITION BY {g} ORDER BY {keys})"
+        return (
+            f"SELECT {keys}, {g}, "
+            f"row_number() {over} AS rn, rank() {over} AS rk, "
+            f"lag({m}) {over} AS lg "
+            f"FROM {table}{where} ORDER BY {keys} LIMIT {rng.randint(20, 200)}"
+        )
+    if branch < 0.22:
+        # scalar-expression branch (both-dialect function subset)
+        g = rng.choice(meta["group"])
+        m = rng.choice(meta["money"])
+        n = rng.choice(meta["numeric"])
+        return (
+            f"SELECT {keys}, upper({g}) AS u, length({g}) AS ln, "
+            f"CAST(floor({m}) AS BIGINT) AS fl, round({m}, 1) AS r1, "
+            f"CASE WHEN {n} % 2 = 0 THEN 'even' ELSE 'odd' END AS par, "
+            f"coalesce(nullif({g}, 'F'), 'X') AS cn "
+            f"FROM {table}{where} ORDER BY {keys} LIMIT {rng.randint(20, 200)}"
+        )
+    if branch < 0.32:
+        # set-operation branch (UNION ALL keeps dup ties — identical
+        # tuples, so LIMIT stays deterministic; INTERSECT/EXCEPT dedup)
+        op = rng.choice(["UNION ALL", "INTERSECT", "EXCEPT"])
+        p2 = _preds(rng, meta)
+        w2 = (" WHERE " + " AND ".join(p2)) if p2 else ""
+        return (
+            f"SELECT {keys} FROM {table}{where} {op} "
+            f"SELECT {keys} FROM {table}{w2} "
+            f"ORDER BY {keys} LIMIT {rng.randint(20, 200)}"
+        )
+    if branch < 0.40:
+        # IN-subquery branch (semi-join rewrite on both engines)
+        if table == "orders":
+            sub = f"SELECT c_custkey FROM customer WHERE c_acctbal > {rng.randint(0, 8000)}"
+            incol = "o_custkey"
+        elif table == "lineitem":
+            sub = f"SELECT o_orderkey FROM orders WHERE o_totalprice > {rng.randint(0, 50000)}"
+            incol = "l_orderkey"
+        else:
+            sub = f"SELECT o_custkey FROM orders WHERE o_totalprice > {rng.randint(0, 50000)}"
+            incol = "c_custkey"
+        neg = "NOT " if rng.random() < 0.3 else ""
+        return (
+            f"SELECT {keys} FROM {table}{where}"
+            f"{' AND' if preds else ' WHERE'} {incol} {neg}IN ({sub}) "
+            f"ORDER BY {keys} LIMIT {rng.randint(20, 200)}"
+        )
+
+    if branch < 0.70:
         gcol = rng.choice(meta["group"])
         mcol = rng.choice(meta["money"])
         ncol = rng.choice(meta["numeric"])
@@ -83,9 +144,12 @@ def _gen_query(rng: random.Random) -> str:
         ]
         if rng.random() < 0.5:
             aggs.append(f"count(DISTINCT {gcol}) AS nd")
+        having = (
+            f" HAVING count(*) > {rng.randint(0, 1000)}" if rng.random() < 0.4 else ""
+        )
         return (
             f"SELECT {gcol}, {', '.join(aggs)} FROM {table}{where} "
-            f"GROUP BY {gcol} ORDER BY {gcol}"
+            f"GROUP BY {gcol}{having} ORDER BY {gcol}"
         )
     if rng.random() < 0.5:
         # join branch: orders⋈customer or lineitem⋈orders, grouped agg
