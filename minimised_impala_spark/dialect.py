@@ -50,6 +50,11 @@ _COMPUTE_STATS = re.compile(
 )
 _INVALIDATE = re.compile(r"^\s*INVALIDATE\s+METADATA\s+([\w.`]+)\s*$", re.IGNORECASE)
 _REFRESH = re.compile(r"^\s*REFRESH\s+([\w.`]+)\s*$", re.IGNORECASE)
+_LOAD_DATA = re.compile(
+    r"^\s*LOAD\s+DATA\s+INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+"
+    r"([\w.`]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
 
 _SPARK_HINT = {"broadcast": "BROADCAST", "shuffle": "SHUFFLE_HASH"}
 
@@ -65,6 +70,29 @@ _KEYWORDS = {
 
 def has_straight_join(sql: str) -> bool:
     return bool(_STRAIGHT.search(_mask(sql)))
+
+
+def parse_load_data(sql: str) -> dict | None:
+    """Parse ``LOAD DATA INPATH '<path>' [OVERWRITE] INTO TABLE t
+    [PARTITION (k='v', ...)]`` (fe/.../analysis/LoadDataStmt.java).
+    Returns None if the statement is not LOAD DATA. The reference moves
+    files into the table directory; the Spark engine re-expresses it as a
+    read + insertInto (Engine.sql), which additionally validates schema —
+    a documented behavioral upgrade, same observable table state."""
+    m = _LOAD_DATA.match(sql)
+    if not m:
+        return None
+    partition: dict[str, str] = {}
+    if m.group(4):
+        for kv in m.group(4).split(","):
+            k, _, v = kv.partition("=")
+            partition[k.strip().strip("`")] = v.strip().strip("'\"")
+    return {
+        "path": m.group(1),
+        "overwrite": bool(m.group(2)),
+        "table": m.group(3).strip("`"),
+        "partition": partition,
+    }
 
 
 def translate(sql: str) -> str:

@@ -44,6 +44,9 @@ class Engine:
 
     def sql(self, text: str) -> DataFrame:
         """Execute one statement in the reference dialect."""
+        load = dialect.parse_load_data(text)
+        if load is not None:
+            return self._load_data(**load)
         translated = dialect.translate(text)
         if dialect.has_straight_join(text):
             # STRAIGHT_JOIN pins the join order as written
@@ -56,6 +59,28 @@ class Engine:
             finally:
                 self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev)
         return self.spark.sql(translated)
+
+    def _load_data(
+        self, path: str, table: str, overwrite: bool, partition: dict[str, str]
+    ) -> DataFrame:
+        """LOAD DATA INPATH (fe/.../analysis/LoadDataStmt.java): ingest the
+        files at ``path`` into ``table``. Static PARTITION values become
+        constant columns. Returns a one-row summary like the reference's
+        'Loaded ...' result set."""
+        from pyspark.sql import functions as F
+
+        fmt = "parquet"
+        for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"].strip().lower() == "provider":
+                fmt = r["data_type"].strip().lower()
+        df = self.spark.read.format(fmt).load(path)
+        for k, v in partition.items():
+            df = df.withColumn(k, F.lit(v))
+        cols = [f.name for f in self.spark.table(table).schema.fields]
+        df = df.select(*cols)
+        n = df.count()
+        df.write.mode("overwrite" if overwrite else "append").insertInto(table, overwrite)
+        return self.spark.sql(f"SELECT 'Loaded {n} row(s) into {table}' AS summary")
 
     def explain(self, text: str) -> str:
         df = self.sql(text)

@@ -162,3 +162,32 @@ def test_char_varchar_semantics(ddl):
     with _pytest.raises(Exception):
         ddl.sql("INSERT INTO cv VALUES ('x', 'toolongvalue')")
     ddl.sql("DROP TABLE cv")
+
+
+def test_load_data_inpath(ddl, tmp_path):
+    """LOAD DATA INPATH (fe/.../analysis/LoadDataStmt.java): plain append,
+    OVERWRITE, and a static PARTITION target — re-expressed by the engine
+    as read+insertInto (same observable table state as the reference's
+    file move)."""
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(ddl)
+    src = str(tmp_path / "staged")
+    ddl.range(3).selectExpr("CAST(id AS INT) k", "CAST(id AS STRING) v").write.parquet(src)
+
+    ddl.sql("CREATE TABLE ld (k INT, v STRING) USING parquet")
+    out = eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ld").collect()
+    assert "Loaded 3" in out[0]["summary"]
+    eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ld")
+    assert ddl.sql("SELECT count(*) n FROM ld").collect()[0]["n"] == 6
+    eng.sql(f"LOAD DATA INPATH '{src}' OVERWRITE INTO TABLE ld")
+    assert ddl.sql("SELECT count(*) n FROM ld").collect()[0]["n"] == 3
+
+    # static-partition load: files carry only data columns
+    ddl.sql(
+        "CREATE TABLE ldp (k INT, v STRING) USING parquet PARTITIONED BY (dt STRING)"
+    )
+    eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ldp PARTITION (dt='2024-01-01')")
+    rows = ddl.sql("SELECT DISTINCT dt FROM ldp").collect()
+    assert [r["dt"] for r in rows] == ["2024-01-01"]
+    assert ddl.sql("SELECT count(*) n FROM ldp").collect()[0]["n"] == 3
