@@ -345,3 +345,44 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = s2.agg(F.count(F.lit(1)).alias("n_view_after_signup"))
     n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after_view"))
     return n1.crossJoin(n2).crossJoin(n3)
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix — the standard product-analytics rollup: users
+# cohorted by first-active week, counted per week offset thereafter. Two
+# grouped aggregates + one join, all keyed on user_id / (cohort, offset):
+# at 100 TB both aggs are partial+final on the events shuffle key and the
+# per-user first-seen table is ~|users|, far smaller than events.
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+)
+SELECT f.cohort_week AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("events_retention", oracle=_RETENTION_ORACLE)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

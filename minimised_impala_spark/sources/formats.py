@@ -132,3 +132,49 @@ def write_partitioned(
     the reference's HdfsTableSink partition layout
     (be/src/exec/hdfs-table-sink.h:122, HdfsPartition.java)."""
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — Spark-native columnar alternative (fills the role the
+    legacy RCFile scanner held in the reference's format matrix,
+    be/src/exec/hdfs-rcfile-scanner.h:231, with a modern format)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — rewrite a directory of many small files
+    into ~target-size files. The operational fix for the classic 100 TB
+    failure mode: millions of tiny files from over-parallel or incremental
+    writes destroy scan planning (footer reads) and shuffle locality.
+
+    Returns the number of output files. Uses a staging directory +
+    atomic-ish swap so a crash never leaves the dataset truncated.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = path.rstrip("/") + "._compact_staging"
+    df.repartition(n_out).write.mode("overwrite").format(fmt).save(staging)
+    backup = path.rstrip("/") + "._compact_old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_out

@@ -118,3 +118,32 @@ def test_source_agnostic_operators(spark, sample, tmp_path):
         for df in results
     }
     assert len(counts) == 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from minimised_impala_spark.sources import formats
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k")
+    p = str(tmp_path / "orc_t")
+    formats.write_orc(df, p)
+    back = formats.read_orc(spark, p)
+    assert back.count() == 100
+    assert dict(back.dtypes) == {"id": "bigint", "k": "string"}
+
+
+def test_compact_files(spark, tmp_path):
+    import os
+
+    from minimised_impala_spark.sources import formats
+
+    p = str(tmp_path / "many_small")
+    # 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(p)
+    n_in = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_in >= 20
+    n_out = formats.compact_files(spark, p, target_file_bytes=10 * 1024 * 1024)
+    n_files = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_files == n_out < n_in
+    assert spark.read.parquet(p).count() == 4000
+    assert not os.path.exists(p + "._compact_staging")
+    assert not os.path.exists(p + "._compact_old")
