@@ -50,6 +50,11 @@ _COMPUTE_STATS = re.compile(
 )
 _INVALIDATE = re.compile(r"^\s*INVALIDATE\s+METADATA\s+([\w.`]+)\s*$", re.IGNORECASE)
 _REFRESH = re.compile(r"^\s*REFRESH\s+([\w.`]+)\s*$", re.IGNORECASE)
+_CREATE_LIKE_FILE = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+"
+    r"LIKE\s+PARQUET\s+'([^']+)'\s*(?:STORED\s+AS\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
 _LOAD_DATA = re.compile(
     r"^\s*LOAD\s+DATA\s+INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+"
     r"([\w.`]+)\s*(?:PARTITION\s*\(([^)]*)\))?\s*$",
@@ -70,6 +75,21 @@ _KEYWORDS = {
 
 def has_straight_join(sql: str) -> bool:
     return bool(_STRAIGHT.search(_mask(sql)))
+
+
+def parse_create_like_file(sql: str) -> dict | None:
+    """Parse ``CREATE TABLE t LIKE PARQUET '<file>' [STORED AS fmt]`` —
+    the reference's schema-inference DDL
+    (fe/.../analysis/CreateTableLikeFileStmt.java; SURVEY §1.4). Returns
+    None if the statement is not CREATE ... LIKE PARQUET."""
+    m = _CREATE_LIKE_FILE.match(sql)
+    if not m:
+        return None
+    return {
+        "table": m.group(1).strip("`"),
+        "path": m.group(2),
+        "fmt": (m.group(3) or "parquet").lower(),
+    }
 
 
 def parse_load_data(sql: str) -> dict | None:

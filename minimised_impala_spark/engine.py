@@ -47,6 +47,9 @@ class Engine:
         load = dialect.parse_load_data(text)
         if load is not None:
             return self._load_data(**load)
+        like = dialect.parse_create_like_file(text)
+        if like is not None:
+            return self._create_like_file(**like)
         translated = dialect.translate(text)
         if dialect.has_straight_join(text):
             # STRAIGHT_JOIN pins the join order as written
@@ -59,6 +62,14 @@ class Engine:
             finally:
                 self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev)
         return self.spark.sql(translated)
+
+    def _create_like_file(self, table: str, path: str, fmt: str) -> DataFrame:
+        """CREATE TABLE LIKE PARQUET '<file>': infer the schema from the
+        parquet footer (the reference reads the file's parquet schema —
+        CreateTableLikeFileStmt.java) and create an empty table with it."""
+        schema = self.spark.read.parquet(path).schema
+        self.spark.catalog.createTable(table, source=fmt, schema=schema)
+        return self.spark.sql(f"SELECT 'Created {table}' AS summary")
 
     def _load_data(
         self, path: str, table: str, overwrite: bool, partition: dict[str, str]

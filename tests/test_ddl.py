@@ -191,3 +191,20 @@ def test_load_data_inpath(ddl, tmp_path):
     rows = ddl.sql("SELECT DISTINCT dt FROM ldp").collect()
     assert [r["dt"] for r in rows] == ["2024-01-01"]
     assert ddl.sql("SELECT count(*) n FROM ldp").collect()[0]["n"] == 3
+
+
+def test_create_table_like_parquet_file(ddl, tmp_path):
+    """CREATE TABLE LIKE PARQUET '<file>' — schema inference from the
+    parquet footer (fe/.../analysis/CreateTableLikeFileStmt.java)."""
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(ddl)
+    src = str(tmp_path / "schema_src")
+    ddl.sql(
+        "SELECT CAST(1 AS INT) a, CAST('x' AS STRING) b, CAST(1.5 AS DOUBLE) c"
+    ).write.parquet(src)
+    eng.sql(f"CREATE TABLE clf LIKE PARQUET '{src}'")
+    assert dict(ddl.table("clf").dtypes) == {"a": "int", "b": "string", "c": "double"}
+    assert ddl.table("clf").count() == 0
+    ddl.sql("INSERT INTO clf VALUES (1, 'y', 2.5)")
+    assert ddl.table("clf").count() == 1
