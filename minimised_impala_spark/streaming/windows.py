@@ -238,3 +238,47 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("event_type", "n").orderBy("event_type")
+
+
+@query(
+    "streaming_enrich_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n,
+       round(sum(e.value) * 1000000) / 1000000 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming-ingestion
+    shape: the event stream joins a static dimension (per-batch broadcast
+    hash join; the static side is re-resolvable each micro-batch, so
+    dimension updates are picked up without restarting). Aggregated per
+    segment and verified against the batch oracle.
+
+    Determinism: value is a 6-decimal fixed-point DOUBLE in the fixture,
+    so the scaled-round shim applies as usual.
+    """
+    from minimised_impala_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = _events_stream(spark, sf_dir).join(
+        cust, F.col("user_id") == F.col("c_custkey")
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("value") * 1000000, 0) / 1000000).alias("sum_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("segment", "n", "sum_value").orderBy("segment")
