@@ -386,3 +386,52 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill: materialize EVERY (hour-bucket × event_type) cell
+# between the stream's bounds, zero-filling empty buckets — the hypertable
+# rollup/gap-fill operator Spark lacks as a builtin, expressed as
+# sequence() grid × dim ⟕ grouped counts. Scale: the grid is
+# |buckets| × |types| rows (tiny vs events); the left join broadcasts it.
+_GAPFILL_ORACLE = """
+WITH buckets AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT min(date_trunc('hour', ts)) AS lo,
+               max(date_trunc('hour', ts)) AS hi
+        FROM events)
+),
+grid AS (
+  SELECT b.bucket, t.event_type
+  FROM buckets b, (SELECT DISTINCT event_type FROM events) t
+),
+counts AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT grid.bucket AS bucket, grid.event_type AS event_type,
+       coalesce(counts.c, 0) AS n
+FROM grid LEFT JOIN counts
+  ON counts.bucket = grid.bucket AND counts.event_type = grid.event_type
+ORDER BY bucket, event_type
+"""
+
+
+@query("events_gapfill", oracle=_GAPFILL_ORACLE)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    buckets = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = buckets.crossJoin(types)
+    counts = ev.groupBy(hour.alias("bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        grid.join(counts, ["bucket", "event_type"], "left")
+        .select("bucket", "event_type", F.coalesce("c", F.lit(0)).alias("n"))
+        .orderBy("bucket", "event_type")
+    )
