@@ -306,3 +306,95 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8-quantized cosine top-k — the memory path for billion-vector ANN:
+# per-vector max-abs scalar quantization shrinks 4-byte floats to 1-byte
+# codes (scale factors cancel in cosine, so ranking needs no dequantize).
+# Integer dot products are EXACT in both engines, which also makes this
+# the most determinism-friendly similarity op: ties broken by neighbor_id.
+# At 100 TB: quantization is a narrow map; the scored join is the same
+# broadcast/bucket shape as the float path at 1/4 the shuffle bytes.
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * 127 /
+             list_max(list_transform(e, y -> abs(y)))) AS BIGINT)) AS qv
+  FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.qv, b.qv)
+           / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)))
+           AS qcos
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(qcos, 6) AS qcos, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@query("sim_quantized_topk", oracle=_QUANT_ORACLE)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    scale = F.array_max(F.transform(F.col("e"), lambda y: F.abs(y)))
+    # bind the scale once as a lambda variable (interpreted HOFs re-evaluate
+    # referenced exprs — NOTES.md pitfall), then emit int8-range codes
+    qv = F.flatten(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                F.col("e"), lambda x: F.round(x * 127 / s, 0).cast("bigint")
+            ),
+        )
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    a = q.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    qcos = idot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(idot(F.col("qa"), F.col("qa")).cast("double"))
+        * F.sqrt(idot(F.col("qb"), F.col("qb")).cast("double"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qcos.alias("qcos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("qcos", 6).alias("qcos"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
