@@ -51,7 +51,7 @@ _COMPUTE_STATS = re.compile(
 _INVALIDATE = re.compile(r"^\s*INVALIDATE\s+METADATA\s+([\w.`]+)\s*$", re.IGNORECASE)
 _REFRESH = re.compile(r"^\s*REFRESH\s+([\w.`]+)\s*$", re.IGNORECASE)
 _CREATE_LIKE_FILE = re.compile(
-    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+"
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+"
     r"LIKE\s+PARQUET\s+'([^']+)'\s*(?:STORED\s+AS\s+(\w+))?\s*$",
     re.IGNORECASE,
 )
@@ -86,9 +86,10 @@ def parse_create_like_file(sql: str) -> dict | None:
     if not m:
         return None
     return {
-        "table": m.group(1).strip("`"),
-        "path": m.group(2),
-        "fmt": (m.group(3) or "parquet").lower(),
+        "if_not_exists": bool(m.group(1)),
+        "table": m.group(2).strip("`"),
+        "path": m.group(3),
+        "fmt": (m.group(4) or "parquet").lower(),
     }
 
 

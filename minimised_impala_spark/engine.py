@@ -63,10 +63,14 @@ class Engine:
                 self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev)
         return self.spark.sql(translated)
 
-    def _create_like_file(self, table: str, path: str, fmt: str) -> DataFrame:
+    def _create_like_file(
+        self, table: str, path: str, fmt: str, if_not_exists: bool
+    ) -> DataFrame:
         """CREATE TABLE LIKE PARQUET '<file>': infer the schema from the
         parquet footer (the reference reads the file's parquet schema —
         CreateTableLikeFileStmt.java) and create an empty table with it."""
+        if if_not_exists and self.spark.catalog.tableExists(table):
+            return self.spark.sql(f"SELECT 'Table {table} already exists' AS summary")
         schema = self.spark.read.parquet(path).schema
         self.spark.catalog.createTable(table, source=fmt, schema=schema)
         return self.spark.sql(f"SELECT 'Created {table}' AS summary")
@@ -80,6 +84,8 @@ class Engine:
         'Loaded ...' result set."""
         from pyspark.sql import functions as F
 
+        import os
+
         fmt = "parquet"
         for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
             if r["col_name"].strip().lower() == "provider":
@@ -89,9 +95,30 @@ class Engine:
             df = df.withColumn(k, F.lit(v))
         cols = [f.name for f in self.spark.table(table).schema.fields]
         df = df.select(*cols)
-        n = df.count()
-        df.write.mode("overwrite" if overwrite else "append").insertInto(table, overwrite)
-        return self.spark.sql(f"SELECT 'Loaded {n} row(s) into {table}' AS summary")
+        # summary from the driver-side file listing (the reference reports
+        # 'Loaded N file(s)' the same way) — no extra scan of the data
+        n_files = sum(
+            1
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        if overwrite and partition:
+            # OVERWRITE into a static partition must replace ONLY that
+            # partition (LoadDataStmt semantics); Spark's default
+            # partitionOverwriteMode=static would truncate the whole table.
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                df.write.mode("overwrite").insertInto(table, True)
+            finally:
+                self.spark.conf.set(conf, prev)
+        else:
+            df.write.mode("overwrite" if overwrite else "append").insertInto(
+                table, overwrite
+            )
+        return self.spark.sql(f"SELECT 'Loaded {n_files} file(s) into {table}' AS summary")
 
     def explain(self, text: str) -> str:
         df = self.sql(text)

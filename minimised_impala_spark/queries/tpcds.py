@@ -39,12 +39,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minimised_impala_spark.queries.registry import query
-from minimised_impala_spark.queries.tpch import dsum, ts
+from minimised_impala_spark.queries.tpch import _rev, dsum, ts
 from minimised_impala_spark.tables import load_table
-
-
-def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def _wround(c: F.Column, dec: int = 4) -> F.Column:

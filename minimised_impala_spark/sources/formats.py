@@ -156,12 +156,29 @@ def compact_files(
     failure mode: millions of tiny files from over-parallel or incremental
     writes destroy scan planning (footer reads) and shuffle locality.
 
-    Returns the number of output files. Uses a staging directory +
-    atomic-ish swap so a crash never leaves the dataset truncated.
+    Returns the number of output files. The rewrite goes to a staging
+    directory first, then a two-rename swap. The swap window (between the
+    two renames) is the only instant the dataset is not at ``path``; a
+    crash there leaves the complete data at ``<path>._compact_old``, and
+    stale staging/backup directories from any earlier crash are cleaned
+    up on the next invocation, so compaction is always re-runnable and no
+    committed data is ever deleted before its replacement exists.
     """
     import math
     import os
     import shutil
+
+    staging = path.rstrip("/") + "._compact_staging"
+    backup = path.rstrip("/") + "._compact_old"
+    # recover from a previous crash: a leftover backup means the swap was
+    # interrupted — restore it if the data dir is missing, else drop it.
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
 
     df = spark.read.format(fmt).load(path)
     total_bytes = sum(
@@ -171,9 +188,7 @@ def compact_files(
         if not f.startswith(("_", "."))
     )
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    staging = path.rstrip("/") + "._compact_staging"
     df.repartition(n_out).write.mode("overwrite").format(fmt).save(staging)
-    backup = path.rstrip("/") + "._compact_old"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -26,20 +26,30 @@ from pyspark.sql import functions as F
 from minimised_impala_spark.queries.registry import query
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     # ts is TIMESTAMP(NANOS) parquet — same legacy-long rebuild as the batch
     # loader (tables.load_table). The file stream source requires a
     # *directory*, so stage a symlink dir (fixture dirs are read-only).
+    # copies > 1 stages the same file multiple times — the at-least-once
+    # replay scenario streaming dedup exists for.
     import hashlib
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.realpath(f"{sf_dir}/events.parquet")
-    stage = f"/tmp/mis_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    suffix = "" if copies == 1 else f"_x{copies}"
+    stage = f"/tmp/mis_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}{suffix}"
     os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    expected = {f"events_{i}.parquet" for i in range(copies)}
+    # reconcile the stage dir exactly: stray entries (e.g. links named by an
+    # older staging scheme) would silently multiply the stream's input.
+    for name in os.listdir(stage):
+        if name not in expected:
+            os.remove(os.path.join(stage, name))
+    for name in expected:
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).format("parquet").load(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -181,26 +191,6 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture staged TWICE (two symlinks to the same file), so
-    the stream delivers every event exactly two times — the at-least-once
-    replay scenario streaming dedup exists for."""
-    import hashlib
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.realpath(f"{sf_dir}/events.parquet")
-    stage = f"/tmp/mis_stream_dup_{hashlib.md5(src.encode()).hexdigest()[:10]}"
-    os.makedirs(stage, exist_ok=True)
-    for link_name in ("events_a.parquet", "events_b.parquet"):
-        link = f"{stage}/{link_name}"
-        if not os.path.exists(link):
-            os.symlink(src, link)
-    schema = spark.read.parquet(src).schema
-    raw = spark.readStream.schema(schema).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-
 @query(
     "streaming_dedup_exact",
     oracle="""
@@ -224,7 +214,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded variant is exercised and the watermarked variant is covered
     in tests/test_streaming_watermark.py.
     """
-    deduped = _events_stream_duplicated(spark, sf_dir).dropDuplicates(["event_id"])
+    deduped = _events_stream(spark, sf_dir, copies=2).dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (
@@ -244,7 +234,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_enrich_join",
     oracle="""
 SELECT c.c_mktsegment AS segment, count(*) AS n,
-       round(sum(e.value) * 1000000) / 1000000 AS sum_value
+       round(sum(e.value) * 100) / 100 AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY segment
@@ -257,8 +247,8 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension updates are picked up without restarting). Aggregated per
     segment and verified against the batch oracle.
 
-    Determinism: value is a 6-decimal fixed-point DOUBLE in the fixture,
-    so the scaled-round shim applies as usual.
+    Determinism: value is a 2-decimal fixed-point DOUBLE in the fixture,
+    so the standard ×100 scaled-round shim applies.
     """
     from minimised_impala_spark.tables import load_table
 
@@ -268,7 +258,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.round(F.sum("value") * 1000000, 0) / 1000000).alias("sum_value"),
+        (F.round(F.sum("value") * 100, 0) / 100).alias("sum_value"),
     )
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     q = (

@@ -177,7 +177,7 @@ def test_load_data_inpath(ddl, tmp_path):
 
     ddl.sql("CREATE TABLE ld (k INT, v STRING) USING parquet")
     out = eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ld").collect()
-    assert "Loaded 3" in out[0]["summary"]
+    assert "file(s) into ld" in out[0]["summary"]
     eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ld")
     assert ddl.sql("SELECT count(*) n FROM ld").collect()[0]["n"] == 6
     eng.sql(f"LOAD DATA INPATH '{src}' OVERWRITE INTO TABLE ld")
@@ -208,3 +208,36 @@ def test_create_table_like_parquet_file(ddl, tmp_path):
     assert ddl.table("clf").count() == 0
     ddl.sql("INSERT INTO clf VALUES (1, 'y', 2.5)")
     assert ddl.table("clf").count() == 1
+
+
+def test_load_data_overwrite_targets_only_named_partition(ddl, tmp_path):
+    """OVERWRITE into a static partition replaces ONLY that partition
+    (LoadDataStmt semantics) — other partitions survive."""
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(ddl)
+    src = str(tmp_path / "staged_p")
+    ddl.range(2).selectExpr("CAST(id AS INT) k", "CAST(id AS STRING) v").write.parquet(src)
+    ddl.sql(
+        "CREATE TABLE ldp2 (k INT, v STRING) USING parquet PARTITIONED BY (dt STRING)"
+    )
+    eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ldp2 PARTITION (dt='a')")
+    eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ldp2 PARTITION (dt='b')")
+    eng.sql(f"LOAD DATA INPATH '{src}' OVERWRITE INTO TABLE ldp2 PARTITION (dt='b')")
+    by_dt = {
+        r["dt"]: r["n"]
+        for r in ddl.sql("SELECT dt, count(*) n FROM ldp2 GROUP BY dt").collect()
+    }
+    assert by_dt == {"a": 2, "b": 2}  # 'a' untouched, 'b' replaced not doubled
+
+
+def test_create_like_parquet_if_not_exists(ddl, tmp_path):
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(ddl)
+    src = str(tmp_path / "schema_src2")
+    ddl.sql("SELECT 1 AS a").write.parquet(src)
+    eng.sql(f"CREATE TABLE IF NOT EXISTS clf2 LIKE PARQUET '{src}'")
+    # second run is a no-op, not an error
+    out = eng.sql(f"CREATE TABLE IF NOT EXISTS clf2 LIKE PARQUET '{src}'").collect()
+    assert "already exists" in out[0]["summary"]

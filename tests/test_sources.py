@@ -147,3 +147,27 @@ def test_compact_files(spark, tmp_path):
     assert spark.read.parquet(p).count() == 4000
     assert not os.path.exists(p + "._compact_staging")
     assert not os.path.exists(p + "._compact_old")
+
+
+def test_compact_files_recovers_from_stale_dirs(spark, tmp_path):
+    """A leftover backup/staging dir from a crashed run must not wedge the
+    next compaction; a stranded backup with no data dir is restored."""
+    import os
+    import shutil
+
+    from minimised_impala_spark.sources import formats
+
+    p = str(tmp_path / "ds")
+    spark.range(100).repartition(4).write.parquet(p)
+    # simulate a crash between the two renames: data at backup, none at path
+    os.rename(p, p + "._compact_old")
+    formats.compact_files(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + "._compact_old")
+    # simulate stale staging + stale backup alongside live data
+    os.makedirs(p + "._compact_staging")
+    shutil.copytree(p, p + "._compact_old")
+    formats.compact_files(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + "._compact_staging")
+    assert not os.path.exists(p + "._compact_old")
