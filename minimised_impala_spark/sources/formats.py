@@ -39,15 +39,22 @@ def read_text(
     quote: str = '"',
     header: bool = False,
     compression: str | None = None,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Delimited-text scan (csv source). Infers schema when not given —
     the reference instead required declared schemas (schema-on-read from
-    the metastore); pass ``schema`` for parity-exact typing."""
+    the metastore); pass ``schema`` for parity-exact typing.
+
+    ``mode`` controls malformed-row handling like the reference's text
+    scanner error tolerance (hdfs-text-scanner.h parse-error counters):
+    PERMISSIVE nulls unparseable fields, DROPMALFORMED skips bad rows,
+    FAILFAST raises."""
     reader = (
         spark.read.option("sep", sep)
         .option("escape", escape)
         .option("quote", quote)
         .option("header", str(header).lower())
+        .option("mode", mode)
     )
     if schema is not None:
         reader = reader.schema(schema)

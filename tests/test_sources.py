@@ -171,3 +171,28 @@ def test_compact_files_recovers_from_stale_dirs(spark, tmp_path):
     assert spark.read.parquet(p).count() == 100
     assert not os.path.exists(p + "._compact_staging")
     assert not os.path.exists(p + "._compact_old")
+
+
+def test_text_malformed_row_modes(spark, tmp_path):
+    """Malformed-row tolerance — the reference's text scanner counts and
+    tolerates parse errors per row (hdfs-text-scanner.h); the csv source
+    exposes the same policy as PERMISSIVE / DROPMALFORMED / FAILFAST."""
+    import pytest as _pytest
+
+    from minimised_impala_spark.sources import formats
+
+    p = tmp_path / "bad.csv"
+    p.write_text("1,a\nnot_an_int,b\n3,c\n")
+    schema = "k INT, v STRING"
+
+    perm = formats.read_text(spark, str(p), schema=schema).collect()
+    assert len(perm) == 3
+    assert sorted([r["k"] for r in perm], key=lambda x: (x is None, x)) == [1, 3, None]
+
+    dropped = formats.read_text(
+        spark, str(p), schema=schema, mode="DROPMALFORMED"
+    ).collect()
+    assert sorted(r["k"] for r in dropped) == [1, 3]
+
+    with _pytest.raises(Exception):
+        formats.read_text(spark, str(p), schema=schema, mode="FAILFAST").collect()
