@@ -17,6 +17,7 @@ Shapes covered (reference file in parentheses):
 - count-per-customer HAVING band joined back to the dim (tpcds-q73.test)
 - N independent banded counts cross-joined into one row (tpcds-q88.test)
 - ratio-to-total within class via window sum (tpcds-q98.test)
+- ROLLUP over the dim hierarchy of a star join (tpcds-q27.test)
 
 Determinism: same rules as tpch.py — every double aggregate that feeds a
 comparison or output is the scaled-round of an exact fixed-point rational
@@ -435,4 +436,46 @@ def tpcds_q98_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         br.withColumn("revenueratio", F.col("itemrevenue") * 100 / _wround(F.sum("itemrevenue").over(w)))
         .select("p_type", "p_brand", "itemrevenue", "revenueratio")
         .orderBy("p_type", F.desc("revenueratio"), "p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q27 shape: star join then ROLLUP over the dim hierarchy — subtotals per
+# (region, nation), per region, and grand total, in one pass (Catalyst
+# expands grouping sets map-side; one shuffle). Reference: tpcds-q27.test
+# (rollup over gender/marital/education with store dims).
+@query(
+    "tpcds_q27_rollup_star",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice) * 100) / 100 AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE year(o.o_orderdate) = 1998
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY region NULLS FIRST, nation NULLS FIRST
+""",
+)
+def tpcds_q27_rollup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.filter(F.year("o_orderdate") == 1998)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice")
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice") * 100, 0) / 100).alias("sum_price"),
+        )
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
     )

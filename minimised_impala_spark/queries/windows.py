@@ -294,3 +294,38 @@ def window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame with NUMERIC offsets (AnalyticWindow.java:41-80: `n
+# PRECEDING/FOLLOWING` range bounds over a numeric ORDER BY — value
+# distance, not row distance; rows with keys within ±window of the
+# current row's key join the frame regardless of row position).
+@query(
+    "window_range_numeric",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS n_near,
+       sum(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+         AS sum_upto
+FROM orders
+WHERE o_custkey < 60
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w1 = W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-50, 50)
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, W.currentRow)
+    return (
+        orders.filter(F.col("o_custkey") < 60)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w1).alias("n_near"),
+            F.sum("o_orderkey").over(w2).alias("sum_upto"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
