@@ -291,3 +291,47 @@ def nested_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Collection EXISTS predicate: keep rows where SOME element of the nested
+# collection satisfies a predicate — the reference plans this as a
+# SubplanNode whose inner SELECT has conjuncts (tpch_nested pattern
+# `WHERE EXISTS (SELECT 1 FROM c.c_orders o WHERE o.o_totalprice > X)`).
+# In Spark it is the higher-order `exists(arr, pred)` — a pure projection,
+# no re-explode, no join. Counting survivors per segment proves semantics.
+_NESTED_EXISTS_ORACLE = """
+WITH nested AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         list(o.o_totalprice) AS prices
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       sum(CASE WHEN len(list_filter(prices, p -> p > 400000)) > 0
+                THEN 1 ELSE 0 END) AS n_with_big_order
+FROM nested
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("nested_exists_predicate", oracle=_NESTED_EXISTS_ORACLE)
+def nested_exists_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.collect_list("o_totalprice").alias("prices"))
+    )
+    has_big = F.exists("prices", lambda p: p > 400000)
+    return (
+        nested.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.when(has_big, 1).otherwise(0)).alias("n_with_big_order"),
+        )
+        .orderBy("c_mktsegment")
+    )
