@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 from minimised_impala_spark.queries.registry import query
 from minimised_impala_spark.tables import load_table
 
+# The pandas kernels below ship to Python workers via cloudpickle; when
+# the caller's session was built outside this repo (plain driver session,
+# arbitrary cwd) workers cannot import this package — serialize this
+# module by value so they never have to.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 DECODED_SCHEMA = (
     "doc_id bigint, byte_len bigint, fmt string, width int, height int, channels int"
 )
@@ -206,3 +216,69 @@ def extract_features(docs: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
     return with_payload(docs).mapInPandas(kernel, "doc_id bigint, embedding array<double>")
+
+
+# --------------------------------------------------------------------------
+# Audio chunking with overlap — the ASR-training preprocessing shape: a
+# waveform column split into fixed-length overlapping windows, each chunk
+# emitted as its own row (one→many mapInPandas expansion, like frame
+# sampling but windowed). The chunk GEOMETRY (doc_id, chunk_idx, offset,
+# n_samples) is pure arithmetic over the payload byte length, so unlike
+# the codec stubs this op carries a full SQL oracle; the byte slicing
+# itself is real (pytest asserts the chunk hashes against a driver-side
+# model).
+CHUNK = 100
+HOP = 60
+
+
+def _audio_chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "chunk_idx": [], "offset": [], "n_samples": [], "chunk_md5": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            idx = 0
+            for off in range(0, max(n, 1), HOP):
+                if off >= n:
+                    break
+                piece = payload[off : off + CHUNK]
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(idx)
+                out["offset"].append(off)
+                out["n_samples"].append(len(piece))
+                out["chunk_md5"].append(hashlib.md5(piece).hexdigest())
+                idx += 1
+        yield pd.DataFrame(out)
+
+
+def audio_chunks(docs: DataFrame) -> DataFrame:
+    schema = (
+        "doc_id LONG, chunk_idx INT, offset INT, n_samples INT, chunk_md5 STRING"
+    )
+    return with_payload(docs).mapInPandas(_audio_chunk_batches, schema)
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(idx AS INT) AS chunk_idx,
+       CAST(idx * {HOP} AS INT) AS offset,
+       CAST(least({CHUNK}, n - idx * {HOP}) AS INT) AS n_samples
+FROM sized, unnest(generate_series(0, (n - 1) // {HOP})) t(idx)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        audio_chunks(docs)
+        .select("doc_id", "chunk_idx", "offset", "n_samples")
+        .orderBy("doc_id", "chunk_idx")
+    )

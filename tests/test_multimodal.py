@@ -66,3 +66,28 @@ def test_feature_extraction_feeds_similarity(spark, sf_dir):
 
     d = feats.select(_dot(F.col("embedding"), F.col("embedding")).alias("d")).collect()
     assert all(r["d"] >= 0 for r in d)
+
+
+def test_audio_chunks_content_and_geometry(spark, sf_dir):
+    """Chunk byte content (md5) matches a driver-side model; geometry
+    follows the CHUNK/HOP framing exactly."""
+    import hashlib
+
+    from minimised_impala_spark.extensions import multimodal as M
+    from minimised_impala_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 20")
+    got = M.audio_chunks(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        payload = texts[doc_id].encode("utf-8")
+        rows.sort(key=lambda r: r["chunk_idx"])
+        expect_n = (len(payload) - 1) // M.HOP + 1
+        assert len(rows) == expect_n
+        for r in rows:
+            piece = payload[r["offset"] : r["offset"] + M.CHUNK]
+            assert r["n_samples"] == len(piece)
+            assert r["chunk_md5"] == hashlib.md5(piece).hexdigest()
