@@ -1,7 +1,7 @@
 """Deduplication operators for training-data pipelines (north-star
 extension; no reference analogue — the reference is pure SQL OLAP).
 
-Four dedup strategies over the ``documents`` table, each a DataFrame
+Dedup strategies over the ``documents`` table, each a DataFrame
 pipeline with a full SQL oracle:
 
 - exact:          md5 content fingerprint → hash groupBy
@@ -11,6 +11,11 @@ pipeline with a full SQL oracle:
                   (the 100 TB path: candidate pairs ∝ true near-dups, not
                   n²; each stage is a narrow shuffle on doc_id / band key)
 - simhash:        32-bit SimHash + banded hamming-distance join
+- embedding:      cosine near-dup over the embeddings table
+- keep_best:      duplicate-group resolution policy (keep highest quality)
+- cluster_cc:     pairwise candidates → clusters via distributed
+                  connected components (operators/graph.py; recursive-CTE
+                  oracle)
 
 Because the fixture corpus has no planted duplicates, every query builds a
 deterministic test corpus in-query: documents ∪ twin copies (doc_id +
