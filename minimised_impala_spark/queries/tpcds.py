@@ -18,6 +18,7 @@ Shapes covered (reference file in parentheses):
 - N independent banded counts cross-joined into one row (tpcds-q88.test)
 - ratio-to-total within class via window sum (tpcds-q98.test)
 - ROLLUP over the dim hierarchy of a star join (tpcds-q27.test)
+- detail-grain agg joined to dims, cross-aggregate filter (tpcds-q68.test)
 
 Determinism: same rules as tpch.py — every double aggregate that feeds a
 comparison or output is the scaled-round of an exact fixed-point rational
@@ -478,4 +479,47 @@ def tpcds_q27_rollup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("o_totalprice") * 100, 0) / 100).alias("sum_price"),
         )
         .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q46/Q68 shape: detail-grain aggregate (per order) with dim joins, then a
+# post-join filter comparing two aggregate columns, detail rows in the
+# output. Reference: tpcds-q68.test (per-ticket amounts joined back to
+# customer, filtered on city mismatch).
+@query(
+    "tpcds_q68_order_detail",
+    oracle="""
+WITH oa AS (
+  SELECT l_orderkey,
+         round(sum(l_extendedprice) * 100) / 100 AS gross,
+         round(sum(l_extendedprice * l_discount) * 10000) / 10000 AS disc_amt
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+       oa.gross AS gross, oa.disc_amt AS disc_amt
+FROM oa
+JOIN orders o   ON oa.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE year(o.o_orderdate) = 1997 AND oa.disc_amt > 0.07 * oa.gross
+ORDER BY c_name, o_orderkey
+LIMIT 200
+""",
+)
+def tpcds_q68_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oa = li.groupBy("l_orderkey").agg(
+        (F.round(F.sum("l_extendedprice") * 100, 0) / 100).alias("gross"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
+    )
+    return (
+        oa.join(orders.filter(F.year("o_orderdate") == 1997), oa.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("disc_amt") > 0.07 * F.col("gross"))
+        .select("c_name", "o_orderkey", "gross", "disc_amt")
+        .orderBy("c_name", "o_orderkey")
+        .limit(200)
     )
