@@ -27,15 +27,10 @@ from pyspark.sql import functions as F
 from minimised_impala_spark.queries.registry import query
 from minimised_impala_spark.tables import load_table
 
-# The pandas kernels below ship to Python workers via cloudpickle; when
-# the caller's session was built outside this repo (plain driver session,
-# arbitrary cwd) workers cannot import this package — serialize this
-# module by value so they never have to.
-import sys as _sys
+# pandas kernels below ship to workers — see serde module docstring
+from minimised_impala_spark.serde import pickle_module_by_value
 
-from pyspark import cloudpickle as _cloudpickle
-
-_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+pickle_module_by_value(__name__)
 
 DECODED_SCHEMA = (
     "doc_id bigint, byte_len bigint, fmt string, width int, height int, channels int"
@@ -241,9 +236,8 @@ def _audio_chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
             idx = 0
-            for off in range(0, max(n, 1), HOP):
-                if off >= n:
-                    break
+            # empty payloads yield zero chunks (the oracle filters n > 0)
+            for off in range(0, n, HOP):
                 piece = payload[off : off + CHUNK]
                 out["doc_id"].append(doc_id)
                 out["chunk_idx"].append(idx)
@@ -266,6 +260,7 @@ def audio_chunks(docs: DataFrame) -> DataFrame:
     oracle=f"""
 WITH sized AS (
   SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+  WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id,
        CAST(idx AS INT) AS chunk_idx,

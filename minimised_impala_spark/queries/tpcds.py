@@ -476,7 +476,7 @@ def tpcds_q27_rollup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("region", "nation")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.round(F.sum("o_totalprice") * 100, 0) / 100).alias("sum_price"),
+            dsum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
         .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
     )
@@ -512,7 +512,7 @@ def tpcds_q68_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     oa = li.groupBy("l_orderkey").agg(
-        (F.round(F.sum("l_extendedprice") * 100, 0) / 100).alias("gross"),
+        dsum(F.col("l_extendedprice"), 2).alias("gross"),
         dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
     )
     return (

@@ -114,12 +114,9 @@ def register(spark) -> None:
     # source works under any caller's session (incl. the plain driver
     # session of the verify harness).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    # The DataSource class round-trips through cloudpickle into Python
-    # workers whose sys.path may not include this repo — serialize this
-    # module by value so no import is needed worker-side.
-    import sys
+    # DataSource classes round-trip through cloudpickle into workers —
+    # see serde module docstring.
+    from minimised_impala_spark.serde import pickle_module_by_value
 
-    from pyspark import cloudpickle
-
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    pickle_module_by_value(__name__)
     spark.dataSource.register(ExtKVDataSource)

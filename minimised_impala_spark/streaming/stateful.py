@@ -37,14 +37,10 @@ from pyspark.sql.types import (
 from minimised_impala_spark.queries.registry import query
 from minimised_impala_spark.streaming.windows import _events_stream
 
-# applyInPandasWithState ships _sessionize_group to Python workers via
-# cloudpickle — serialize this module by value so workers need no repo
-# on sys.path (see extensions/multimodal.py for the same seam).
-import sys as _sys
+# _sessionize_group ships to workers — see serde module docstring
+from minimised_impala_spark.serde import pickle_module_by_value
 
-from pyspark import cloudpickle as _cloudpickle
-
-_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+pickle_module_by_value(__name__)
 
 SESSION_GAP_S = 30 * 60  # 30 min, matches events_sessionize's batch gap
 
