@@ -334,6 +334,199 @@ ORDER BY train_id, bench_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate-and-chunk bookkeeping for training-batch
+# assembly — every doc's tokens land at a global offset (running sum of
+# token counts in doc_id order), and the doc maps to the fixed-size context
+# windows [first_chunk, last_chunk] it straddles. The global running sum
+# uses operators/prefix.distributed_cumsum (two-phase parallel scan), NOT a
+# partitionless window — the latter is a single-task stage at 100 TB.
+_PACK_CAP = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT)                    AS n_tokens,
+       CAST((cum - n_tokens) // {_PACK_CAP} AS BIGINT) AS first_chunk,
+       CAST((cum - 1) // {_PACK_CAP} AS BIGINT)        AS last_chunk,
+       CAST((cum - 1) // {_PACK_CAP}
+            - (cum - n_tokens) // {_PACK_CAP} + 1 AS BIGINT) AS chunks_spanned
+FROM c
+ORDER BY doc_id
+"""
+
+
+@query("text_pack_sequences", oracle=_PACK_ORACLE)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.operators.prefix import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    c = distributed_cumsum(t, "doc_id", "n_tokens", "cum")
+    first = F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_CAP).cast("bigint")
+    last = F.floor((F.col("cum") - 1) / _PACK_CAP).cast("bigint")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("chunks_spanned"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality signals (the Gopher-rules family): fraction of
+# the doc's bigrams taken by its single most-frequent bigram, and fraction
+# of trigram occurrences that are repeats. Grams are built per-row with
+# array expressions (narrow map, JVM-side); the per-(doc, gram) count and
+# per-doc rollup are both keyed by doc_id, so the shuffles partition
+# cleanly at any corpus size.
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+g2 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+),
+g3 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+a2 AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+  FROM c2 GROUP BY doc_id
+),
+a3 AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+           AS dup_trigram_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT a2.doc_id AS doc_id, top_bigram_frac, dup_trigram_frac
+FROM a2 JOIN a3 ON a3.doc_id = a2.doc_id
+ORDER BY doc_id
+"""
+
+
+def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
+    """Per-(doc_id, gram) occurrence counts for n-grams of the token list
+    (NOT distinct — repetition metrics need multiplicities)."""
+    toks = F.split("text", " ")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@query("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a2 = _gram_counts(docs, 2).groupBy("doc_id").agg(
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    a3 = _gram_counts(docs, 3).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) * 1.0
+            / F.sum("c"),
+            6,
+        ).alias("dup_trigram_frac")
+    )
+    return a2.join(a3, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Weighted domain mixing: re-balance the corpus toward a target source
+# mixture with per-source deterministic keep rates (same md5-bucket
+# membership as text_sample_deterministic, so the subsample is bit-stable
+# across engines and re-runs). One narrow filter + one agg keyed by
+# source — no mixture-weight machinery needs to exist at scan time.
+_MIX_ORACLE = """
+WITH rated AS (
+  SELECT source,
+         CASE CAST(substr(source, 4) AS INT) % 4
+           WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END
+           AS keep_pct,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(max(keep_pct) AS INT) AS keep_pct,
+       count(*)                   AS n_docs,
+       CAST(sum(CASE WHEN bucket < keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS n_kept,
+       CAST(sum(CASE WHEN bucket < keep_pct THEN n_tokens ELSE 0 END) AS BIGINT)
+                                  AS kept_tokens
+FROM rated
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_mix_sources", oracle=_MIX_ORACLE)
+def text_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    keep_pct = (
+        F.when(src_num % 4 == 0, 100)
+        .when(src_num % 4 == 1, 50)
+        .when(src_num % 4 == 2, 25)
+        .otherwise(10)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    kept = F.col("bucket") < F.col("keep_pct")
+    return (
+        docs.select(
+            "source",
+            keep_pct.alias("keep_pct"),
+            bucket.alias("bucket"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("keep_pct").cast("int").alias("keep_pct"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("text_contamination", oracle=_CONTAMINATION_ORACLE)
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minimised_impala_spark.extensions.dedup import _gram_array
