@@ -523,3 +523,84 @@ def tpcds_q68_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_name", "o_orderkey")
         .limit(200)
     )
+
+
+# --------------------------------------------------------------------------
+# Q51 shape: two channel series cumulated per key over time, compared row-
+# by-row where one running total overtakes the other. Reference:
+# testdata/workloads/tpcds/queries/tpcds-q51.test (web vs store cumulative
+# sales per item). Channels here: urgent-priority vs other orders, keyed by
+# customer nation, cumulated by order month.
+#
+# Scale: the window is PARTITIONED (by nation) — parallel across keys, no
+# global-sort scan. The monthly pre-agg collapses the fact table before the
+# window, so window state is one row per (nation, month).
+@query(
+    "tpcds_q51_cumulative_compare",
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name AS nation,
+         date_trunc('month', o.o_orderdate) AS mon,
+         round(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN o.o_totalprice ELSE 0 END) * 100) / 100 AS web_rev,
+         round(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE o.o_totalprice END) * 100) / 100 AS store_rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY nation, mon
+),
+cum AS (
+  SELECT nation, mon,
+         round(sum(web_rev) OVER (PARTITION BY nation ORDER BY mon
+                                  ROWS UNBOUNDED PRECEDING) * 10000) / 10000
+           AS cum_web,
+         round(sum(store_rev) OVER (PARTITION BY nation ORDER BY mon
+                                    ROWS UNBOUNDED PRECEDING) * 10000) / 10000
+           AS cum_store
+  FROM monthly
+)
+SELECT nation, mon, cum_web, cum_store
+FROM cum
+WHERE cum_web > cum_store
+ORDER BY nation, mon
+""",
+)
+def tpcds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            # duckdb's date_trunc('month', ts) yields DATE — match it
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        )
+        .agg(
+            dsum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0), 2).alias(
+                "web_rev"
+            ),
+            dsum(F.when(urgent, 0.0).otherwise(F.col("o_totalprice")), 2).alias(
+                "store_rev"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.select(
+        "nation",
+        "mon",
+        _wround(F.sum("web_rev").over(w)).alias("cum_web"),
+        _wround(F.sum("store_rev").over(w)).alias("cum_store"),
+    )
+    return (
+        cum.filter(F.col("cum_web") > F.col("cum_store"))
+        .select("nation", "mon", "cum_web", "cum_store")
+        .orderBy("nation", "mon")
+    )

@@ -231,6 +231,72 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_attribution_join",
+    oracle="""
+SELECT a.user_id AS user_id, count(*) AS n_pairs,
+       min(b.event_id) AS first_click_id
+FROM events a JOIN events b ON b.user_id = a.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '15 minutes'
+GROUP BY a.user_id
+ORDER BY user_id
+""",
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click attribution): views joined to
+    clicks by the same user within 15 minutes, both sides real streams.
+    Inner stream-stream joins emit matches immediately (append mode); the
+    watermarks + the time-range conjunct let Spark evict join state older
+    than the horizon, so state stays bounded on an unbounded source.
+
+    Scale: both streams hash-partition on user_id (the equi key); state per
+    key is limited to the 15-minute interval plus watermark slack. The
+    post-sink per-user rollup is batch (the join IS the streaming part).
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 15 MINUTES")),
+    )
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("click_id").alias("first_click_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "streaming_enrich_join",
     oracle="""
 SELECT c.c_mktsegment AS segment, count(*) AS n,
