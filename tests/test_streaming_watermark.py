@@ -110,3 +110,45 @@ def test_drop_duplicates_within_watermark(spark, staged):
         q.stop()
     got = sorted(r["event_id"] for r in spark.table(name).collect())
     assert got == [1, 2, 3]
+
+
+def test_file_sink_exactly_once_across_restart(spark, staged, tmp_path):
+    """Checkpointed parquet file sink: restarting the query from the same
+    checkpoint must not re-emit already-committed batches, and new input
+    after restart lands exactly once — the exactly-once contract a
+    training-data ingestion pipeline relies on when archiving a stream."""
+    import os
+
+    os.makedirs(staged, exist_ok=True)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def start():
+        return (
+            spark.readStream.schema("ts TIMESTAMP, k STRING")
+            .format("parquet")
+            .load(staged)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    _write_batch(spark, staged, [("2024-01-01 10:00:00", "a"), ("2024-01-01 10:01:00", "b")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart from the same checkpoint; add one more record
+    _write_batch(spark, staged, [("2024-01-01 10:02:00", "c")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == ["a", "b", "c"]
