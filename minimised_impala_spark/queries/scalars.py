@@ -422,3 +422,51 @@ def source_ext_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Delimited-text scan (the reference's text scanner family,
+# be/src/exec/hdfs-text-scanner.h:30 + writer hdfs-text-table-writer.h:40)
+# as a declared query: supplier is round-tripped through gzip
+# pipe-delimited text with an explicit schema (the reference's
+# schema-on-read contract) and aggregated from the text scan; the oracle
+# aggregates the original parquet. Lossless round trip = identical hashes.
+_TEXT_SCAN_ORACLE = """
+SELECT s_nationkey, count(*) AS n,
+       round(sum(s_acctbal) * 100) / 100 AS sum_bal,
+       min(s_name) AS first_name, max(s_name) AS last_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@query("source_text_scan", oracle=_TEXT_SCAN_ORACLE)
+def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from minimised_impala_spark.sources.formats import read_text, write_text
+    from minimised_impala_spark.tables import load_table
+
+    src = os.path.realpath(f"{sf_dir}/supplier.parquet")
+    stage = f"/tmp/mis_textscan_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    write_text(
+        load_table(spark, sf_dir, "supplier"), stage, sep="|", compression="gzip"
+    )
+    txt = read_text(
+        spark,
+        stage,
+        schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+        sep="|",
+    )
+    return (
+        txt.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("s_acctbal") * 100, 0) / 100).alias("sum_bal"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_name").alias("last_name"),
+        )
+        .orderBy("s_nationkey")
+    )
