@@ -45,6 +45,12 @@ def test_no_global_window_over_input(spark):
     df = spark.range(10_000).select(
         F.col("id").alias("k"), (F.col("id") % 13).alias("v")
     )
-    plan = distributed_cumsum(df, "k", "v", "cum")._jdf.queryExecution().toString()
+    out = distributed_cumsum(df, "k", "v", "cum")
+    plan = out._jdf.queryExecution().toString()
     # the local pass appears as a Window with partition spec on the pid col
     assert "__prefix_pid" in plan
+    # the totals branch must NOT rescan the input: AQE reuses the range
+    # exchange's shuffle files for both the local-scan and totals subtrees
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
