@@ -13,7 +13,7 @@ they are declared rows-only and exercised in tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minimised_impala_spark.queries.registry import query
@@ -455,4 +455,47 @@ def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.crossJoin(F.broadcast(merged))
         .select("item", "cnt", "ndv_status")
         .orderBy(F.desc("cnt"), "item")
+    )
+
+
+# --------------------------------------------------------------------------
+# The reference's sample() aggregate (reservoir sampling of 20 values per
+# group, be/src/exprs/aggregate-functions.h:135-159 ReservoirSample*,
+# BuiltinsDb.java:574-594). A literal reservoir is nondeterministic across
+# engines, so the engine spells it as a deterministic hash-rank sample:
+# rank rows per group by md5(unique key), keep the first 5 — same uniform-
+# without-replacement semantics, identical on both engines and at any
+# parallelism.
+#
+# Scale: one shuffle on the group key; rank + filter prunes to k rows per
+# group before the final sorted-list collect. No global ordering anywhere.
+_SAMPLE_RESERVOIR_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rk
+  FROM orders
+)
+SELECT o_orderpriority,
+       list(o_orderkey ORDER BY o_orderkey) AS sample_keys
+FROM ranked
+WHERE rk <= 5
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_sample_reservoir", oracle=_SAMPLE_RESERVOIR_ORACLE)
+def agg_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string"))
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("sample_keys"))
+        .orderBy("o_orderpriority")
     )
