@@ -19,6 +19,9 @@ Shapes covered (reference file in parentheses):
 - ratio-to-total within class via window sum (tpcds-q98.test)
 - ROLLUP over the dim hierarchy of a star join (tpcds-q27.test)
 - detail-grain agg joined to dims, cross-aggregate filter (tpcds-q68.test)
+- per-key cumulative channel compare via partitioned running sums (q51)
+- correlated scalar-avg subquery threshold + HAVING (tpcds-q6.test)
+- INTERSECT gate semi-joined into the star agg (tpcds-q8.test)
 
 Determinism: same rules as tpch.py — every double aggregate that feeds a
 comparison or output is the scaled-round of an exact fixed-point rational
@@ -603,4 +606,114 @@ def tpcds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.filter(F.col("cum_web") > F.col("cum_store"))
         .select("nation", "mon", "cum_web", "cum_store")
         .orderBy("nation", "mon")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: fact rows kept only where the item's price exceeds 1.05× the
+# average price of its own type (correlated scalar-avg subquery,
+# decorrelated to a per-type aggregate + broadcast join — exactly what the
+# reference's StmtRewriter and Catalyst both do), grouped by customer
+# geography with HAVING. Reference: tpcds-q6.test.
+#
+# Determinism: the per-type average is dsum/count (exact 2-dec rational →
+# identical double), so the 1.05× threshold comparison is the same IEEE
+# op on both engines — no borderline flips.
+@query(
+    "tpcds_q6_price_above_type_avg",
+    oracle="""
+WITH type_avg AS (
+  SELECT p_type,
+         (round(sum(p_retailprice) * 100) / 100) / count(*) AS avg_price
+  FROM part GROUP BY p_type
+)
+SELECT n.n_name AS nation, count(*) AS cnt
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN type_avg t ON t.p_type = p.p_type
+WHERE p.p_retailprice > 1.05 * t.avg_price
+GROUP BY n.n_name
+HAVING count(*) >= 10
+ORDER BY cnt, nation
+LIMIT 100
+""",
+)
+def tpcds_q6_price_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    type_avg = part.groupBy("p_type").agg(
+        (dsum(F.col("p_retailprice"), 2) / F.count(F.lit(1))).alias("avg_price")
+    )
+    priced = part.join(F.broadcast(type_avg), "p_type").filter(
+        F.col("p_retailprice") > 1.05 * F.col("avg_price")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(priced.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "nation")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: a set-intersection gate (nations that BOTH have affluent
+# customers AND affluent suppliers) drives a semi-join into the fact agg.
+# Reference: tpcds-q8.test (preferred-customer zip INTERSECT store zips).
+# Scale: both INTERSECT inputs collapse to key sets (shuffle on the key,
+# tiny output), the gate semi-joins into the star — no fact-side blowup.
+@query(
+    "tpcds_q8_intersect_gate",
+    oracle="""
+WITH good AS (
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+)
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(o.o_totalprice) * 100) / 100 AS rev
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE c.c_nationkey IN (SELECT nk FROM good)
+GROUP BY n.n_name
+ORDER BY nation
+""",
+)
+def tpcds_q8_intersect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    good = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .intersect(
+            supp.filter(F.col("s_acctbal") > 5000).select(
+                F.col("s_nationkey").cast("bigint").alias("nk")
+            )
+        )
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(good), cust.c_nationkey == F.col("nk"), "left_semi"
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("rev"),
+        )
+        .orderBy("nation")
     )
