@@ -182,7 +182,57 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("sim_lsh_ann")  # rows-only: end-to-end ANN (bucket join + re-score)
+# Full exact oracle: the hyperplanes are deterministic (md5-derived), so the
+# whole ANN pipeline — signature, bucket self-join, normalized re-score —
+# is SQL-expressible; DuckDB recomputes it end-to-end and the value hash
+# must match. (Upgraded from rows-only per VERDICT r1 item 3.)
+@query(
+    "sim_lsh_ann",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, i.dim, e[i.dim + 1] AS x
+  FROM v, (SELECT unnest(range({DIM})) AS dim) i
+),
+proj AS (
+  SELECT c.vec_id, j.pl,
+         sum(c.x * {_PLANE_SQL}) AS dot
+  FROM comps c, (SELECT unnest(range({N_PLANES})) AS pl) j
+  GROUP BY c.vec_id, j.pl
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << pl) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+),
+norm AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ne
+  FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_dot_product(na.ne, nb.ne) AS cosine
+  FROM sig a
+  JOIN sig b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+  JOIN norm na ON na.vec_id = a.vec_id
+  JOIN norm nb ON nb.vec_id = b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid) AS rn
+  FROM pairs
+)
+SELECT qid, nid, round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= 3
+ORDER BY qid, nid
+""",
+)
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 per vector via LSH buckets: candidates share a bucket,
     exact cosine re-score inside buckets. At 100 TB: the bucket join
@@ -225,12 +275,29 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("sim_ivf_ann")  # rows-only: k-means training is not SQL-expressible
+# K-means training is not SQL-expressible, so the oracle checks the testable
+# property instead (VERDICT r1 item 3): recall@3 of the IVF result against
+# the exact top-3 (recomputed in-query), floored at total_hits >= 5 across
+# the 10 query vectors.  The synthetic embeddings are near-random, so
+# per-query recall at nprobe=2/16 legitimately varies 0..3 (measured 11/30
+# at sf0.001, 14/30 at sf0.01); a garbage ANN would score ~0 (expected
+# random overlap 30·3/n ≪ 1), so the floor discriminates working from
+# broken while tolerating the data's intrinsic difficulty.
+@query(
+    "sim_ivf_ann",
+    oracle="""
+SELECT CAST(count(*) AS INT)     AS n_queries,
+       CAST(3 * count(*) AS INT) AS total_exact,
+       TRUE                      AS recall_ok
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)
+""",
+)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a k-means coarse quantizer (nlist=16, seed-fixed)
     partitions the corpus into inverted lists; each query probes its
     nprobe=2 nearest centroids and re-scores exactly (cosine) only inside
-    the probed lists. Top-3 neighbors per query vector.
+    the probed lists. Top-3 neighbors per query vector, summarized as
+    recall@3 against the exact top-3 (see oracle note above).
 
     Scale path: centroids are tiny and broadcast; list assignment is a
     narrow map; the probe join shuffles on list id, so scored candidates
@@ -293,7 +360,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    ann = (
         F.broadcast(queries_df)
         .join(
             cands,
@@ -303,8 +370,28 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-        .orderBy("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id")
+    )
+    # ground truth: exact top-3 for the same 10 query vectors (brute force
+    # over the corpus — bounded query set, so this stays a broadcast join)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cs = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    exact = (
+        F.broadcast(qs)
+        .join(cs, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(
+        (F.countDistinct("query_id")).cast("int").alias("n_queries"),
+        F.count(F.lit(1)).cast("int").alias("total_exact"),
+    ).crossJoin(
+        F.broadcast(hits.agg((F.count(F.lit(1)) >= 5).alias("recall_ok")))
     )
 
 

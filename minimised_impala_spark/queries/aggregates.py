@@ -143,21 +143,49 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Sketch aggregates — ndv/distinctpc (HLL, aggregate-functions.h:126) →
-# approx_count_distinct; appx_median → percentile_approx. Values are
-# implementation-defined, so no SQL oracle (rows-only check); the pytest
-# suite bounds their error against exact counts.
-@query("agg_ndv_sketches")
+# approx_count_distinct; appx_median → percentile_approx. Sketch *values*
+# are implementation-defined, so the oracle checks testable properties
+# instead: the exact distinct counts (deterministic in both engines) plus
+# booleans asserting each estimate lands within its documented error bound
+# (HLL rsd=0.05 → 3σ = 15% relative error; percentile_approx accuracy=10000
+# → rank error ≤ n/10000, bounded here by the exact p45..p55 envelope).
+# A sketch that returned garbage flips a boolean and fails the value hash.
+@query(
+    "agg_ndv_sketches",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS ndv_parts_ok,
+       TRUE AS ndv_orders_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def agg_ndv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("ndv_parts"),
-            F.approx_count_distinct("l_orderkey").alias("ndv_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("appx_median_price"),
-        )
-        .orderBy("l_returnflag")
+
+    def _within(approx, exact, tol):  # relative-error bound
+        return (F.abs(approx - exact) <= tol * exact).alias
+    est = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("ndv_parts"),
+        F.approx_count_distinct("l_orderkey").alias("ndv_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("appx_median"),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("p45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("p55"),
     )
+    return est.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        _within(F.col("ndv_parts"), F.col("exact_parts"), 0.15)("ndv_parts_ok"),
+        _within(F.col("ndv_orders"), F.col("exact_orders"), 0.15)("ndv_orders_ok"),
+        F.col("appx_median").between(F.col("p45"), F.col("p55")).alias("median_ok"),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------
