@@ -45,7 +45,7 @@ _PRIORITY = [
     "tpch_q3", "join_full_outer", "join_null_aware_anti", "join_null_safe_eq",
     # §2.4 aggregation
     "agg_distinct_multi", "agg_ndv_sketches", "agg_rollup", "agg_pivot",
-    "agg_sketch_suite", "agg_sample_reservoir",
+    "agg_sketch_suite",
     # §2.5 analytic windows
     "window_rank_suite", "window_rows_frame", "window_range_numeric",
     "window_lag_lead", "window_topk_per_group",

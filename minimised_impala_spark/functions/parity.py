@@ -114,6 +114,26 @@ def strleft(s: Column, n: Column | int) -> Column:
     return F.substring(s, 1, n if isinstance(n, int) else n)
 
 
+def cast_char(s: Column, n: int) -> Column:
+    """Impala ``CAST(x AS CHAR(n))`` (be/src/runtime/types.h:54-55;
+    fe/.../catalog/ScalarType.java): truncate to n, then blank-pad to
+    exactly n. Spark's native CHAR(n) cast either passes strings through
+    (default conf) or *throws* on over-length (preserveCharVarcharTypeInfo),
+    so the reference's truncate-and-pad contract is expressed explicitly."""
+    return F.rpad(F.substring(s, 1, n), n, " ")
+
+
+def cast_varchar(s: Column, n: int) -> Column:
+    """Impala ``CAST(x AS VARCHAR(n))``: silent truncation to n."""
+    return F.substring(s, 1, n)
+
+
+def char_eq(a: Column, b: Column) -> Column:
+    """CHAR comparison semantics: trailing blanks are insignificant
+    (the reference compares CHARs padded to a common width)."""
+    return F.rtrim(a) == F.rtrim(b)
+
+
 def strright(s: Column, n: Column | int) -> Column:
     n = F.lit(n) if isinstance(n, int) else n
     # substring with negative start counts from the end; n <= 0 → empty.
@@ -367,6 +387,13 @@ _SQL_UDFS: dict[str, str] = {
     "nonnullvalue": "(x STRING) RETURNS BOOLEAN RETURN x IS NOT NULL",
     "nullvalue": "(x STRING) RETURNS BOOLEAN RETURN x IS NULL",
     "strleft": "(s STRING, n INT) RETURNS STRING RETURN substring(s, 1, n)",
+    # CHAR(n)/VARCHAR(n) cast + comparison semantics (types.h:54-55):
+    # truncate-then-pad / truncate; CHAR equality ignores trailing blanks.
+    "cast_char": (
+        "(s STRING, n INT) RETURNS STRING RETURN rpad(substring(s, 1, n), n, ' ')"
+    ),
+    "cast_varchar": "(s STRING, n INT) RETURNS STRING RETURN substring(s, 1, n)",
+    "char_eq": "(a STRING, b STRING) RETURNS BOOLEAN RETURN rtrim(a) = rtrim(b)",
     "strright": (
         "(s STRING, n INT) RETURNS STRING RETURN "
         "CASE WHEN n <= 0 THEN '' ELSE substring(s, -n, n) END"

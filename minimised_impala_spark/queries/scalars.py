@@ -470,3 +470,49 @@ def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# CHAR(n)/VARCHAR(n) semantics (be/src/runtime/types.h:54-55,
+# fe/.../catalog/ScalarType.java; SURVEY §7 risk register): CAST to CHAR(n)
+# truncates then blank-pads to exactly n; CAST to VARCHAR(n) silently
+# truncates; CHAR comparison ignores trailing blanks. Spark's native CHAR
+# cast does neither under default conf, so the engine expresses the
+# contract via functions/parity.py cast_char/cast_varchar/char_eq.
+_CHAR_VARCHAR_ORACLE = """
+SELECT s_suppkey,
+       rpad(substr(s_name, 1, 12), 12, ' ')   AS c12,
+       length(rpad(substr(s_name, 1, 12), 12, ' ')) AS c12_len,
+       rpad(substr(s_name, 1, 40), 40, ' ')   AS c40,
+       substr(s_name, 1, 8)                   AS v8,
+       substr(upper(s_name), 1, 15)           AS v15,
+       (rtrim(rpad(substr(s_name, 1, 40), 40, ' ')) = rtrim(s_name)) AS pad_eq,
+       (rtrim(s_name || '   ') = rtrim(s_name))                      AS trail_eq,
+       (rpad(substr(s_name, 1, 40), 40, ' ') = s_name)               AS raw_eq
+FROM supplier
+WHERE s_suppkey <= 50
+ORDER BY s_suppkey
+"""
+
+
+@query("scalar_char_varchar", oracle=_CHAR_VARCHAR_ORACLE)
+def scalar_char_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.functions.parity import cast_char, cast_varchar, char_eq
+
+    sup = load_table(spark, sf_dir, "supplier")
+    name = F.col("s_name")
+    return (
+        sup.filter(F.col("s_suppkey") <= 50)
+        .select(
+            "s_suppkey",
+            cast_char(name, 12).alias("c12"),
+            F.length(cast_char(name, 12)).alias("c12_len"),
+            cast_char(name, 40).alias("c40"),
+            cast_varchar(name, 8).alias("v8"),
+            cast_varchar(F.upper(name), 15).alias("v15"),
+            char_eq(cast_char(name, 40), name).alias("pad_eq"),
+            char_eq(F.concat(name, F.lit("   ")), name).alias("trail_eq"),
+            (cast_char(name, 40) == name).alias("raw_eq"),
+        )
+        .orderBy("s_suppkey")
+    )

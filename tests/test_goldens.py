@@ -15,9 +15,11 @@ _CASES = [(c.name, c) for f in all_golden_files() for c in parse_golden_file(f)]
 
 @pytest.fixture(scope="module")
 def golden_tables(spark, sf_dir):
+    from minimised_impala_spark.functions.parity import register_sql_functions
     from minimised_impala_spark.tables import register_tables
 
     register_tables(spark, sf_dir)
+    register_sql_functions(spark)
     return spark
 
 
