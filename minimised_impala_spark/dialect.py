@@ -77,6 +77,32 @@ def has_straight_join(sql: str) -> bool:
     return bool(_STRAIGHT.search(_mask(sql)))
 
 
+def _governing_select(masked: str, pos: int) -> int | None:
+    """Start offset of the SELECT governing the query block containing
+    ``pos`` — a backward scan that skips over closed ``(...)`` groups, so a
+    subquery's SELECT sitting textually between the outer SELECT and a
+    hinted join (``SELECT ... FROM (SELECT ...) x JOIN [broadcast] s``)
+    is not mistaken for the hint's home block. A Spark hint comment
+    attached to the wrong block is silently dropped as unresolved."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        ch = masked[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(" and depth > 0:
+            depth -= 1
+        elif depth == 0 and masked[i : i + 6].upper() == "SELECT":
+            before = masked[i - 1] if i > 0 else " "
+            after = masked[i + 6] if i + 6 < len(masked) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return i
+        i -= 1
+    return None
+
+
 def parse_create_like_file(sql: str) -> dict | None:
     """Parse ``CREATE TABLE t LIKE PARQUET '<file>' [STORED AS fmt]`` —
     the reference's schema-inference DDL
@@ -154,12 +180,10 @@ def translate(sql: str) -> str:
         if alias and alias.upper() in _KEYWORDS:
             alias = None
         name = (alias or ref.group(0).split()[0]).split(".")[-1]
-        sel = None
-        for s in _SELECT.finditer(masked, 0, m.start()):
-            sel = s
-        if sel is None:
+        sel_pos = _governing_select(masked, m.start())
+        if sel_pos is None:
             continue
-        hints.append((sel.end(), kind, name))
+        hints.append((sel_pos + 6, kind, name))
         out = _splice(out, m.start(), m.end(), "JOIN ")
         masked = _splice(masked, m.start(), m.end(), "JOIN ")
 

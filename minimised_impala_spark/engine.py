@@ -58,7 +58,13 @@ class Engine:
             prev = self.spark.conf.get("spark.sql.cbo.joinReorder.enabled", "true")
             self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
             try:
-                return self.spark.sql(translated)
+                df = self.spark.sql(translated)
+                # Catalyst optimizes lazily at the first action — by which
+                # time the finally below has restored the conf and
+                # CostBasedJoinReorder would reorder anyway. Force the
+                # optimized plan NOW, while reorder is still disabled.
+                df._jdf.queryExecution().optimizedPlan()
+                return df
             finally:
                 self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev)
         return self.spark.sql(translated)

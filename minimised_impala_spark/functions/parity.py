@@ -189,9 +189,12 @@ def countset(c: Column, v: Column | int = 1) -> Column:
 
 
 def quotient(a: Column, b: Column) -> Column:
-    """Integer division; NULL on divide-by-zero (non-ANSI semantics)."""
+    """Integer division; NULL on divide-by-zero (non-ANSI semantics).
+
+    Uses Spark's exact integral ``div`` — routing through double division
+    loses precision above 2^53 and can return a wrong quotient."""
     return F.when(b.cast("bigint") == 0, F.lit(None)).otherwise(
-        (a.cast("bigint") / b.cast("bigint")).cast("bigint")
+        F.call_function("div", a.cast("bigint"), b.cast("bigint"))
     )
 
 
@@ -361,9 +364,11 @@ def trunc_ts(ts: Column, unit: str) -> Column:
 _SQL_UDFS: dict[str, str] = {
     # C-style truncated remainder (math-functions.cc fmod); Spark's % on
     # doubles matches but the NAME is part of the dialect.
+    # Spark's double % is C fmod at all magnitudes; the manual trunc-multiply
+    # spelling saturated at BIGINT range for extreme |a/b|.
     "fmod": (
         "(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN "
-        "CASE WHEN b = 0 THEN CAST('NaN' AS DOUBLE) ELSE a - b * CAST(a / b AS BIGINT) END"
+        "CASE WHEN b = 0 THEN CAST('NaN' AS DOUBLE) ELSE a % b END"
     ),
     "is_nan": "(x DOUBLE) RETURNS BOOLEAN RETURN isnan(x)",
     "is_inf": (
@@ -412,9 +417,11 @@ _SQL_UDFS: dict[str, str] = {
         "(x BIGINT, i INT) RETURNS BIGINT RETURN x | shiftleft(CAST(1 AS BIGINT), i)"
     ),
     "countset": "(x BIGINT) RETURNS INT RETURN bit_count(x)",
+    # a DIV b is exact integral division (double-routed division loses
+    # precision above 2^53).
     "quotient": (
         "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN "
-        "CASE WHEN b = 0 THEN NULL ELSE CAST(a / b AS BIGINT) END"
+        "CASE WHEN b = 0 THEN NULL ELSE a DIV b END"
     ),
     "int_months_between": (
         "(a TIMESTAMP, b TIMESTAMP) RETURNS INT RETURN "

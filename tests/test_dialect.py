@@ -95,3 +95,31 @@ def test_engine_compute_stats(spark, sf_dir):
         assert any("Statistics" in str(r) for r in stats)
     finally:
         spark.sql("DROP TABLE IF EXISTS _stats_probe")
+
+
+def test_hint_after_subquery_lands_on_outer_select():
+    # A subquery's SELECT sits textually between the outer SELECT and the
+    # hinted join; the hint must attach to the OUTER block (ADVICE r1).
+    out = dialect.translate(
+        "SELECT x.a, s.b FROM (SELECT a FROM t1) x "
+        "JOIN [broadcast] small s ON x.a = s.a"
+    )
+    assert out.startswith("SELECT /*+ BROADCAST(s) */")
+    assert "(SELECT /*+" not in out
+
+
+def test_hint_inside_subquery_lands_on_inner_select():
+    out = dialect.translate(
+        "SELECT * FROM (SELECT t.a FROM t JOIN [shuffle] u ON t.k = u.k) v"
+    )
+    assert "(SELECT /*+ SHUFFLE_HASH(u) */" in out
+    assert not out.startswith("SELECT /*+")
+
+
+def test_hints_in_both_blocks():
+    out = dialect.translate(
+        "SELECT * FROM (SELECT t.a FROM t JOIN [broadcast] d ON t.k = d.k) v "
+        "JOIN [shuffle] w ON v.a = w.a"
+    )
+    assert out.startswith("SELECT /*+ SHUFFLE_HASH(w) */")
+    assert "(SELECT /*+ BROADCAST(d) */" in out

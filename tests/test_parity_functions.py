@@ -272,3 +272,25 @@ def test_rotate_random_batch(spark):
     for r in got:
         assert r["rl"] == rot64(r["x"] % (1 << 64), r["n"], True)
         assert r["rr"] == rot64(r["x"] % (1 << 64), r["n"], False)
+
+
+def test_quotient_exact_above_double_precision(spark):
+    # double-routed division would round these (ADVICE r1); DIV is exact
+    big = (1 << 62) + 3
+    assert _one(spark, P.quotient(F.lit(big), F.lit(3))) == big // 3
+    assert _one(spark, P.quotient(F.lit(big), F.lit(1))) == big
+    P.register_sql_functions(spark)
+    row = spark.sql(f"SELECT quotient({big}, 3) q").collect()[0]
+    assert row["q"] == big // 3
+
+
+def test_fmod_extreme_ratio(spark):
+    # |a/b| far beyond BIGINT range: the old trunc-multiply body saturated
+    import math
+
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT fmod(CAST(1e300 AS DOUBLE), CAST(1e-3 AS DOUBLE)) a"
+    ).collect()[0]
+    assert row["a"] is not None and abs(row["a"]) <= 1e-3
+    assert row["a"] == math.fmod(1e300, 1e-3)
