@@ -31,47 +31,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001")
 
 
-# The round-1 driver run recorded only the first 50 registry entries, which
-# in plain registration order is the tpch/tpcds/join/agg prefix — leaving
-# every other SURVEY §2 category driver-unverified.  Emit the registry in a
-# priority order instead: the first 50 names span every §2 category and
-# every extension family (one-or-two representatives each), so a capped run
-# still externally verifies the whole surface; the remainder follows in
+# The driver verifies only the first 50 registry entries per round. Round 1
+# covered the registration-order prefix; round 2 a category-spanning
+# representative list — union 93/136.  Round 3 spends the cap on the tail:
+# first the 9 rows that were red in CORRECTNESS_r02 (4 oracle-typing hash
+# mismatches now pinned, 5 events/streaming errors killed by the fixed
+# tables.py events-ts loader), then the 43 never-driver-verified names
+# (r1 ∪ r2 complement), with the 3 rows-only (no-oracle) queries last among
+# them since their driver check is weaker anyway.  r1 ∪ r2 ∪ r3 then covers
+# all 133 oracled queries.  Previously-green representatives follow, then
 # registration order.
 _PRIORITY = [
-    # §2.1 scans + §2.2 select/values
-    "tpch_q1", "source_text_scan", "source_ext_kv_scan", "select_values",
-    # §2.3 joins
-    "tpch_q3", "join_full_outer", "join_null_aware_anti", "join_null_safe_eq",
-    # §2.4 aggregation
-    "agg_distinct_multi", "agg_ndv_sketches", "agg_rollup", "agg_pivot",
-    "agg_sketch_suite",
-    # §2.5 analytic windows
-    "window_rank_suite", "window_rows_frame", "window_range_numeric",
-    "window_lag_lead", "window_topk_per_group",
-    # §2.6 sort/limit/offset
-    "sort_nulls_limit_offset",
-    # §2.7 set operations
-    "set_union", "set_intersect_except",
-    # §2.8 scalar expression families
-    "scalar_string", "scalar_math", "scalar_datetime", "scalar_conditional",
-    "scalar_cast", "scalar_decimal", "scalar_parity_fns", "scalar_char_varchar",
-    # subquery rewrites
-    "subq_scalar_correlated", "subq_not_in_null_semantics",
-    # §2.9 nested types
-    "nested_explode_tokens", "nested_struct_roundtrip", "nested_map_access",
-    # events suite
+    # red in r2 — re-verify first (oracle typing pinned / loader fixed)
+    "window_range_numeric", "scalar_math", "scalar_decimal",
+    "pipeline_corpus_curation",
     "events_sessionize", "events_asof_join", "events_range_join",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_cluster_cc",
-    # similarity / ANN family
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann",
-    # text pipeline family
-    "text_quality", "text_pack_sequences", "pipeline_corpus_curation",
-    # multimodal family
-    "multimodal_binary_meta", "multimodal_audio_chunks",
-    # streaming family
     "streaming_window_counts", "streaming_dedup_exact",
+    # never driver-verified: aggregates/sets
+    "agg_minmax_types", "set_union_distinct", "agg_cube_grouping",
+    "agg_sample_reservoir",
+    # windows
+    "window_range_frame", "window_first_last", "window_percentile",
+    # subqueries
+    "subq_scalar_uncorrelated", "subq_exists_correlated",
+    "subq_not_exists_correlated", "subq_in_aggregated", "subq_in_disjunction",
+    # nested types
+    "nested_array_funcs", "nested_explode_outer", "nested_tpch_q18",
+    "nested_tpch_pricing", "nested_exists_predicate",
+    # events suite tail
+    "events_window_agg", "events_json_extract", "events_funnel",
+    "events_funnel_ordered", "events_retention", "events_gapfill",
+    # dedup tail
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_keep_best",
+    # similarity tail
+    "sim_lsh_buckets", "sim_quantized_topk",
+    # text pipeline tail
+    "text_langid", "text_tokens", "text_fingerprint",
+    "text_sample_deterministic", "text_repetition", "text_mix_sources",
+    "text_contamination",
+    # streaming tail
+    "streaming_sliding_counts", "streaming_session_window",
+    "streaming_attribution_join", "streaming_enrich_join",
+    # rows-only (no oracle — weaker driver check, so last within the cap;
+    # two of the three spill to round 4)
+    "streaming_sessionize_stateful", "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    # previously-green category representatives (r1/r2), for regression
+    # coverage if the driver's cap ever rises
+    "tpch_q1", "source_text_scan", "source_ext_kv_scan", "select_values",
+    "tpch_q3", "join_full_outer", "join_null_aware_anti", "join_null_safe_eq",
+    "agg_distinct_multi", "agg_ndv_sketches", "agg_rollup", "agg_pivot",
+    "agg_sketch_suite", "window_rank_suite", "window_rows_frame",
+    "window_lag_lead", "window_topk_per_group", "sort_nulls_limit_offset",
+    "set_union", "set_intersect_except", "scalar_string", "scalar_datetime",
+    "scalar_conditional", "scalar_cast", "scalar_parity_fns",
+    "scalar_char_varchar", "subq_scalar_correlated",
+    "subq_not_in_null_semantics", "nested_explode_tokens",
+    "nested_struct_roundtrip", "nested_map_access", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_cluster_cc", "sim_cosine_topk", "sim_lsh_ann",
+    "sim_ivf_ann", "text_quality", "text_pack_sequences",
+    "multimodal_binary_meta", "multimodal_audio_chunks",
 ]
 
 

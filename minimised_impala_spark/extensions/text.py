@@ -203,7 +203,7 @@ stats AS (
 )
 SELECT (n_tokens // 50) * 50 AS token_bucket,
        count(*)              AS n_docs,
-       sum(n_tokens)         AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
 FROM stats
 GROUP BY token_bucket

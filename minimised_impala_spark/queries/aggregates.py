@@ -339,7 +339,7 @@ SELECT coalesce(l_returnflag, '<all>')  AS rf,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
                                         AS gid,
        count(*)                         AS n,
-       sum(CAST(l_quantity AS BIGINT))  AS sum_qty
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY gid, rf, ls

@@ -309,8 +309,8 @@ WITH nested AS (
 )
 SELECT c_mktsegment,
        count(*) AS n_custs,
-       sum(CASE WHEN len(list_filter(prices, p -> p > 400000)) > 0
-                THEN 1 ELSE 0 END) AS n_with_big_order
+       CAST(sum(CASE WHEN len(list_filter(prices, p -> p > 400000)) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big_order
 FROM nested
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment

@@ -119,7 +119,7 @@ SELECT l_orderkey, l_linenumber,
        round(cos(l_quantity), 9)                AS cos_q,
        round(atan2(l_quantity, 10.0), 9)        AS at2,
        round(degrees(atan(l_discount)), 9)      AS deg_at,
-       factorial(CAST(l_linenumber AS INT))     AS fact_ln
+       CAST(factorial(CAST(l_linenumber AS INT)) AS BIGINT) AS fact_ln
 FROM lineitem
 WHERE l_orderkey < 500
 ORDER BY l_orderkey, l_linenumber
@@ -349,8 +349,7 @@ SELECT o_orderkey,
             AS DECIMAL(13,2))                                              AS d_add,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.07 AS DECIMAL(4,2))
             AS DECIMAL(16,4))                                              AS d_mul,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2)) / CAST(3 AS DECIMAL(4,0))
-            AS DECIMAL(18,6))                                              AS d_div,
+       round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 3, 6)   AS d_div,
        CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS d_round,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) % CAST(100 AS DECIMAL(5,0))
             AS DECIMAL(7,2))                                               AS d_mod,
@@ -372,7 +371,12 @@ def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.alias("d"),
             (d + F.lit(0.05).cast("decimal(4,2)")).cast("decimal(13,2)").alias("d_add"),
             (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(16,4)").alias("d_mul"),
-            (d / F.lit(3).cast("decimal(4,0)")).cast("decimal(18,6)").alias("d_div"),
+            # d_div compared as DOUBLE with explicit round(…, 6): the two
+            # engines' decimal-division intermediate scales differ, so the
+            # 6th digit of a repeating quotient is otherwise unpinned. A
+            # 2-decimal price over 3 has 7th digit ∈ {0,3,6} — never a
+            # rounding tie — so double rounding is exact on both engines.
+            F.round(d.cast("double") / 3, 6).alias("d_div"),
             F.round(d, 1).cast("decimal(12,1)").alias("d_round"),
             (d % F.lit(100).cast("decimal(5,0)")).cast("decimal(7,2)").alias("d_mod"),
             (-d).cast("decimal(12,2)").alias("d_neg"),

@@ -307,9 +307,9 @@ def window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey, o_orderkey,
        count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                       RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS n_near,
-       sum(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+       CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                              RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
-         AS sum_upto
+         AS BIGINT) AS sum_upto
 FROM orders
 WHERE o_custkey < 60
 ORDER BY o_custkey, o_orderkey

@@ -27,9 +27,9 @@ from minimised_impala_spark.queries.registry import query
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
-    # ts is TIMESTAMP(NANOS) parquet — same legacy-long rebuild as the batch
-    # loader (tables.load_table). The file stream source requires a
-    # *directory*, so stage a symlink dir (fixture dirs are read-only).
+    # ts encoding varies by fixture vintage — the shared tables.fix_events_ts
+    # helper dispatches on the loaded dtype. The file stream source requires
+    # a *directory*, so stage a symlink dir (fixture dirs are read-only).
     # copies > 1 stages the same file multiple times — the at-least-once
     # replay scenario streaming dedup exists for.
     import hashlib
@@ -50,9 +50,11 @@ def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
         link = os.path.join(stage, name)
         if not os.path.exists(link):
             os.symlink(src, link)
+    from minimised_impala_spark.tables import fix_events_ts
+
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return fix_events_ts(raw)
 
 
 @query(

@@ -57,18 +57,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fix_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column across fixture encodings.
+
+    Driver fixtures have stored ``events.ts`` both as parquet
+    TIMESTAMP(NANOS) (which, under ``nanosAsLong``, loads as int64 nanos)
+    and as plain ``timestamp[us]``. Dispatch on the *loaded* dtype: only the
+    legacy long case needs the rebuild (integer division — a double division
+    would lose precision above 2^53 ns); a real timestamp passes through.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        # Session tz is pinned UTC (ensure_engine_semantics), so NTZ → LTZ is
+        # value-preserving; downstream code (epoch casts, watermarks) and the
+        # DuckDB oracles are specified against plain TIMESTAMP.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_semantics(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and
-        # rebuild a microsecond timestamp (integer division — a double
-        # division would lose precision above 2^53 ns).
+        # nanosAsLong makes a TIMESTAMP(NANOS) column readable (as int64)
+        # and is a no-op for micro/milli timestamp columns, so it is safe to
+        # set unconditionally; fix_events_ts then dispatches on what loaded.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return fix_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -66,31 +66,98 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _canon_spark_type(dt: str) -> str:
+    """Collapse a Spark dtype string to a comparable token ('?' = wildcard)."""
+    dt = dt.strip().lower()
+    if dt.startswith("decimal"):
+        return "dec" + dt[len("decimal") :].replace(" ", "")
+    # Int widths and float widths collapse: the driver's hash is demonstrably
+    # width-insensitive (window_rank_suite was driver-green with Spark i32 vs
+    # DuckDB i64 in r2) but IS sensitive to int-vs-decimal (HUGEINT class).
+    return {
+        "tinyint": "int",
+        "smallint": "int",
+        "int": "int",
+        "bigint": "int",
+        "float": "float",
+        "double": "float",
+        "string": "str",
+        "varchar": "str",
+        "boolean": "bool",
+        "date": "date",
+        "timestamp": "ts",
+        "timestamp_ntz": "ts",
+        "binary": "bin",
+    }.get(dt, "?")
+
+
+def _canon_arrow_type(t) -> str:
+    """Collapse an Arrow type (DuckDB result) to the same token space.
+
+    DuckDB HUGEINT surfaces as decimal128(38,0) — intentionally NOT collapsed
+    to i64, so the driver's type-sensitive hash mismatch (VERDICT r2 §2:
+    sum()/factorial() → HUGEINT vs Spark BIGINT) is reproduced locally.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    for check, tok in (
+        (pa.types.is_boolean, "bool"),
+        (pa.types.is_date, "date"),
+        (pa.types.is_binary, "bin"),
+        (pa.types.is_large_binary, "bin"),
+    ):
+        if check(t):
+            return tok
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return "?"
+
+
 def compare(name: str, spark, sf_dir: str, query_fn, oracle_sql: str) -> dict:
     """Run engine + oracle; return a result dict (ok/counts/diffs)."""
     sdf = query_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
+    s_types = dict(sdf.dtypes)
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connect(sf_dir)
     try:
         cur = con.execute(oracle_sql)
-        d_cols = [d[0] for d in cur.description]
-        d_rows = [tuple(r) for r in cur.fetchall()]
+        arrow_schema = cur.arrow().schema
+        d_cols = list(arrow_schema.names)
+        d_types = {f.name: f.type for f in arrow_schema}
+        d_rows = [tuple(r) for r in con.execute(oracle_sql).fetchall()]
     finally:
         con.close()
+
+    type_diffs = {}
+    for c in set(s_cols) & set(d_cols):
+        st = _canon_spark_type(s_types[c])
+        at = _canon_arrow_type(d_types[c])
+        if st != "?" and at != "?" and st != at:
+            type_diffs[c] = {"spark": st, "duck": at}
 
     result = {
         "name": name,
         "spark_rows": len(s_rows),
         "duck_rows": len(d_rows),
         "cols_match": sorted(s_cols) == sorted(d_cols),
+        "types_match": not type_diffs,
+        "type_diffs": type_diffs,
         "spark_cols": s_cols,
         "duck_cols": d_cols,
     }
     cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
     result["rows_match"] = cs == cd
-    result["ok"] = result["cols_match"] and result["rows_match"]
+    result["ok"] = result["cols_match"] and result["rows_match"] and not type_diffs
     if not result["ok"]:
         only_s = [r for r in cs if r not in cd][:5]
         only_d = [r for r in cd if r not in cs][:5]
