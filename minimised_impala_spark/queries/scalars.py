@@ -477,6 +477,52 @@ def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Avro scan (the reference's native Avro scanner,
+# be/src/exec/hdfs-avro-scanner.h:81): supplier is round-tripped through
+# Avro container files (deflate) and aggregated from the Avro scan; the
+# oracle aggregates the original parquet. Uses spark-avro when present,
+# else the spec-compliant pure-Python codec (sources/avro_py.py) — which
+# tests/test_avro.py cross-validates against Apache Avro Java both ways.
+_AVRO_SCAN_ORACLE = """
+SELECT s_nationkey, count(*) AS n,
+       round(sum(s_acctbal) * 100) / 100 AS sum_bal,
+       min(s_name) AS first_name, max(s_name) AS last_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@query("source_avro_scan", oracle=_AVRO_SCAN_ORACLE)
+def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from minimised_impala_spark.sources.formats import read_avro, write_avro
+    from minimised_impala_spark.tables import load_table
+
+    src = os.path.realpath(f"{sf_dir}/supplier.parquet")
+    stage = f"/tmp/mis_avroscan_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    write_avro(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ),
+        stage,
+    )
+    av = read_avro(spark, stage)
+    return (
+        av.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("s_acctbal") * 100, 0) / 100).alias("sum_bal"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_name").alias("last_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # CHAR(n)/VARCHAR(n) semantics (be/src/runtime/types.h:54-55,
 # fe/.../catalog/ScalarType.java; SURVEY §7 risk register): CAST to CHAR(n)
 # truncates then blank-pads to exactly n; CAST to VARCHAR(n) silently

@@ -412,6 +412,98 @@ def to_spark_schema(schema):
     return field_type(schema)
 
 
+def from_spark_schema(schema, name: str = "spark_record"):
+    """Spark StructType → Avro record schema (nullable fields become
+    ["null", T] unions, the reference's standard table-column mapping)."""
+    from pyspark.sql import types as T
+
+    def avro_type(dt, nullable):
+        if isinstance(dt, T.StructType):
+            t = {
+                "type": "record",
+                "name": f"{name}_{abs(hash(dt.simpleString())) % 10**8}",
+                "fields": [
+                    {"name": f.name, "type": avro_type(f.dataType, f.nullable)}
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, T.ArrayType):
+            t = {"type": "array", "items": avro_type(dt.elementType, dt.containsNull)}
+        elif isinstance(dt, T.MapType):
+            t = {"type": "map", "values": avro_type(dt.valueType, dt.valueContainsNull)}
+        else:
+            t = {
+                T.BooleanType(): "boolean",
+                T.IntegerType(): "int",
+                T.ShortType(): "int",
+                T.ByteType(): "int",
+                T.LongType(): "long",
+                T.FloatType(): "float",
+                T.DoubleType(): "double",
+                T.BinaryType(): "bytes",
+                T.StringType(): "string",
+            }.get(dt)
+            if t is None:
+                raise ValueError(f"no avro mapping for spark type {dt}")
+        return ["null", t] if nullable else t
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": avro_type(f.dataType, f.nullable)}
+            for f in schema.fields
+        ],
+    }
+
+
+def _ship_module_by_value() -> None:
+    """Executor tasks close over this module's decode/encode functions.
+    cloudpickle serializes module-level functions by *reference* (import on
+    the worker), but the engine package is not necessarily importable on
+    executors — the driver harness imports __spark_entry__ via sys.path
+    manipulation that workers don't inherit.  Registering the module for
+    by-value pickling ships the codec inside the task closure instead."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def write_avro_fallback(df, path: str, codec: str = "deflate") -> int:
+    """Distributed Avro sink without the spark-avro jar: each task writes its
+    partition as one container file (the standard one-file-per-task sink
+    layout, same as the reference's HdfsTableSink writer-per-partition).
+    Local-FS path semantics — in local mode /tmp is shared; on a real
+    cluster `path` must be shared storage.  Returns the row total."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    _ship_module_by_value()
+    os.makedirs(path, exist_ok=True)
+    schema = from_spark_schema(df.schema)
+    schema_json = json.dumps(schema)
+
+    def write_part(batches):
+        rows: list[dict] = []
+        for pdf in batches:
+            clean = pdf.astype(object).where(pd.notna(pdf), None)
+            rows.extend(clean.to_dict("records"))
+        pid = TaskContext.get().partitionId()
+        if rows:
+            write_container(
+                os.path.join(path, f"part-{pid:05d}.avro"),
+                json.loads(schema_json),
+                rows,
+                codec=codec,
+            )
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    counts = df.mapInPandas(write_part, schema="n long").collect()
+    return sum(r.n for r in counts)
+
+
 # --------------------------------------------------------------------------
 # Spark scan path
 
@@ -433,8 +525,8 @@ def read_avro_fallback(spark, path: str, reader_schema: str | None = None):
         if not candidates:
             raise FileNotFoundError(f"no avro files under {path!r}")
         with open(candidates[0], "rb") as f:
-            schema, _ = read_container(f.read(0) + f.read())  # full read; files are headers+1 block
-        # header-only parse would suffice; fixture files are small
+            schema, _ = read_container(f.read())
+    _ship_module_by_value()
     spark_schema = to_spark_schema(schema)
     names = [f["name"] for f in schema["fields"]]
     reader_json = json.dumps(schema)

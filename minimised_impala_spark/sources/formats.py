@@ -120,12 +120,31 @@ def avro_available(spark: SparkSession) -> bool:
 
 def read_avro(spark: SparkSession, path: str, avro_schema: str | None = None) -> DataFrame:
     """Avro scan with optional reader-schema resolution
-    (hdfs-avro-scanner.h:81 semantics: reader schema may add defaulted or
-    drop trailing fields). Raises if spark-avro is absent."""
-    reader = spark.read.format("avro")
-    if avro_schema is not None:
-        reader = reader.option("avroSchema", avro_schema)
-    return reader.load(path)
+    (hdfs-avro-scanner.h:81 semantics: reader schema may add defaulted
+    fields, drop writer fields, reorder, and promote types). Uses the
+    spark-avro datasource when on the classpath; otherwise the pure-Python
+    container codec (sources/avro_py.py: binaryFile + mapInPandas decode,
+    cross-validated against Apache Avro Java in tests/test_avro.py)."""
+    if avro_available(spark):
+        reader = spark.read.format("avro")
+        if avro_schema is not None:
+            reader = reader.option("avroSchema", avro_schema)
+        return reader.load(path)
+    from minimised_impala_spark.sources.avro_py import read_avro_fallback
+
+    return read_avro_fallback(spark, path, reader_schema=avro_schema)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Avro sink: spark-avro when present, else the pure-Python
+    one-container-file-per-task fallback."""
+    spark = df.sparkSession
+    if avro_available(spark):
+        df.write.mode("overwrite").format("avro").save(path)
+        return
+    from minimised_impala_spark.sources.avro_py import write_avro_fallback
+
+    write_avro_fallback(df, path, codec=codec)
 
 
 def write_partitioned(
