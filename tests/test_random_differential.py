@@ -176,16 +176,83 @@ def _gen_query(rng: random.Random) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# events-table branch (round-2 gap: fuzzing covered only the TPC-H schema, so
+# the events loader regression was invisible to it; VERDICT r2 §next.10).
+# Timestamp shapes both dialects agree on: literal comparison under a UTC
+# session, date_trunc buckets, lag/lead over a per-user ordering.  event_id
+# is unique at every SF (checked in fixture stats), so ORDER BY event_id
+# keeps LIMIT deterministic.  props (JSON) is excluded: JSON-path dialects
+# diverge and are pinned separately by events_json_extract's oracle.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _gen_events_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.random()
+        if kind < 0.35:
+            day = rng.randint(1, 28)
+            op = rng.choice(["<", ">=", ">"])
+            preds.append(f"ts {op} TIMESTAMP '2024-01-{day:02d} 12:00:00'")
+        elif kind < 0.6:
+            vals = rng.sample(_EVENT_TYPES, rng.randint(1, 3))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            neg = "NOT " if rng.random() < 0.3 else ""
+            preds.append(f"event_type {neg}IN ({quoted})")
+        elif kind < 0.8:
+            preds.append(f"value {rng.choice(['<', '>='])} {rng.randint(1, 300)}")
+        else:
+            preds.append(f"user_id {rng.choice(['<', '>='])} {rng.randint(1, 14)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    branch = rng.random()
+    if branch < 0.35:
+        # CAST pins the bucket type: DuckDB date_trunc('day') yields DATE,
+        # Spark yields TIMESTAMP
+        unit = rng.choice(["hour", "day"])
+        return (
+            f"SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket, event_type, "
+            f"count(*) AS n, round(sum(value) * 100) / 100 AS s, "
+            f"CAST(min(event_id) AS BIGINT) AS mn "
+            f"FROM events{where} GROUP BY bucket, event_type "
+            f"ORDER BY bucket, event_type"
+        )
+    if branch < 0.6:
+        over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        return (
+            f"SELECT event_id, user_id, row_number() {over} AS rn, "
+            f"lag(event_type) {over} AS prev_type "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(20, 400)}"
+        )
+    if branch < 0.8:
+        return (
+            f"SELECT user_id, event_type, count(*) AS n, "
+            f"round(sum(value) * 100) / 100 AS s, "
+            f"min(ts) AS first_ts, max(ts) AS last_ts "
+            f"FROM events{where} GROUP BY user_id, event_type "
+            f"ORDER BY user_id, event_type"
+        )
+    return (
+        f"SELECT event_id, user_id, event_type, value FROM events{where} "
+        f"ORDER BY event_id LIMIT {rng.randint(1, 300)}"
+    )
+
+
+N_EVENT_QUERIES = 16
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
+_ERNG = random.Random(20260814)
+QUERIES += [_gen_events_query(_ERNG) for _ in range(N_EVENT_QUERIES)]
 
 
-@pytest.mark.parametrize("idx", range(N_QUERIES))
+@pytest.mark.parametrize("idx", range(N_QUERIES + N_EVENT_QUERIES))
 def test_random_differential(spark, sf_dir, idx):
     sql = QUERIES[idx]
     from minimised_impala_spark.tables import register_tables
 
-    register_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    register_tables(spark, sf_dir, ("orders", "lineitem", "customer", "events"))
     sdf = spark.sql(sql)
     s_rows = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
 
