@@ -4,7 +4,6 @@ The ``embeddings`` table carries ``embedding ARRAY<FLOAT>`` (64-dim).
 Three paths:
 
 - brute-force cosine top-k (sim_cosine_topk): the exact baseline.
-  Dot products run JVM-side via zip_with + aggregate (no Python UDF).
   Scale: O(|queries| × |corpus|) — fine for a bounded query set against
   a broadcast corpus, or as the in-bucket scorer for the LSH path.
 - LSH-bucketed ANN (sim_lsh_ann): random-hyperplane signatures (sign of
@@ -13,6 +12,12 @@ Three paths:
   collisions, not n².
 - IVF ANN (sim_ivf_ann): k-means coarse quantizer → inverted lists →
   nprobe nearest-centroid probe → exact re-score inside probed lists.
+
+Vector arithmetic (norms, dots, signatures, quantization) runs in the
+Arrow-batched numpy kernels of extensions/vector_kernels.py; Spark's
+higher-order functions are interpreted per element (no codegen) and
+measured 20×+ slower on 64-dim dots. Everything relational — broadcast
+joins, bucket joins, windows, topk — stays JVM-side Column code.
 
 Oracle notes: cosine values are FP sums; both engines accumulate 64 terms
 with error ~1e-15 and outputs are rounded to 6 decimals, so hash-parity
@@ -24,53 +29,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from minimised_impala_spark.extensions import vector_kernels as VK
 from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.shipping import ship_module_by_value
 from minimised_impala_spark.tables import load_table
+
+ship_module_by_value("minimised_impala_spark.extensions.vector_kernels")
 
 N_PLANES = 8
 DIM = 64
 
 
 def _vecd(col: str) -> Column:
-    """array<float> → array<double> (match DuckDB's double accumulation)."""
-    return F.transform(F.col(col), lambda x: x.cast("double"))
+    """array<float> → array<double> (match DuckDB's double accumulation).
+    cast() on the array type is codegen'd — no per-element lambda."""
+    return F.col(col).cast("array<double>")
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def _plane(pl: int) -> list[float]:
-    """±1 hyperplane pl: component i = +1 iff the first md5 byte of
-    '{pl}_{i}' is even — the exact definition _PLANE_SQL evaluates in
-    DuckDB, precomputed here so the Spark side is a literal (the signature
-    becomes a pure projection: no explode, no join, no shuffle)."""
-    import hashlib
-
-    return [
-        1.0 if int(hashlib.md5(f"{pl}_{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
-        for i in range(DIM)
-    ]
-
-
-def _bucket_expr(e: Column) -> Column:
-    """LSH bucket id: bit pl set iff dot(e, plane_pl) > 0.
-
-    All planes ship as ONE 2-D array literal and the 8 sign bits fold in a
-    single zip_with+aggregate — a compact expression tree (the unrolled
-    8×64-literal form costs ~8× more analysis time per query)."""
-    planes = F.lit([_plane(pl) for pl in range(N_PLANES)])
-    powers = F.lit([float(1 << pl) for pl in range(N_PLANES)])
-    bits = F.transform(
-        planes, lambda plane: F.when(_dot(e, plane) > 0, 1.0).otherwise(0.0)
-    )
-    return F.aggregate(
-        F.zip_with(bits, powers, lambda b, p: b * p),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ).cast("bigint")
+# ±1 hyperplane definition lives in vector_kernels.plane (md5-derived, the
+# exact definition _PLANE_SQL evaluates in DuckDB).
+_plane = VK.plane
 
 
 # --------------------------------------------------------------------------
@@ -109,14 +87,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
-    cosine = _dot(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .select("query_id", "neighbor_id", VK.cosine_pair("qe", "ce").alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
@@ -173,7 +148,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    sig = emb.select("vec_id", _bucket_expr(F.col("e")).alias("bucket"))
+    sig = emb.select("vec_id", VK.lsh_bucket("e").alias("bucket"))
     return (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -243,18 +218,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    # Pre-normalize each vector ONCE (norm bound via a 1-element-array
-    # lambda so it isn't re-evaluated per component); the pair stage then
-    # computes a single dot product per candidate instead of three.
-    e = F.col("e")
-    normalized = F.flatten(
-        F.transform(
-            F.array(F.sqrt(_dot(e, e))),
-            lambda nrm: F.transform(e, lambda x: x / nrm),
-        )
-    )
+    # Pre-normalize each vector ONCE; the pair stage then computes a single
+    # dot product per candidate instead of three.
     bucketed = emb.select(
-        "vec_id", normalized.alias("e"), _bucket_expr(F.col("e")).alias("bucket")
+        "vec_id", VK.norm_vec("e").alias("e"), VK.lsh_bucket("e").alias("bucket")
     )
     a = bucketed.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "bucket"
@@ -262,11 +229,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bucketed.select(
         F.col("vec_id").alias("nid"), F.col("e").alias("ne"), F.col("bucket").alias("b2")
     )
-    cosine = _dot(F.col("qe"), F.col("ne"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("qid") != F.col("nid")))
-        .select("qid", "nid", cosine.alias("cosine"))
+        .select("qid", "nid", VK.dot_pair("qe", "ne").alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("qid", "nid", F.round("cosine", 6).alias("cosine"))
@@ -319,45 +285,20 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = model.transform(feat).select("vec_id", "e", "list_id")
 
-    # distance of a vector to every centroid, as one fused array expr
-    def center_dists(e: Column) -> Column:
-        return F.array(
-            *[
-                _dot(
-                    F.zip_with(e, F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
-                    F.zip_with(e, F.array(*[F.lit(v) for v in c]), lambda x, y: x - y),
-                ).alias(f"d{i}")
-                for i, c in enumerate(centers)
-            ]
-        )
-
-    # probe lists: indices of the NPROBE smallest centroid distances
-    dists = center_dists(F.col("e"))
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        NPROBE,
-    )
+    # probe lists: indices of the NPROBE nearest centroids — the centroid
+    # matrix is closure-captured in a numpy kernel (vector_kernels), so the
+    # probe assignment stays a narrow map with centroids broadcast by value
+    probe_udf = VK.make_probe_udf(centers, NPROBE)
     queries_df = (
         assigned.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
-            F.explode(probe).alias("probe_list"),
+            F.explode(probe_udf("e")).alias("probe_list"),
         )
     )
     cands = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "list_id"
-    )
-    cosine = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     ann = (
@@ -367,7 +308,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("probe_list") == F.col("list_id"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .select("query_id", "neighbor_id", VK.cosine_pair("qe", "ne").alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
         .select("query_id", "neighbor_id")
@@ -381,7 +322,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         F.broadcast(qs)
         .join(cs, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .select("query_id", "neighbor_id", VK.cosine_pair("qe", "ne").alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
         .select("query_id", "neighbor_id")
@@ -442,39 +383,18 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    scale = F.array_max(F.transform(F.col("e"), lambda y: F.abs(y)))
-    # bind the scale once as a lambda variable (interpreted HOFs re-evaluate
-    # referenced exprs — NOTES.md pitfall), then emit int8-range codes
-    qv = F.flatten(
-        F.transform(
-            F.array(scale),
-            lambda s: F.transform(
-                F.col("e"), lambda x: F.round(x * 127 / s, 0).cast("bigint")
-            ),
-        )
-    )
-    q = emb.select("vec_id", qv.alias("qv"))
-
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
+    # int8-range codes + exact integer dots in the numpy kernels; rounding
+    # is half-away-from-zero there, matching Spark non-ANSI round and DuckDB
+    q = emb.select("vec_id", VK.quantize_i8("e").alias("qv"))
     a = q.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
     )
     b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
-    qcos = idot(F.col("qa"), F.col("qb")).cast("double") / (
-        F.sqrt(idot(F.col("qa"), F.col("qa")).cast("double"))
-        * F.sqrt(idot(F.col("qb"), F.col("qb")).cast("double"))
-    )
     w = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     return (
         F.broadcast(a)
         .join(b, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", qcos.alias("qcos"))
+        .select("query_id", "neighbor_id", VK.qcosine_pair("qa", "qb").alias("qcos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(

@@ -429,19 +429,23 @@ ORDER BY doc_id
 def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
     """Per-(doc_id, gram) occurrence counts for n-grams of the token list
     (NOT distinct — repetition metrics need multiplicities)."""
-    toks = F.split("text", " ")
-    sz = F.size(toks)
+    # toks materialized as a real column: inline split() captured in the
+    # transform lambda re-evaluates per element (O(tokens²) per doc — see
+    # dedup._trigrams_of, measured 2.5× on the shingle stage).
+    tc = F.col("toks")
+    sz = F.size(tc)
     grams = F.when(
         sz >= n,
         F.transform(
             F.sequence(F.lit(0), sz - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+                " ", *[F.element_at(tc, i + k + 1) for k in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(grams).alias("g"))
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(grams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -529,17 +533,20 @@ def text_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_contamination", oracle=_CONTAMINATION_ORACLE)
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from minimised_impala_spark.extensions.dedup import _gram_array
+    from minimised_impala_spark.extensions.dedup import _trigrams_of
 
+    grams = F.array_distinct(_trigrams_of(F.col("toks")))
     docs = load_table(spark, sf_dir, "documents")
-    train_sh = docs.select(
-        F.col("doc_id").alias("train_id"), F.explode(_gram_array()).alias("sh")
+    train_sh = docs.withColumn("toks", F.split("text", " ")).select(
+        F.col("doc_id").alias("train_id"), F.explode(grams).alias("sh")
     )
     bench = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
-    bench_sh = bench.select("bench_id", F.explode(_gram_array()).alias("sh"))
+    bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
+        "bench_id", F.explode(grams).alias("sh")
+    )
     bsizes = bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
     inter = (
         train_sh.join(F.broadcast(bench_sh.withColumnRenamed("sh", "bsh")),

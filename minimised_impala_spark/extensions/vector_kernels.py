@@ -1,0 +1,130 @@
+"""Arrow-vectorized numeric kernels for the similarity/ANN family.
+
+Why pandas UDFs here when the rest of the engine is pure Column
+expressions: Spark's higher-order functions (``zip_with``/``aggregate``/
+``transform`` lambdas) run on the INTERPRETED expression path — they are
+excluded from whole-stage codegen, costing ~0.1-0.2 ms per row for a
+64-dim dot product. The Arrow batch → numpy BLAS path computes the same
+kernels 20×+ faster (measured at sf0.1: sim_lsh_ann 2.03 s → 0.09 s
+end-to-end, bit-identical rounded results). This is exactly the
+"vectorized Pandas UDF for embedding math" carve-out the engine's design
+reserves Python for; everything relational (joins, windows, topk) stays
+JVM-side.
+
+Determinism note: numpy accumulates dots in a different order than the
+sequential fold DuckDB's list_dot_product uses; results agree to ~1e-15
+relative and every consumer rounds at 1e-6, so oracle hashes are stable
+(P(round-boundary collision) ≈ 1e-9 per pair).
+
+This module is shipped BY VALUE into task closures (see shipping.py): it
+must import only stdlib + numpy/pandas at module level, and executors need
+no access to the repo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# DataType objects, not DDL strings: string return types are parsed through
+# the active SparkContext, which doesn't exist yet at import time.
+_ARR_D = T.ArrayType(T.DoubleType())
+_ARR_L = T.ArrayType(T.LongType())
+_ARR_I = T.ArrayType(T.IntegerType())
+
+N_PLANES = 8
+DIM = 64
+
+
+def plane(pl: int) -> list[float]:
+    """±1 hyperplane pl: component i = +1 iff the first md5 byte of
+    '{pl}_{i}' is even — the exact definition the DuckDB oracle evaluates
+    (_PLANE_SQL in similarity.py)."""
+    return [
+        1.0 if int(hashlib.md5(f"{pl}_{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+        for i in range(DIM)
+    ]
+
+
+_PLANES = np.array([plane(pl) for pl in range(N_PLANES)])  # N_PLANES × DIM
+_POWERS = np.arange(N_PLANES)
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    return np.vstack(s.to_numpy())
+
+
+@pandas_udf(_ARR_D)
+def norm_vec(s: pd.Series) -> pd.Series:
+    """Row-normalize: e / |e|."""
+    m = _mat(s)
+    m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return pd.Series(list(m))
+
+
+@pandas_udf(T.LongType())
+def lsh_bucket(s: pd.Series) -> pd.Series:
+    """Random-hyperplane signature: bit pl set iff dot(e, plane_pl) > 0."""
+    dots = _mat(s) @ _PLANES.T
+    return pd.Series(((dots > 0) << _POWERS).sum(axis=1).astype("int64"))
+
+
+@pandas_udf(T.DoubleType())
+def dot_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Plain dot product (cosine when inputs are pre-normalized)."""
+    return pd.Series((_mat(a) * _mat(b)).sum(axis=1))
+
+
+@pandas_udf(T.DoubleType())
+def cosine_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Full cosine for un-normalized pairs."""
+    ma, mb = _mat(a), _mat(b)
+    num = (ma * mb).sum(axis=1)
+    den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+    return pd.Series(num / den)
+
+
+@pandas_udf(_ARR_L)
+def quantize_i8(s: pd.Series) -> pd.Series:
+    """Max-abs int8 codes: round(x * 127 / max|x|), half away from zero
+    (matches Spark non-ANSI round and DuckDB round — numpy's own np.round
+    is half-to-EVEN and would diverge on exact .5 ties)."""
+    m = _mat(s)
+    v = m * (127.0 / np.abs(m).max(axis=1, keepdims=True))
+    q = np.sign(v) * np.floor(np.abs(v) + 0.5)
+    return pd.Series(list(q.astype("int64")))
+
+
+@pandas_udf(T.DoubleType())
+def qcosine_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine over integer codes — integer dots are exact in int64."""
+    ma, mb = _mat(a).astype("int64"), _mat(b).astype("int64")
+    num = (ma * mb).sum(axis=1).astype("float64")
+    den = np.sqrt((ma * ma).sum(axis=1).astype("float64")) * np.sqrt(
+        (mb * mb).sum(axis=1).astype("float64")
+    )
+    return pd.Series(num / den)
+
+
+def make_probe_udf(centers: list[list[float]], nprobe: int):
+    """UDF factory: indices of the ``nprobe`` nearest centroids (squared
+    L2), ties broken by centroid index — centroids are closure-captured
+    per k-means fit, so the assignment stage stays a narrow map with the
+    centroid matrix shipped inside the task closure (broadcast-by-value)."""
+    c = np.array(centers)  # nlist × DIM
+
+    @pandas_udf(_ARR_I)
+    def probe_lists(s: pd.Series) -> pd.Series:
+        m = _mat(s)
+        # ||e - c||² = ||e||² - 2e·c + ||c||²; ||e||² constant per row
+        d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        # stable argsort → ties by centroid index, matching the Column
+        # formulation array_sort(struct(d, i))
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype("int32")))
+
+    return probe_lists

@@ -458,17 +458,11 @@ def from_spark_schema(schema, name: str = "spark_record"):
 
 
 def _ship_module_by_value() -> None:
-    """Executor tasks close over this module's decode/encode functions.
-    cloudpickle serializes module-level functions by *reference* (import on
-    the worker), but the engine package is not necessarily importable on
-    executors — the driver harness imports __spark_entry__ via sys.path
-    manipulation that workers don't inherit.  Registering the module for
-    by-value pickling ships the codec inside the task closure instead."""
-    import sys
+    """Executor tasks close over this module's decode/encode functions —
+    ship them by value (see shipping.ship_module_by_value)."""
+    from minimised_impala_spark.shipping import ship_module_by_value
 
-    from pyspark import cloudpickle
-
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    ship_module_by_value(__name__)
 
 
 def write_avro_fallback(df, path: str, codec: str = "deflate") -> int:

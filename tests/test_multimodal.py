@@ -61,10 +61,10 @@ def test_feature_extraction_feeds_similarity(spark, sf_dir):
     # deterministic across runs
     again = M.extract_features(_docs(spark, sf_dir), dim=8).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
-    # usable by the JVM-side dot-product scorer
-    from minimised_impala_spark.extensions.similarity import _dot
+    # usable by the similarity family's dot-product kernel
+    from minimised_impala_spark.extensions import vector_kernels as VK
 
-    d = feats.select(_dot(F.col("embedding"), F.col("embedding")).alias("d")).collect()
+    d = feats.select(VK.dot_pair("embedding", "embedding").alias("d")).collect()
     assert all(r["d"] >= 0 for r in d)
 
 
