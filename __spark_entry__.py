@@ -47,8 +47,8 @@ _PRIORITY = [
     "pipeline_corpus_curation",
     "events_sessionize", "events_asof_join", "events_range_join",
     "streaming_window_counts", "streaming_dedup_exact",
-    # never driver-verified: new-in-r3 avro scan, then aggregates/sets
-    "source_avro_scan",
+    # never driver-verified: new-in-r3 scans, then aggregates/sets
+    "source_avro_scan", "source_sequencefile_scan",
     "agg_minmax_types", "set_union_distinct", "agg_cube_grouping",
     "agg_sample_reservoir",
     # windows

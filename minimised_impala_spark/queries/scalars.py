@@ -523,6 +523,61 @@ def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SequenceFile scan (the reference's legacy-format scanner,
+# be/src/exec/hdfs-sequence-scanner.h:156): supplier round-trips through a
+# (key, JSON) SequenceFile via the RDD bridge (sources/formats.py) and is
+# aggregated from the scan; the oracle aggregates the original parquet.
+# Hive-serde SequenceFile/RCFile *tables* are covered separately in
+# tests/test_legacy_formats.py (hive-enabled session required).
+_SEQ_SCAN_ORACLE = """
+SELECT s_nationkey, count(*) AS n,
+       round(sum(s_acctbal) * 100) / 100 AS sum_bal,
+       min(s_name) AS first_name, max(s_name) AS last_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@query("source_sequencefile_scan", oracle=_SEQ_SCAN_ORACLE)
+def source_sequencefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from minimised_impala_spark.sources.formats import (
+        read_sequencefile,
+        write_sequencefile,
+    )
+    from minimised_impala_spark.tables import load_table
+
+    src = os.path.realpath(f"{sf_dir}/supplier.parquet")
+    stage = f"/tmp/mis_seqscan_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    write_sequencefile(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ),
+        stage,
+        key_col="s_suppkey",
+    )
+    seq = read_sequencefile(
+        spark, stage, "s_name string, s_nationkey int, s_acctbal double"
+    )
+    return (
+        seq.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("s_acctbal") * 100, 0) / 100).alias("sum_bal"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_name").alias("last_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # CHAR(n)/VARCHAR(n) semantics (be/src/runtime/types.h:54-55,
 # fe/.../catalog/ScalarType.java; SURVEY §7 risk register): CAST to CHAR(n)
 # truncates then blank-pads to exactly n; CAST to VARCHAR(n) silently

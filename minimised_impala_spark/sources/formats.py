@@ -27,6 +27,7 @@ bzip2 (splittable), many smaller gzip files, or parquet.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -158,6 +159,33 @@ def write_partitioned(
     the reference's HdfsTableSink partition layout
     (be/src/exec/hdfs-table-sink.h:122, HdfsPartition.java)."""
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_sequencefile(df: DataFrame, path: str, key_col: str | None = None) -> None:
+    """SequenceFile sink (the reference's legacy-format writer family,
+    hdfs-sequence-table-writer.h:38): rows serialize as (key, JSON) pairs.
+    JSON encoding runs JVM-side (to_json); the RDD hop is the only access
+    path PySpark exposes for SequenceFile — acceptable for a legacy-format
+    bridge (modern tables use parquet/ORC; see SURVEY §2.1). For
+    Hive-managed SequenceFile/RCFile *tables*, use a hive-enabled session
+    and ``STORED AS SEQUENCEFILE/RCFILE`` (tests/test_legacy_formats.py)."""
+    cols = [c for c in df.columns if c != key_col]
+    key = F.col(key_col).cast("string") if key_col else F.monotonically_increasing_id().cast("string")
+    pairs = df.select(key.alias("k"), F.to_json(F.struct(*cols)).alias("v"))
+    pairs.rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequencefile(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """SequenceFile scan (hdfs-sequence-scanner.h:156): values are JSON
+    rows; schema is required (schema-on-read, as the reference's metastore
+    supplied it)."""
+    from pyspark.sql.types import StringType
+
+    values = spark.sparkContext.sequenceFile(path).values()
+    raw = spark.createDataFrame(values, StringType())
+    return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
