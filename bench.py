@@ -41,7 +41,7 @@ def main() -> None:
 
     from minimised_impala_spark.session import build_session
     from minimised_impala_spark.queries import load_all
-    from minimised_impala_spark.queries.registry import QUERIES
+    from minimised_impala_spark.queries.registry import QUERIES, fresh
 
     load_all()
     spark = build_session(
@@ -60,13 +60,16 @@ def main() -> None:
 
     # best-of-2 per query: first pass pays JVM JIT/codegen compilation,
     # second measures steady state — the regime a long-running engine
-    # (and the reference's daemon) actually serves queries in.
+    # (and the reference's daemon) actually serves queries in. Each
+    # iteration builds a FRESH DataFrame (registry.fresh): re-collecting a
+    # cached plan would reuse materialized shuffle outputs and measure
+    # incremental recomputation instead of query execution.
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            fresh(name)(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 

@@ -14,7 +14,12 @@ from __future__ import annotations
 import pytest
 
 from minimised_impala_spark.queries import load_all
-from minimised_impala_spark.queries.registry import QUERIES
+from minimised_impala_spark.queries.registry import fresh
+
+# Plan-shape assertions must inspect FRESHLY BUILT queries: the registry's
+# plan cache returns DataFrames that earlier tests may have executed, and
+# an executed AQE plan prints its finalized form (isFinalPlan=true,
+# runtime-converted joins), not the compile-time shape pinned here.
 
 load_all()
 
@@ -31,7 +36,7 @@ def test_filter_pushdown_to_parquet(spark, sf_dir):
     """tpch_q6's shipdate/discount/quantity filters must reach the scan
     (the reference pushes conjuncts into HdfsScanNode —
     be/src/exec/hdfs-scan-node.h:96)."""
-    plan = _physical(QUERIES["tpch_q6"](spark, sf_dir))
+    plan = _physical(fresh("tpch_q6")(spark, sf_dir))
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
 
@@ -40,7 +45,7 @@ def test_column_pruning_to_parquet(spark, sf_dir):
     """q6 reads 4 of lineitem's 11 columns; ReadSchema must not contain
     the unused ones (reference: materialize-only-referenced-slots,
     fe/.../planner/SingleNodePlanner.java:136)."""
-    plan = _physical(QUERIES["tpch_q6"](spark, sf_dir))
+    plan = _physical(fresh("tpch_q6")(spark, sf_dir))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" in read_schema
     assert "l_orderkey" not in read_schema
@@ -50,21 +55,21 @@ def test_column_pruning_to_parquet(spark, sf_dir):
 def test_small_dims_broadcast(spark, sf_dir):
     """nation/region joins must broadcast, not shuffle (reference
     cost-based choice: fe/.../planner/DistributedPlanner.java:303)."""
-    plan = _physical(QUERIES["tpch_q5"](spark, sf_dir))
+    plan = _physical(fresh("tpch_q5")(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
     """ORDER BY + LIMIT compiles to TakeOrderedAndProject — Spark's
     TopNNode (be/src/exec/topn-node.h:33)."""
-    plan = _physical(QUERIES["tpch_q18"](spark, sf_dir))
+    plan = _physical(fresh("tpch_q18")(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
 
 
 def test_partial_final_aggregation(spark, sf_dir):
     """Aggregates run map-side partial then final after the shuffle —
     the reference's two-phase agg (fe/.../analysis/AggregateInfo.java:33)."""
-    plan = _physical(QUERIES["tpch_q1"](spark, sf_dir))
+    plan = _physical(fresh("tpch_q1")(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan or "partial" in plan
 
@@ -73,7 +78,7 @@ def test_whole_stage_codegen(spark, sf_dir):
     """The scan→filter→project→partial-agg pipeline must be inside
     WholeStageCodegen (supersedes the reference's LLVM codegen,
     be/src/codegen/llvm-codegen.h)."""
-    df = QUERIES["tpch_q6"](spark, sf_dir)
+    df = fresh("tpch_q6")(spark, sf_dir)
     df.collect()  # AQE finalizes the plan (and codegen ids) on execution
     plan = _physical(df)
     # codegen'd operators carry a "*(stageId)" prefix in the plan string
@@ -82,7 +87,7 @@ def test_whole_stage_codegen(spark, sf_dir):
 
 
 def test_aqe_enabled(spark, sf_dir):
-    plan = _physical(QUERIES["tpch_q3"](spark, sf_dir))
+    plan = _physical(fresh("tpch_q3")(spark, sf_dir))
     assert "AdaptiveSparkPlan" in plan
 
 
@@ -90,8 +95,8 @@ def test_semi_anti_join_operators(spark, sf_dir):
     """EXISTS/NOT EXISTS decorrelate to semi/anti joins, not subquery
     re-execution (StmtRewriter.java:196 ↔ Catalyst
     RewritePredicateSubquery)."""
-    semi = _optimized(QUERIES["subq_exists_correlated"](spark, sf_dir))
-    anti = _optimized(QUERIES["subq_not_exists_correlated"](spark, sf_dir))
+    semi = _optimized(fresh("subq_exists_correlated")(spark, sf_dir))
+    anti = _optimized(fresh("subq_not_exists_correlated")(spark, sf_dir))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
 
@@ -154,7 +159,7 @@ def test_tpcds_star_broadcasts_dims(spark, sf_dir):
     """tpcds_q3_star: both dim sides broadcast; exactly one shuffle (the
     groupBy) — the star-join shape that holds at 100 TB with runtime
     filters on the fact scan."""
-    plan = _physical(QUERIES["tpcds_q3_star"](spark, sf_dir))
+    plan = _physical(fresh("tpcds_q3_star")(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
@@ -164,7 +169,7 @@ def test_tpcds_scalar_counts_single_partition(spark, sf_dir):
     """tpcds_q88_band_counts: each banded count collapses to a single-row
     aggregate (Exchange SinglePartition), combined by broadcast nested-loop
     cross joins — never a shuffled join of full tables."""
-    plan = _physical(QUERIES["tpcds_q88_band_counts"](spark, sf_dir))
+    plan = _physical(fresh("tpcds_q88_band_counts")(spark, sf_dir))
     assert plan.count("Exchange SinglePartition") == 8
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
