@@ -131,3 +131,44 @@ class Engine:
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
             df._jdf.queryExecution(), "formatted"
         )
+
+    def profile(self, text: str) -> str:
+        """Execute the statement and render the per-operator runtime
+        profile — the reference's post-query PROFILE output
+        (be/src/util/runtime-profile.cc; impala-shell `profile;`). The tree
+        is the FINAL adaptive plan with each operator's SQL metrics (rows,
+        scan/agg time, shuffle bytes, peak memory), pulled from the
+        executed plan's metric registry."""
+        df = self.sql(text)
+        df.collect()
+        return render_profile(df)
+
+
+def render_profile(df: DataFrame) -> str:
+    """Per-operator metrics tree of an ALREADY-EXECUTED DataFrame."""
+    lines: list[str] = []
+
+    def walk(node, depth: int) -> None:
+        cls = node.getClass().getSimpleName()
+        it = node.metrics().iterator()
+        ms = []
+        while it.hasNext():
+            kv = it.next()
+            ms.append((kv._1(), kv._2().value()))
+        shown = ", ".join(f"{k}={v}" for k, v in sorted(ms))
+        lines.append("  " * depth + node.nodeName() + (f"  [{shown}]" if shown else ""))
+        # adaptive wrappers: descend into the materialized subtree
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), depth + 1)
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan(), depth + 1)
+            return
+        if cls == "ReusedExchangeExec":
+            walk(node.child(), depth + 1)
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return "\n".join(lines)

@@ -3,7 +3,9 @@
 one process: statements go straight into Engine.sql.
 
 Run: ``python -m minimised_impala_spark.shell [--sf-dir DIR]``
-Meta-commands: ``help``, ``tables``, ``explain <sql>``, ``quit``.
+Meta-commands: ``help``, ``tables``, ``explain <sql>``, ``profile <sql>``
+(runs the query and prints the per-operator runtime profile, the
+reference shell's `profile;` analogue), ``quit``.
 """
 
 from __future__ import annotations
@@ -28,6 +30,11 @@ def repl(engine: Engine, in_stream=sys.stdin, out=sys.stdout) -> None:
             engine.spark.sql("SHOW TABLES").show(100, truncate=False)
         elif not buf and stripped.lower().startswith("explain "):
             out.write(engine.explain(stripped[len("explain "):].rstrip(";")) + "\n")
+        elif not buf and stripped.lower().startswith("profile "):
+            try:
+                out.write(engine.profile(stripped[len("profile "):].rstrip(";")) + "\n")
+            except Exception as e:  # surface, keep the REPL alive
+                out.write(f"ERROR: {e}\n")
         else:
             buf.append(line)
             if stripped.endswith(";"):

@@ -44,3 +44,25 @@ def test_shell_survives_bad_sql(spark):
 def test_shell_explain_command(spark):
     out = _run(spark, "explain SELECT 1 AS x\nquit\n")
     assert "Project" in out or "Scan" in out or "(1)" in out
+
+
+def test_shell_profile_command(spark, sf_dir):
+    register_tables(spark, sf_dir, ("nation",))
+    out = _run(
+        spark, "profile SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey\nquit\n"
+    )
+    assert "HashAggregate" in out
+    assert "numOutputRows=" in out
+
+
+def test_engine_profile_metrics_tree(spark, sf_dir):
+    """profile() returns the executed adaptive plan with real metric
+    values — scan rows match the table, exchange/aggregate present."""
+    from minimised_impala_spark.engine import Engine
+
+    register_tables(spark, sf_dir, ("nation",))
+    eng = Engine(spark)
+    txt = eng.profile("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+    assert "Scan parquet" in txt and "numOutputRows=25" in txt
+    assert "Exchange" in txt or "ShuffleQueryStage" in txt
+    assert "HashAggregate" in txt
