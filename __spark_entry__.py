@@ -59,6 +59,7 @@ _PRIORITY = [
     # nested types
     "nested_array_funcs", "nested_explode_outer", "nested_tpch_q18",
     "nested_tpch_pricing", "nested_exists_predicate",
+    "nested_tpch_double_unnest",
     # events suite tail
     "events_window_agg", "events_json_extract", "events_funnel",
     "events_funnel_ordered", "events_retention", "events_gapfill",

@@ -58,8 +58,8 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-    # best-of-2 per query: first pass pays JVM JIT/codegen compilation,
-    # second measures steady state — the regime a long-running engine
+    # best-of-3 per query: first pass pays JVM JIT/codegen compilation,
+    # later passes measure steady state — the regime a long-running engine
     # (and the reference's daemon) actually serves queries in. Each
     # iteration builds a FRESH DataFrame (registry.fresh): re-collecting a
     # cached plan would reuse materialized shuffle outputs and measure
@@ -67,7 +67,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fresh(name)(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -335,3 +335,65 @@ def nested_exists_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Doubly-nested navigation — the reference's tpch_nested workload stores
+# customer.c_orders.o_lineitems (array<struct> inside array<struct>) and
+# every query navigates two CollectionTableRef levels, i.e. a chain of
+# SubplanNodes (fe/.../planner/SingleNodePlanner.java collection refs;
+# testdata/workloads/tpch_nested/queries/tpch-q1.test FROM
+# customer.c_orders.o_lineitems). Here the doubly-nested shape is BUILT
+# (two collect_list passes), then NAVIGATED back with a two-level explode,
+# and the revenue aggregate must equal the flat 3-way join the oracle
+# states. Proves construction, schema, and 2-deep unnesting round-trip.
+_NESTED_DOUBLE_ORACLE = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000
+         AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("nested_tpch_double_unnest", oracle=_NESTED_DOUBLE_ORACLE)
+def nested_tpch_double_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # build: lineitems nested into orders, orders nested into customers
+    o_items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_extendedprice", "l_discount", "l_quantity")
+        ).alias("o_lineitems")
+    )
+    c_orders = (
+        orders.join(o_items, orders.o_orderkey == o_items.l_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct("o_orderkey", "o_totalprice", "o_lineitems")
+            ).alias("c_orders")
+        )
+    )
+    nested_cust = cust.join(
+        c_orders, cust.c_custkey == c_orders.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "c_orders")
+    # navigate: two-level unnest (SubplanNode chain), then aggregate
+    rev = F.col("item.l_extendedprice") * (1 - F.col("item.l_discount"))
+    return (
+        nested_cust.select(
+            "c_mktsegment", F.explode("c_orders").alias("o")
+        )
+        .select("c_mktsegment", F.explode("o.o_lineitems").alias("item"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.round(F.sum(rev) * 10000, 0) / 10000).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
