@@ -67,7 +67,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
     "dedup_keep_best",
     # similarity tail
-    "sim_lsh_buckets", "sim_quantized_topk",
+    "sim_lsh_buckets", "sim_quantized_topk", "sim_lsh_multiprobe",
     # text pipeline tail
     "text_langid", "text_tokens", "text_fingerprint",
     "text_sample_deterministic", "text_repetition", "text_mix_sources",

@@ -241,6 +241,103 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-probe LSH: union the candidate sets of TWO independent plane sets
+# (plane indices 0-7 and 8-15 of the same md5-derived table) before the
+# exact re-score — the standard recall lever when one signature's buckets
+# miss true neighbors that disagree on a single plane sign. At 100 TB the
+# plan is two bucket joins + a distinct on (qid, nid) — candidates stay
+# ∝ collisions, and the union at most doubles them. Fully SQL-expressible
+# because the second set is just plane indices 8-15 in _PLANE_SQL.
+_MULTIPROBE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, i.dim, e[i.dim + 1] AS x
+  FROM v, (SELECT unnest(range({DIM})) AS dim) i
+),
+proj AS (
+  SELECT c.vec_id, j.pl,
+         sum(c.x * {_PLANE_SQL}) AS dot
+  FROM comps c, (SELECT unnest(range({2 * N_PLANES})) AS pl) j
+  GROUP BY c.vec_id, j.pl
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pl < {N_PLANES} AND dot > 0
+                       THEN (1::BIGINT << pl) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN pl >= {N_PLANES} AND dot > 0
+                       THEN (1::BIGINT << (pl - {N_PLANES})) ELSE 0 END) AS BIGINT) AS b1
+  FROM proj GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid
+  FROM sig a JOIN sig b ON b.b0 = a.b0 AND b.vec_id <> a.vec_id
+  UNION
+  SELECT a.vec_id AS qid, b.vec_id AS nid
+  FROM sig a JOIN sig b ON b.b1 = a.b1 AND b.vec_id <> a.vec_id
+),
+norm AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ne
+  FROM v
+),
+scored AS (
+  SELECT c.qid, c.nid, list_dot_product(na.ne, nb.ne) AS cosine
+  FROM cand c
+  JOIN norm na ON na.vec_id = c.qid
+  JOIN norm nb ON nb.vec_id = c.nid
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= 3
+ORDER BY qid, nid
+"""
+
+
+@query("sim_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 with two-probe LSH: candidates from either plane set's
+    bucket, deduplicated, then exactly re-scored."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    bucket1 = VK.make_bucket_udf(N_PLANES)
+    sig = emb.select(
+        "vec_id",
+        VK.norm_vec("e").alias("ne"),
+        VK.lsh_bucket("e").alias("b0"),
+        bucket1("e").alias("b1"),
+    )
+    a = sig.select(F.col("vec_id").alias("qid"), F.col("ne").alias("qe"), "b0", "b1")
+    b = sig.select(
+        F.col("vec_id").alias("nid"), F.col("ne").alias("ce"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+    )
+    cand0 = a.join(b, (F.col("b0") == F.col("c0")) & (F.col("qid") != F.col("nid")))
+    cand1 = a.join(b, (F.col("b1") == F.col("c1")) & (F.col("qid") != F.col("nid")))
+    cand = cand0.select("qid", "nid", "qe", "ce").unionAll(
+        cand1.select("qid", "nid", "qe", "ce")
+    ).dropDuplicates(["qid", "nid"])
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.select("qid", "nid", VK.dot_pair("qe", "ce").alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid", F.round("cosine", 6).alias("cosine"))
+        .orderBy("qid", "nid")
+    )
+
+
+# --------------------------------------------------------------------------
 # K-means training is not SQL-expressible, so the oracle checks the testable
 # property instead (VERDICT r1 item 3): recall@3 of the IVF result against
 # the exact top-3 (recomputed in-query), floored at total_hits >= 5 across

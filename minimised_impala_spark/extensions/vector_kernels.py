@@ -110,6 +110,22 @@ def qcosine_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+def make_bucket_udf(plane_offset: int, n_planes: int = N_PLANES):
+    """UDF factory: hyperplane signature over planes
+    [plane_offset, plane_offset + n_planes) — the SAME md5-derived plane
+    table, so a second probe set (offset 8) is oracle-expressible with the
+    identical _PLANE_SQL parameterized by plane index."""
+    planes = np.array([plane(pl) for pl in range(plane_offset, plane_offset + n_planes)])
+    powers = np.arange(n_planes)
+
+    @pandas_udf(T.LongType())
+    def bucket_of(s: pd.Series) -> pd.Series:
+        dots = _mat(s) @ planes.T
+        return pd.Series(((dots > 0) << powers).sum(axis=1).astype("int64"))
+
+    return bucket_of
+
+
 def make_probe_udf(centers: list[list[float]], nprobe: int):
     """UDF factory: indices of the ``nprobe`` nearest centroids (squared
     L2), ties broken by centroid index — centroids are closure-captured

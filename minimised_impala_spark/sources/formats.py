@@ -199,6 +199,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def optimize_layout(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    parquet_block_bytes: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster a dataset on ``cluster_cols`` — the data-layout lever
+    for 100 TB scans the reference exposed via sorted insert + partition
+    design (HdfsTableSink + planner partition pruning): range-repartition
+    so each output file owns a contiguous key slice, then sort within
+    files so every parquet row group's min/max stats are tight. Selective
+    filters on the clustered key then prune whole files AND row groups at
+    scan time (pinned by tests/test_layout.py: clustered scan reads a
+    fraction of the unclustered one's rows under the same pushed filter).
+
+    ``parquet_block_bytes`` shrinks row groups (test-scale knob; leave None
+    in production for the 128 MiB default)."""
+    w = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    writer = w.write.mode(mode)
+    if parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+    writer.parquet(path)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

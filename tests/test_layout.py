@@ -1,0 +1,90 @@
+"""Data-layout clustering (sources/formats.py optimize_layout): proves the
+scan-pruning claim with real metrics — after range-clustering on the
+filter key, the SAME pushed predicate reads a small fraction of the rows
+the unclustered layout reads (parquet row-group min/max + file pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minimised_impala_spark.sources import formats
+from minimised_impala_spark.tables import load_table
+
+
+def _scan_rows(spark, path: str, pred: str) -> tuple[int, int]:
+    """(rows read by the scan, rows returned) for a filtered read."""
+    df = spark.read.parquet(path).filter(pred)
+    out = df.count()
+    # re-run and read the scan metric from the executed plan
+    df2 = spark.read.parquet(path).filter(pred)
+    df2.collect()
+    node = df2._jdf.queryExecution().executedPlan()
+    scanned = None
+
+    def walk(n):
+        nonlocal scanned
+        cls = n.getClass().getSimpleName()
+        if cls == "FileSourceScanExec":
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    scanned = kv._2().value()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+            return
+        for i in range(n.children().size()):
+            walk(n.children().apply(i))
+
+    walk(node)
+    assert scanned is not None, "no FileSourceScanExec found"
+    return scanned, out
+
+
+def test_clustered_layout_prunes_row_groups(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+
+    # unclustered: key order scrambled (hash of orderkey), tiny row groups
+    scrambled = li.orderBy(F.md5(F.col("l_orderkey").cast("string")))
+    p_raw = str(tmp_path / "raw")
+    scrambled.repartition(8).write.option("parquet.block.size", "65536").parquet(p_raw)
+
+    # clustered on the filter key, same row-group size
+    p_clu = str(tmp_path / "clustered")
+    formats.optimize_layout(
+        li, p_clu, ["l_orderkey"], n_files=8, parquet_block_bytes=65536
+    )
+
+    pred = "l_orderkey >= 100 AND l_orderkey < 200"
+    raw_scanned, raw_out = _scan_rows(spark, p_raw, pred)
+    clu_scanned, clu_out = _scan_rows(spark, p_clu, pred)
+
+    assert raw_out == clu_out  # same answer
+    # clustered scan must read far fewer rows than the full table; the
+    # scrambled layout has useless min/max stats and reads ~everything
+    assert clu_scanned < raw_scanned / 4, (clu_scanned, raw_scanned)
+    assert raw_scanned > n / 2  # sanity: scrambled layout really is unprunable
+
+
+def test_optimize_layout_file_count_and_order(spark, sf_dir, tmp_path):
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "o")
+    formats.optimize_layout(orders, p, ["o_custkey"], n_files=4)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4
+    # each file owns a contiguous, non-overlapping o_custkey slice
+    ranges = []
+    for f in files:
+        df = spark.read.parquet(os.path.join(p, f))
+        r = df.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

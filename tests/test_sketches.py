@@ -38,3 +38,23 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
     ).collect()[0]
     spread = row["hi"] - row["lo"]
     assert abs(row["approx"] - row["exact"]) <= 0.05 * spread
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Two-probe candidate union can only widen the candidate set, so
+    recall@3 vs the exact top-3 must be >= the single-probe query's."""
+    from minimised_impala_spark.queries import load_all
+    from minimised_impala_spark.queries.registry import QUERIES
+
+    load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+        if r.rn <= 3
+    }
+    single = {(r.qid, r.nid) for r in QUERIES["sim_lsh_ann"](spark, sf_dir).collect()}
+    multi = {(r.qid, r.nid) for r in QUERIES["sim_lsh_multiprobe"](spark, sf_dir).collect()}
+    qids = {q for q, _ in exact}
+    single_hits = len(exact & {(q, n) for q, n in single if q in qids})
+    multi_hits = len(exact & {(q, n) for q, n in multi if q in qids})
+    assert multi_hits >= single_hits, (multi_hits, single_hits)
