@@ -60,14 +60,18 @@ def test_clustered_layout_prunes_row_groups(spark, sf_dir, tmp_path):
         li, p_clu, ["l_orderkey"], n_files=8, parquet_block_bytes=65536
     )
 
-    pred = "l_orderkey >= 100 AND l_orderkey < 200"
+    # selective enough that the clustered layout keeps ~1 of 8 range
+    # slices; repartitionByRange samples boundaries, so the margin must
+    # tolerate slice-edge wobble (a 100-200 band once landed at exactly
+    # raw/4 rows and flapped)
+    pred = "l_orderkey < 100"
     raw_scanned, raw_out = _scan_rows(spark, p_raw, pred)
     clu_scanned, clu_out = _scan_rows(spark, p_clu, pred)
 
     assert raw_out == clu_out  # same answer
     # clustered scan must read far fewer rows than the full table; the
     # scrambled layout has useless min/max stats and reads ~everything
-    assert clu_scanned < raw_scanned / 4, (clu_scanned, raw_scanned)
+    assert clu_scanned < raw_scanned / 3, (clu_scanned, raw_scanned)
     assert raw_scanned > n / 2  # sanity: scrambled layout really is unprunable
 
 
