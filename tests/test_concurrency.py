@@ -1,0 +1,88 @@
+"""Concurrent query execution — the operational slice of the reference's
+admission control + scheduling (be/src/scheduling/admission-controller.cc,
+simple-scheduler.cc) that applies to a Spark deployment: many sessions
+submit simultaneously, the scheduler multiplexes them, every query
+completes correctly, and FAIR pools isolate workloads.
+
+Spark's answer is the job scheduler: concurrent actions from multiple
+threads interleave; `spark.scheduler.mode=FAIR` plus per-thread
+`spark.scheduler.pool` labels give weighted sharing (memory limits are the
+memory manager's job — SURVEY scopes per-query admission out).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+
+def test_concurrent_queries_shared_session(spark, sf_dir):
+    """8 threads × distinct aggregations on one session — all results
+    correct, no cross-talk."""
+    import threading
+
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def run(i: int) -> None:
+        try:
+            got = spark.sql(
+                f"SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 8 = {i}"
+            ).collect()[0].n
+            results[i] = got
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    total = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert sum(results.values()) == total
+    assert len(results) == 8
+
+
+def test_fair_scheduler_pools(tmp_path):
+    """FAIR mode with per-thread pools (static conf → subprocess)."""
+    driver = tmp_path / "drive.py"
+    driver.write_text(
+        textwrap.dedent(
+            """
+            import threading
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.builder.master("local[4]")
+                     .config("spark.ui.enabled", "false")
+                     .config("spark.scheduler.mode", "FAIR")
+                     .getOrCreate())
+            spark.sparkContext.setLogLevel("ERROR")
+            assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+            out = {}
+            def run(pool, i):
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+                out[pool] = spark.sql(
+                    f"SELECT sum(id) AS s FROM range({(i + 1) * 100000})"
+                ).collect()[0].s
+            ts = [threading.Thread(target=run, args=(f"pool{i}", i)) for i in range(3)]
+            [t.start() for t in ts]; [t.join(120) for t in ts]
+            expect = {f"pool{i}": (n * (n - 1)) // 2
+                      for i, n in ((i, (i + 1) * 100000) for i in range(3))}
+            assert out == expect, (out, expect)
+            print("FAIR_POOLS_OK")
+            """
+        )
+    )
+    res = subprocess.run(
+        [sys.executable, str(driver)],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=tmp_path,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "FAIR_POOLS_OK" in res.stdout

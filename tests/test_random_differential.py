@@ -241,18 +241,71 @@ def _gen_events_query(rng: random.Random) -> str:
 
 N_EVENT_QUERIES = 16
 
+
+# ---------------------------------------------------------------------------
+# documents-table branch: string-function surface over free text. Only
+# shapes both dialects define identically: upper/lower/length/substr/
+# replace/trim, LIKE, concatenation via ||, and grouped aggregates over
+# derived string keys. doc_id is unique → deterministic ORDER BY + LIMIT.
+
+
+def _gen_docs_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.random()
+        if kind < 0.4:
+            preds.append(f"doc_id {rng.choice(['<', '>='])} {rng.randint(100, 900)}")
+        elif kind < 0.7:
+            preds.append(f"length(text) {rng.choice(['<', '>='])} {rng.randint(120, 400)}")
+        else:
+            w = rng.choice(["the", "and", "data", "of", "a"])
+            neg = "NOT " if rng.random() < 0.3 else ""
+            preds.append(f"text {neg}LIKE '%{w}%'")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    branch = rng.random()
+    if branch < 0.4:
+        return (
+            f"SELECT doc_id, upper(substr(text, 1, 8)) AS head, "
+            f"length(text) AS n, replace(lang, 'en', 'EN') AS lang2, "
+            f"source || ':' || lang AS src_lang "
+            f"FROM documents{where} ORDER BY doc_id LIMIT {rng.randint(20, 300)}"
+        )
+    if branch < 0.75:
+        return (
+            f"SELECT source, lang, count(*) AS n, "
+            f"CAST(sum(length(text)) AS BIGINT) AS chars, "
+            f"min(doc_id) AS first_doc, "
+            f"max(substr(text, 1, 4)) AS max_head "
+            f"FROM documents{where} GROUP BY source, lang ORDER BY source, lang"
+        )
+    # floor() before the int cast: CAST(double AS BIGINT) truncates in
+    # Spark (non-ANSI, the engine's pinned semantics) but ROUNDS in DuckDB
+    return (
+        f"SELECT substr(lang, 1, 2) AS l2, "
+        f"CAST(floor(avg(length(text))) AS BIGINT) AS avg_chars, count(*) AS n "
+        f"FROM documents{where} GROUP BY l2 "
+        f"HAVING count(*) > {rng.randint(0, 50)} ORDER BY l2"
+    )
+
+
+N_DOC_QUERIES = 12
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
 QUERIES += [_gen_events_query(_ERNG) for _ in range(N_EVENT_QUERIES)]
+_DRNG = random.Random(20260815)
+QUERIES += [_gen_docs_query(_DRNG) for _ in range(N_DOC_QUERIES)]
 
 
-@pytest.mark.parametrize("idx", range(N_QUERIES + N_EVENT_QUERIES))
+@pytest.mark.parametrize("idx", range(N_QUERIES + N_EVENT_QUERIES + N_DOC_QUERIES))
 def test_random_differential(spark, sf_dir, idx):
     sql = QUERIES[idx]
     from minimised_impala_spark.tables import register_tables
 
-    register_tables(spark, sf_dir, ("orders", "lineitem", "customer", "events"))
+    register_tables(
+        spark, sf_dir, ("orders", "lineitem", "customer", "events", "documents")
+    )
     sdf = spark.sql(sql)
     s_rows = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
 
