@@ -71,7 +71,7 @@ _PRIORITY = [
     # text pipeline tail
     "text_langid", "text_tokens", "text_fingerprint",
     "text_sample_deterministic", "text_repetition", "text_mix_sources",
-    "text_contamination",
+    "text_contamination", "text_boilerplate_ngrams", "pipeline_pii_redaction",
     # streaming tail
     "streaming_sliding_counts", "streaming_session_window",
     "streaming_attribution_join", "streaming_enrich_join",

@@ -561,3 +561,156 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "bench_id", F.round(containment, 6).alias("containment"))
         .orderBy("train_id", "bench_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram removal (CCNet/Dolma-style): 5-grams occurring in many
+# DISTINCT documents are template/boilerplate; each doc reports how much of
+# it is boilerplate. Operational shape at 100 TB: the doc-frequency table
+# of repeated n-grams is orders of magnitude smaller than the corpus
+# (grams with df>=threshold) and is broadcast back against the per-doc
+# gram stream — no second shuffle of the corpus.
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         t[i.n] || ' ' || t[i.n+1] || ' ' || t[i.n+2] || ' ' || t[i.n+3]
+           || ' ' || t[i.n+4] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS n) i
+  WHERE len(t) >= 5
+),
+df AS (
+  SELECT g, count(*) AS docs FROM grams GROUP BY g
+),
+boiler AS (SELECT g FROM df WHERE docs >= 5),
+per_doc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM grams gr LEFT JOIN boiler b ON b.g = gr.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_boiler,
+       round(n_boiler * 1.0 / n_grams, 6) AS boiler_frac
+FROM per_doc
+WHERE doc_id < 400
+ORDER BY doc_id
+"""
+
+
+@query("text_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = F.col("toks")
+    sz = F.size(tc)
+    g5 = F.when(
+        sz >= 5,
+        F.transform(
+            F.sequence(F.lit(0), sz - 5),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tc, i + k + 1) for k in range(5)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct(g5)).alias("g"))
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .filter(F.col("docs") >= 5)
+        .select("g")
+    )
+    per_doc = (
+        grams.join(F.broadcast(boiler.withColumnRenamed("g", "bg")),
+                   F.col("g") == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            "n_boiler",
+            F.round(F.col("n_boiler") * 1.0 / F.col("n_grams"), 6).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: the fixture corpus is synthetic lowercase prose with no
+# PII, so (exactly like dedup's planted-twin corpus) deterministic PII is
+# planted in-query — every 3rd doc gains an email and a phone — then the
+# redactor must scrub it and account for every removal. Pure JVM-side
+# regexp_replace; at 100 TB a narrow map.
+_PII_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com phone 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, source, text,
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+  FROM corpus
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(sum(len(string_split(clean, '<EMAIL>')) - 1) AS BIGINT) AS n_emails,
+       CAST(sum(len(string_split(clean, '<PHONE>')) - 1) AS BIGINT) AS n_phones,
+       CAST(sum(length(text) - length(clean)) AS BIGINT) AS chars_removed
+FROM red
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_pii_redaction", oracle=_PII_ORACLE)
+def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", "source", planted.alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace("text", r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", "<EMAIL>"),
+        r"555-[0-9]{4}",
+        "<PHONE>",
+    )
+    red = corpus.withColumn("clean", clean)
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("clean") != F.col("text"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_redacted"),
+            F.sum(F.size(F.split("clean", "<EMAIL>")) - 1).cast("bigint").alias("n_emails"),
+            F.sum(F.size(F.split("clean", "<PHONE>")) - 1).cast("bigint").alias("n_phones"),
+            F.sum(F.length("text") - F.length("clean")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
