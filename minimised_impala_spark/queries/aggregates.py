@@ -527,3 +527,38 @@ def agg_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("o_orderkey")).alias("sample_keys"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Correlation / covariance (beyond the reference: its agg registry stops at
+# the stddev/variance family, be/src/exprs/aggregate-functions.cc — corr
+# and covar are the next thing an analyst reaches for). Both engines
+# compute these as ratios of co-moment sums whose FP accumulation order
+# differs, so outputs are pinned at 4 decimals (values are O(1)-scale
+# ratios; 1e-12-relative engine noise cannot move the 4th decimal off a
+# tie, and money inputs make exact half-ties unconstructible).
+_CORR_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)                         AS n,
+       round(corr(l_quantity, l_extendedprice), 4)      AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+       round(covar_samp(l_discount, l_tax), 4)          AS covar_samp_dt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_corr_covar", oracle=_CORR_ORACLE)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("covar_samp_dt"),
+        )
+        .orderBy("l_returnflag")
+    )

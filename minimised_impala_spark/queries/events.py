@@ -435,3 +435,50 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", F.coalesce("c", F.lit(0)).alias("n"))
         .orderBy("bucket", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed anomaly detection: flag events whose value is > 2 population
+# standard deviations above the per-(user, event_type) mean. The analytic
+# shape ops teams run on behavioral streams; one shuffle on the partition
+# key, everything else map-side. Rounding pins the FP boundary comparison:
+# the z-score is computed on both engines with the same 6-decimal rounding
+# before the threshold test, so engine FP noise cannot flip a flag.
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_id, user_id, event_type, value,
+         avg(value)        OVER (PARTITION BY user_id, event_type) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id, event_type) AS sigma,
+         count(*)          OVER (PARTITION BY user_id, event_type) AS grp_n
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       round(value, 2) AS value,
+       round((value - mu) / sigma, 6) AS z
+FROM stats
+WHERE grp_n >= 5 AND sigma > 0 AND round((value - mu) / sigma, 6) > 2.0
+ORDER BY event_id
+"""
+
+
+@query("events_zscore_anomaly", oracle=_ZSCORE_ORACLE)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type")
+    z = F.round((F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w), 6)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            z.alias("z"),
+            F.count(F.lit(1)).over(w).alias("grp_n"),
+            F.stddev_pop("value").over(w).alias("sigma"),
+        )
+        .filter((F.col("grp_n") >= 5) & (F.col("sigma") > 0) & (F.col("z") > 2.0))
+        .select("event_id", "user_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
