@@ -58,9 +58,20 @@ def _mat(s: pd.Series) -> np.ndarray:
     return np.vstack(s.to_numpy())
 
 
+def _empty(dtype: str = "float64") -> pd.Series:
+    return pd.Series([], dtype=object if dtype == "object" else dtype)
+
+
+# Every kernel guards the empty batch: np.vstack([]) raises, and while
+# Spark normally skips empty partitions, an empty Arrow slice is cheap
+# insurance against a crash deep inside a 100 TB job.
+
+
 @pandas_udf(_ARR_D)
 def norm_vec(s: pd.Series) -> pd.Series:
     """Row-normalize: e / |e|."""
+    if s.empty:
+        return _empty("object")
     m = _mat(s)
     m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
     return pd.Series(list(m))
@@ -69,6 +80,8 @@ def norm_vec(s: pd.Series) -> pd.Series:
 @pandas_udf(T.LongType())
 def lsh_bucket(s: pd.Series) -> pd.Series:
     """Random-hyperplane signature: bit pl set iff dot(e, plane_pl) > 0."""
+    if s.empty:
+        return _empty("int64")
     dots = _mat(s) @ _PLANES.T
     return pd.Series(((dots > 0) << _POWERS).sum(axis=1).astype("int64"))
 
@@ -76,12 +89,16 @@ def lsh_bucket(s: pd.Series) -> pd.Series:
 @pandas_udf(T.DoubleType())
 def dot_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     """Plain dot product (cosine when inputs are pre-normalized)."""
+    if a.empty:
+        return _empty()
     return pd.Series((_mat(a) * _mat(b)).sum(axis=1))
 
 
 @pandas_udf(T.DoubleType())
 def cosine_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     """Full cosine for un-normalized pairs."""
+    if a.empty:
+        return _empty()
     ma, mb = _mat(a), _mat(b)
     num = (ma * mb).sum(axis=1)
     den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
@@ -93,6 +110,8 @@ def quantize_i8(s: pd.Series) -> pd.Series:
     """Max-abs int8 codes: round(x * 127 / max|x|), half away from zero
     (matches Spark non-ANSI round and DuckDB round — numpy's own np.round
     is half-to-EVEN and would diverge on exact .5 ties)."""
+    if s.empty:
+        return _empty("object")
     m = _mat(s)
     v = m * (127.0 / np.abs(m).max(axis=1, keepdims=True))
     q = np.sign(v) * np.floor(np.abs(v) + 0.5)
@@ -102,6 +121,8 @@ def quantize_i8(s: pd.Series) -> pd.Series:
 @pandas_udf(T.DoubleType())
 def qcosine_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine over integer codes — integer dots are exact in int64."""
+    if a.empty:
+        return _empty()
     ma, mb = _mat(a).astype("int64"), _mat(b).astype("int64")
     num = (ma * mb).sum(axis=1).astype("float64")
     den = np.sqrt((ma * ma).sum(axis=1).astype("float64")) * np.sqrt(
@@ -135,6 +156,8 @@ def make_probe_udf(centers: list[list[float]], nprobe: int):
 
     @pandas_udf(_ARR_I)
     def probe_lists(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return _empty("object")
         m = _mat(s)
         # ||e - c||² = ||e||² - 2e·c + ||c||²; ||e||² constant per row
         d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]

@@ -1,0 +1,59 @@
+"""Empty-input robustness: every operator family must degrade to an empty
+(or well-defined) result on empty tables — at 100 TB, empty partitions
+and freshly-truncated tables are routine, and a crash deep inside a
+pipeline stage is the failure mode this pins against (e.g. a numpy
+kernel vstack-ing an empty Arrow batch)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+
+from minimised_impala_spark.queries import load_all
+from minimised_impala_spark.queries.registry import QUERIES
+from minimised_impala_spark.tables import ALL_TABLES
+
+load_all()
+
+# one representative per family; all must return exactly 0 rows on an
+# empty corpus (select_values/scalar constants excluded — they produce
+# rows by construction)
+EMPTY_ZERO = [
+    "tpch_q1",
+    "tpch_q3",
+    "join_full_outer",
+    "agg_rollup",
+    "window_rank_suite",
+    "sort_nulls_limit_offset",
+    "set_union",
+    "nested_explode_tokens",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "text_quality",
+    "pipeline_corpus_curation",
+    "pipeline_pii_redaction",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("empty_sf")
+    stage = tmp_path_factory.mktemp("empty_stage")
+    for t in ALL_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(str(stage / t))
+        part = glob.glob(str(stage / t / "*.parquet"))[0]
+        shutil.copy(part, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+@pytest.mark.parametrize("name", EMPTY_ZERO)
+def test_empty_input_yields_empty_result(spark, empty_dir, name):
+    df = QUERIES[name](spark, empty_dir)
+    assert df.count() == 0
+    assert len(df.schema.fields) > 0  # schema still well-formed
