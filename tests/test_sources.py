@@ -196,3 +196,39 @@ def test_text_malformed_row_modes(spark, tmp_path):
 
     with _pytest.raises(Exception):
         formats.read_text(spark, str(p), schema=schema, mode="FAILFAST").collect()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema-on-read evolution: files written before an ALTER TABLE ADD
+    COLUMNS coexist with newer wide files; mergeSchema unifies them and
+    old rows surface NULL for the added column (the reference's
+    HdfsTable schema-evolution contract)."""
+    p = str(tmp_path / "evolve")
+    spark.range(5).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v").write.parquet(p)
+    spark.range(5, 10).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CONCAT('tag', id) AS tag"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in merged.collect()}
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == f"tag{i}" for i in range(5, 10))
+
+
+def test_parquet_compression_codecs(spark, sample, tmp_path):
+    """Codec matrix round-trip (the reference's per-format codec support,
+    hdfs-parquet-table-writer.h codec negotiation): every supported codec
+    yields identical data."""
+    import pyarrow.parquet as pq
+    import glob
+
+    expected = sorted(map(tuple, sample.collect()))
+    for codec in ("snappy", "gzip", "zstd", "none"):
+        p = str(tmp_path / f"c_{codec}")
+        sample.coalesce(1).write.option("compression", codec).parquet(p)
+        back = sorted(map(tuple, spark.read.parquet(p).collect()))
+        assert back == expected, codec
+        meta = pq.ParquetFile(glob.glob(p + "/*.parquet")[0]).metadata
+        got = meta.row_group(0).column(0).compression.lower()
+        want = {"none": "uncompressed"}.get(codec, codec)
+        assert got == want, (codec, got)
