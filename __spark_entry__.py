@@ -50,7 +50,7 @@ _PRIORITY = [
     # never driver-verified: new-in-r3 scans, then aggregates/sets
     "source_avro_scan", "source_sequencefile_scan",
     "agg_minmax_types", "set_union_distinct", "agg_cube_grouping",
-    "agg_sample_reservoir", "agg_corr_covar",
+    "agg_sample_reservoir", "agg_corr_covar", "agg_bitwise",
     # windows
     "window_range_frame", "window_first_last", "window_percentile",
     # subqueries
@@ -63,7 +63,7 @@ _PRIORITY = [
     # events suite tail
     "events_window_agg", "events_json_extract", "events_funnel",
     "events_funnel_ordered", "events_retention", "events_gapfill",
-    "events_zscore_anomaly",
+    "events_zscore_anomaly", "events_path_mining",
     # dedup tail
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
     "dedup_keep_best",

@@ -562,3 +562,34 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregates (bit_and/bit_or/bit_xor) — flag-column folding; the
+# reference's bit function family (§2.8) at the aggregate level.
+_BITAGG_ORACLE = """
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey % 256) AS BIGINT) AS band,
+       CAST(bit_or(o_orderkey % 256) AS BIGINT)  AS bor,
+       CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS bxor,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("agg_bitwise", oracle=_BITAGG_ORACLE)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 256)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(k).alias("band"),
+            F.bit_or(k).alias("bor"),
+            F.bit_xor(k).alias("bxor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

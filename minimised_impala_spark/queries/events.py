@@ -482,3 +482,49 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value", "z")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Path mining: the top 3-step event paths per user ordering — product
+# analytics' "common journeys" query. Two leads over one (user, time)
+# window, then a count — one shuffle on user_id, one on the path triple;
+# both map-side combined.
+_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 15
+"""
+
+
+@query("events_path_mining", oracle=_PATHS_ORACLE)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
