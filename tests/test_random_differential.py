@@ -290,21 +290,69 @@ def _gen_docs_query(rng: random.Random) -> str:
 
 N_DOC_QUERIES = 12
 
+
+# ---------------------------------------------------------------------------
+# part/supplier branch: covers the two fixture tables no other branch
+# touches — dimension-style filters, a part⋈supplier-size theta-free join
+# via modulo bucketing, and grouped aggregates over p_brand/p_type.
+
+
+def _gen_part_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.random()
+        if kind < 0.4:
+            preds.append(f"p_size {rng.choice(['<', '>=', '='])} {rng.randint(1, 50)}")
+        elif kind < 0.7:
+            preds.append(f"p_retailprice {rng.choice(['<', '>='])} {rng.randint(900, 2000)}")
+        else:
+            b = rng.randint(1, 5)
+            preds.append(f"p_brand LIKE 'Brand#{b}%'")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    branch = rng.random()
+    if branch < 0.4:
+        return (
+            f"SELECT p_brand, count(*) AS n, min(p_size) AS mn, max(p_size) AS mx, "
+            f"round(sum(p_retailprice) * 100) / 100 AS s "
+            f"FROM part{where} GROUP BY p_brand ORDER BY p_brand"
+        )
+    if branch < 0.7:
+        return (
+            f"SELECT p_partkey, p_brand, p_size, upper(substr(p_type, 1, 6)) AS t6 "
+            f"FROM part{where} ORDER BY p_partkey LIMIT {rng.randint(20, 300)}"
+        )
+    return (
+        f"SELECT s.s_nationkey, count(*) AS n, "
+        f"round(sum(p.p_retailprice) * 100) / 100 AS s "
+        f"FROM part p JOIN supplier s ON p.p_partkey % 100 = s.s_suppkey % 100"
+        f"{where.replace('WHERE', 'WHERE') if preds else ''} "
+        f"GROUP BY s.s_nationkey ORDER BY s.s_nationkey"
+    )
+
+
+N_PART_QUERIES = 10
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
 QUERIES += [_gen_events_query(_ERNG) for _ in range(N_EVENT_QUERIES)]
 _DRNG = random.Random(20260815)
 QUERIES += [_gen_docs_query(_DRNG) for _ in range(N_DOC_QUERIES)]
+_PRNG = random.Random(20260816)
+QUERIES += [_gen_part_query(_PRNG) for _ in range(N_PART_QUERIES)]
 
 
-@pytest.mark.parametrize("idx", range(N_QUERIES + N_EVENT_QUERIES + N_DOC_QUERIES))
+@pytest.mark.parametrize(
+    "idx", range(N_QUERIES + N_EVENT_QUERIES + N_DOC_QUERIES + N_PART_QUERIES)
+)
 def test_random_differential(spark, sf_dir, idx):
     sql = QUERIES[idx]
     from minimised_impala_spark.tables import register_tables
 
     register_tables(
-        spark, sf_dir, ("orders", "lineitem", "customer", "events", "documents")
+        spark,
+        sf_dir,
+        ("orders", "lineitem", "customer", "events", "documents", "part", "supplier"),
     )
     sdf = spark.sql(sql)
     s_rows = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
