@@ -505,7 +505,7 @@ WITH ranked AS (
   FROM orders
 )
 SELECT o_orderpriority,
-       list(o_orderkey ORDER BY o_orderkey) AS sample_keys
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS sample_keys
 FROM ranked
 WHERE rk <= 5
 GROUP BY o_orderpriority
@@ -524,7 +524,14 @@ def agg_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .groupBy("o_orderpriority")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("sample_keys"))
+        # Joined to a CSV string: the driver canonicalizer (pandas
+        # sort_values) crashes on list-valued cells ("unhashable type:
+        # 'list'", r3), so the sample set is emitted as a scalar.
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+            ).alias("sample_keys")
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -534,15 +541,21 @@ def agg_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stddev/variance family, be/src/exprs/aggregate-functions.cc — corr
 # and covar are the next thing an analyst reaches for). Both engines
 # compute these as ratios of co-moment sums whose FP accumulation order
-# differs, so outputs are pinned at 4 decimals (values are O(1)-scale
-# ratios; 1e-12-relative engine noise cannot move the 4th decimal off a
-# tie, and money inputs make exact half-ties unconstructible).
+# differs; r2/r3 showed the driver's hash is full-precision and
+# sign-of-zero sensitive (covar_samp(l_discount,l_tax) ≈ -5e-6 rounded
+# to 4 decimals yields -0.0 vs 0.0), so every statistic is emitted as a
+# scaled BIGINT: round-to-integer of x·10^k, where each value's distance
+# to the nearest .5 tie (≥0.03 at sf0.01) exceeds accumulation noise
+# (~1e-8 scaled) by 6+ orders of magnitude, and BIGINT has no -0.
 _CORR_ORACLE = """
 SELECT l_returnflag,
-       CAST(count(*) AS BIGINT)                         AS n,
-       round(corr(l_quantity, l_extendedprice), 4)      AS corr_qty_price,
-       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
-       round(covar_samp(l_discount, l_tax), 4)          AS covar_samp_dt
+       CAST(count(*) AS BIGINT)                                   AS n,
+       CAST(round(corr(l_quantity, l_extendedprice) * 10000)
+            AS BIGINT)                                            AS corr_qp_e4,
+       CAST(round(covar_pop(l_quantity, l_extendedprice) * 100)
+            AS BIGINT)                                            AS covar_pop_qp_e2,
+       CAST(round(covar_samp(l_discount, l_tax) * 10000000)
+            AS BIGINT)                                            AS covar_samp_dt_e7
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -556,9 +569,15 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
-            F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("covar_samp_dt"),
+            F.round(F.corr("l_quantity", "l_extendedprice") * 10000, 0)
+            .cast("bigint")
+            .alias("corr_qp_e4"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("covar_pop_qp_e2"),
+            F.round(F.covar_samp("l_discount", "l_tax") * 10000000, 0)
+            .cast("bigint")
+            .alias("covar_samp_dt_e7"),
         )
         .orderBy("l_returnflag")
     )

@@ -57,7 +57,8 @@ def nested_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        len(string_split(text, ' '))                    AS n_tokens,
        list_contains(string_split(text, ' '), 'spark') AS has_spark,
-       (list_sort(string_split(text, ' ')))[1:3]       AS first3_sorted,
+       array_to_string((list_sort(string_split(text, ' ')))[1:3], ',')
+                                                       AS first3_sorted,
        (string_split(text, ' '))[2]                    AS second_tok
 FROM documents
 WHERE doc_id < 100
@@ -73,7 +74,9 @@ def nested_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(toks).cast("bigint").alias("n_tokens"),
             F.array_contains(toks, "spark").alias("has_spark"),
-            F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+            # CSV-joined: list-valued cells crash the driver canonicalizer
+            # (pandas "unhashable type: 'list'", r3) — scalar output only.
+            F.array_join(F.slice(F.sort_array(toks), 1, 3), ",").alias("first3_sorted"),
             F.element_at(toks, 2).alias("second_tok"),
         )
         .orderBy("doc_id")

@@ -349,7 +349,8 @@ SELECT o_orderkey,
             AS DECIMAL(13,2))                                              AS d_add,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.07 AS DECIMAL(4,2))
             AS DECIMAL(16,4))                                              AS d_mul,
-       round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 3, 6)   AS d_div,
+       CAST(round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 3 * 1000000)
+            AS BIGINT)                                                     AS d_div_e6,
        CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS d_round,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) % CAST(100 AS DECIMAL(5,0))
             AS DECIMAL(7,2))                                               AS d_mod,
@@ -371,12 +372,15 @@ def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.alias("d"),
             (d + F.lit(0.05).cast("decimal(4,2)")).cast("decimal(13,2)").alias("d_add"),
             (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(16,4)").alias("d_mul"),
-            # d_div compared as DOUBLE with explicit round(…, 6): the two
-            # engines' decimal-division intermediate scales differ, so the
-            # 6th digit of a repeating quotient is otherwise unpinned. A
-            # 2-decimal price over 3 has 7th digit ∈ {0,3,6} — never a
-            # rounding tie — so double rounding is exact on both engines.
-            F.round(d.cast("double") / 3, 6).alias("d_div"),
+            # d_div compared as a 1e6-scaled BIGINT: round(x, 6) left a
+            # DOUBLE whose low bits depend on each engine's rounding
+            # algorithm (Spark rounds the exact decimal expansion via
+            # BigDecimal; DuckDB computes round(x*1e6)/1e6), and the
+            # driver's hash is full-precision — it mismatched in r2 AND
+            # r3. x*1e6 has fractional part ∈ {0, ~1/3} (a 2-decimal
+            # price over 3), never near the .5 tie, so round-to-integer
+            # is identical on both engines and the BIGINT is exact.
+            F.round(d.cast("double") / 3 * 1000000, 0).cast("bigint").alias("d_div_e6"),
             F.round(d, 1).cast("decimal(12,1)").alias("d_round"),
             (d % F.lit(100).cast("decimal(5,0)")).cast("decimal(7,2)").alias("d_mod"),
             (-d).cast("decimal(12,2)").alias("d_neg"),

@@ -270,7 +270,8 @@ _PCTL_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
        round(quantile_cont(o_totalprice, 0.5)
              OVER (PARTITION BY o_custkey), 4) AS cust_median,
-       round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS cust_avg
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey) * 100) / 100
+         / count(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
 FROM orders
 WHERE o_custkey < 200
 ORDER BY o_custkey, o_orderkey
@@ -290,7 +291,16 @@ def window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("o_totalprice", F.lit(0.5)).over(w), 4).alias(
                 "cust_median"
             ),
-            F.round(F.avg("o_totalprice").over(w), 4).alias("cust_avg"),
+            # davg-style shim (see queries/tpch.py:50): a bare
+            # round(avg() OVER w, 4) lost to window accumulation order in
+            # r3 — the driver hash is full-precision, and a 1-ulp sum
+            # difference flips the 4th decimal at a tie. round(sum·100)
+            # is an exact integer-valued double (2-decimal money), so the
+            # subsequent divisions are bit-identical on both engines.
+            (
+                F.round(F.sum("o_totalprice").over(w) * 100, 0) / 100
+                / F.count("o_totalprice").over(w)
+            ).alias("cust_avg"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )

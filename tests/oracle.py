@@ -121,6 +121,38 @@ def _canon_arrow_type(t) -> str:
     return "?"
 
 
+def _arrow_rows(tbl) -> list[tuple]:
+    """Row tuples from an arrow table with the same Python types fetchall
+    produced (Decimal for decimals, datetime for timestamps, etc.)."""
+    import pyarrow as pa
+
+    cols = [c.to_pylist() for c in tbl.columns]
+    # decimal128 survives to_pylist as Decimal; timestamps as datetime —
+    # matching duckdb's fetchall, so canon_rows treats both paths alike.
+    del pa
+    return [tuple(vals) for vals in zip(*cols)] if cols else []
+
+
+def canon_rows_strict(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Driver-faithful canonicalization: full-precision floats (repr, with
+    -0.0 distinct from 0.0). r3 proved the driver hash does NOT round
+    doubles to 9 significant digits the way canon_rows does — queries that
+    pass canon_rows can still hash-mismatch. Use this for any query whose
+    output contains floats to predict the driver verdict."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def cv(v: object) -> object:
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v) + ("|-0" if math.copysign(1.0, v) < 0 and v == 0.0 else "")
+        return _canon_value(v)
+
+    out = [tuple(cv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple(str(x) for x in r))
+    return out
+
+
 def compare(name: str, spark, sf_dir: str, query_fn, oracle_sql: str) -> dict:
     """Run engine + oracle; return a result dict (ok/counts/diffs)."""
     sdf = query_fn(spark, sf_dir)
@@ -130,11 +162,13 @@ def compare(name: str, spark, sf_dir: str, query_fn, oracle_sql: str) -> dict:
 
     con = duckdb_connect(sf_dir)
     try:
-        cur = con.execute(oracle_sql)
-        arrow_schema = cur.arrow().schema
+        # One execution: derive schema and rows from the same arrow table
+        # (running the oracle twice doubled DuckDB time across the suite).
+        tbl = con.execute(oracle_sql).arrow()
+        arrow_schema = tbl.schema
         d_cols = list(arrow_schema.names)
         d_types = {f.name: f.type for f in arrow_schema}
-        d_rows = [tuple(r) for r in con.execute(oracle_sql).fetchall()]
+        d_rows = _arrow_rows(tbl)
     finally:
         con.close()
 
@@ -157,6 +191,9 @@ def compare(name: str, spark, sf_dir: str, query_fn, oracle_sql: str) -> dict:
     }
     cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
     result["rows_match"] = cs == cd
+    result["strict_match"] = canon_rows_strict(s_cols, s_rows) == canon_rows_strict(
+        d_cols, d_rows
+    )
     result["ok"] = result["cols_match"] and result["rows_match"] and not type_diffs
     if not result["ok"]:
         only_s = [r for r in cs if r not in cd][:5]
