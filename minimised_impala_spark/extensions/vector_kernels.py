@@ -113,7 +113,10 @@ def quantize_i8(s: pd.Series) -> pd.Series:
     if s.empty:
         return _empty("object")
     m = _mat(s)
-    v = m * (127.0 / np.abs(m).max(axis=1, keepdims=True))
+    # (x*127)/max in that order — the DuckDB oracle evaluates x*127 first,
+    # and the other association can differ by 1 ulp, flipping an exact .5
+    # boundary under half-away-from-zero.
+    v = m * 127.0 / np.abs(m).max(axis=1, keepdims=True)
     q = np.sign(v) * np.floor(np.abs(v) + 0.5)
     return pd.Series(list(q.astype("int64")))
 
@@ -141,6 +144,8 @@ def make_bucket_udf(plane_offset: int, n_planes: int = N_PLANES):
 
     @pandas_udf(T.LongType())
     def bucket_of(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return _empty("int64")
         dots = _mat(s) @ planes.T
         return pd.Series(((dots > 0) << powers).sum(axis=1).astype("int64"))
 

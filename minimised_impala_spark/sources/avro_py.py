@@ -476,6 +476,12 @@ def write_avro_fallback(df, path: str, codec: str = "deflate") -> int:
 
     _ship_module_by_value()
     os.makedirs(path, exist_ok=True)
+    # INSERT OVERWRITE semantics, driver-side: a prior run with MORE
+    # partitions leaves stale part files that a later scan would decode as
+    # duplicate rows (this bit source_avro_scan's staging dir in r3 review).
+    for stale in os.listdir(path):
+        if stale.endswith(".avro"):
+            os.unlink(os.path.join(path, stale))
     schema = from_spark_schema(df.schema)
     schema_json = json.dumps(schema)
 
@@ -484,14 +490,16 @@ def write_avro_fallback(df, path: str, codec: str = "deflate") -> int:
         for pdf in batches:
             clean = pdf.astype(object).where(pd.notna(pdf), None)
             rows.extend(clean.to_dict("records"))
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         if rows:
-            write_container(
-                os.path.join(path, f"part-{pid:05d}.avro"),
-                json.loads(schema_json),
-                rows,
-                codec=codec,
-            )
+            # Write-then-rename so a failed/speculative attempt never
+            # exposes a truncated container to a concurrent scan; the
+            # attempt number keeps temp names unique across retries.
+            final = os.path.join(path, f"part-{pid:05d}.avro")
+            tmp = f"{final}.attempt-{ctx.attemptNumber()}.tmp"
+            write_container(tmp, json.loads(schema_json), rows, codec=codec)
+            os.replace(tmp, final)
         yield pd.DataFrame({"n": [len(rows)]})
 
     counts = df.mapInPandas(write_part, schema="n long").collect()
