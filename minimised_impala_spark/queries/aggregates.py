@@ -612,3 +612,42 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# histogram() aggregate (fe/.../catalog/BuiltinsDb.java:574-594): the
+# reference's multi-bucket value histogram, re-expressed relationally as
+# fixed-width bucket counts per group — bucket = floor(x / width) clamped
+# to the top bucket, a pure Column expression both engines evaluate
+# identically (the division of identical doubles is correctly rounded, so
+# floor agrees bit-for-bit). 10 buckets of 11,000 cover l_extendedprice's
+# full range; the clamp makes the bucket list closed so outliers cannot
+# silently create an 11th bucket at a different scale factor.
+_HISTOGRAM_ORACLE = """
+SELECT l_returnflag,
+       CAST(least(floor(l_extendedprice / 11000), 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT)                                 AS n,
+       CAST(round(min(l_extendedprice) * 100) AS BIGINT)        AS min_cents,
+       CAST(round(max(l_extendedprice) * 100) AS BIGINT)        AS max_cents
+FROM lineitem
+GROUP BY l_returnflag, bucket
+ORDER BY l_returnflag, bucket
+"""
+
+
+@query("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 11000), F.lit(9)).cast(
+        "bigint"
+    )
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice") * 100, 0).cast("bigint").alias("min_cents"),
+            F.round(F.max("l_extendedprice") * 100, 0).cast("bigint").alias("max_cents"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    )

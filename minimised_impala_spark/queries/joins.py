@@ -142,6 +142,42 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# RIGHT ANTI (reference TJoinOp RIGHT_ANTI_JOIN,
+# common/thrift/PlanNodes.thrift:214-230): the planner's inverted form of
+# an anti join — keep build-side rows with no probe-side match.  Spark has
+# no native right_anti join type, so the canonical expression is a
+# left_anti with the inputs swapped: suppliers with no max-quantity
+# high-value shipment survive, lineitem being the (conceptually left)
+# probe.  The predicate keeps ~40% of suppliers at sf0.01 so the driver
+# row is a non-trivial survivor set, not an empty relation.
+@query(
+    "join_right_anti",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey
+    AND l_quantity >= 49 AND l_extendedprice > 100000
+)
+ORDER BY s_suppkey
+""",
+)
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, li = _t(spark, sf_dir, "supplier", "lineitem")
+    big_ships = li.filter(
+        (F.col("l_quantity") >= 49) & (F.col("l_extendedprice") > 100000)
+    )
+    # right-anti(probe=big_ships, build=supplier) ≡ left_anti with
+    # supplier promoted to the left input.
+    return (
+        supp.join(big_ships, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # NULL_AWARE_LEFT_ANTI (reference PlanNodes.thrift:228): NOT IN over a
 # nullable probe expression — rows where the expression is NULL are dropped
 # (UNKNOWN), which a plain anti join would wrongly keep.
