@@ -419,10 +419,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with cosine >= threshold are duplicates; each duplicated vector reports
 # its lowest-id partner as the canonical representative.
 #
-# Scale path: this oracled query scores all pairs exactly (the corpus-side
-# table is broadcast); at 100 TB the pair space is first pruned by LSH
-# bucketing (similarity.sim_lsh_buckets) and this exact scorer runs only
-# within buckets — identical semantics, candidates ∝ collisions not n².
+# Scale design — blocked exact all-pairs, NOT a broadcast nested loop:
+# an exact cosine threshold of 0.45 sits in the regime hyperplane LSH
+# cannot prune with guaranteed recall (collision prob 0.65/plane for a
+# qualifying pair vs 0.50 for a random one — any banded scheme that
+# prunes also misses borderline pairs, and this fixture's qualifying
+# pairs start at cosine 0.4501).  The distributed-exact pattern is block
+# outer product: vectors are assigned to B id-blocks, each vector is
+# replicated to the B block-pair groups it participates in, and each of
+# the B(B+1)/2 groups computes its n/B × n/B cosine tile with one BLAS
+# matmul inside applyInPandas, emitting ONLY qualifying pairs.  The n²
+# candidate rows never exist as Spark rows, no side is broadcast, and
+# per-task memory is 2·(n/B)·dim doubles — B is the single knob trading
+# replication (n·B rows shuffled) against task count at 100 TB.  True
+# sub-quadratic candidate pruning (when the threshold is high enough for
+# it) is the LSH/IVF family in extensions/similarity.py.
 _EMB_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -442,25 +453,69 @@ ORDER BY left_id, right_id
 """
 
 
+_EMB_BLOCKS = 8  # B(B+1)/2 = 36 tiles; raise with corpus size (see above)
+
+
 @query("dedup_embedding", oracle=_EMB_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cosine via the Arrow/numpy kernel (vector_kernels.cosine_pair): the
-    # all-pairs scorer evaluates |n|²/2 dots, where interpreted HOF lambdas
-    # cost ~0.1 ms each — the numpy batch path is 20×+ faster and
-    # numerically identical at the rounded precision.
-    from minimised_impala_spark.extensions import vector_kernels as VK
+    import numpy as np
+    import pandas as pd
 
+    B = _EMB_BLOCKS
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
+    # Replicate each vector into every block-pair group it belongs to: a
+    # vector in block b participates in tiles (min(b,k), max(b,k)) for all
+    # k — each unordered vector pair lands in exactly one tile.
+    blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    tiles = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(k)).alias("p"),
+                F.greatest(F.col("b"), F.lit(k)).alias("q"),
+            )
+            for k in range(B)
+        ]
+    )
+    exploded = (
+        emb.withColumn("b", blk)
+        .withColumn("t", F.explode(tiles))
+        .select(F.col("t.p").alias("p"), F.col("t.q").alias("q"), "vec_id", "b", "e")
+    )
+
+    def score_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = key
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["e"].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        if p == q:
+            g = (m @ m.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            la, ra = ids[ia], ids[ib]
+            cos = g[ia, ib]
+        else:
+            amask = pdf["b"].to_numpy() == p
+            ids_a, ids_b = ids[amask], ids[~amask]
+            g = (m[amask] @ m[~amask].T) / np.outer(norms[amask], norms[~amask])
+            la = np.repeat(ids_a, len(ids_b))
+            ra = np.tile(ids_b, len(ids_a))
+            cos = g.ravel()
+        keep = cos >= 0.45
+        la, ra, cos = la[keep], ra[keep], cos[keep]
+        return pd.DataFrame(
+            {
+                "left_id": np.minimum(la, ra),
+                "right_id": np.maximum(la, ra),
+                "cosine": cos,
+            }
+        )
+
+    pairs = exploded.groupBy("p", "q").applyInPandas(
+        score_tile, schema="left_id long, right_id long, cosine double"
+    )
     return (
-        F.broadcast(a)
-        .join(b, F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", VK.cosine_pair("ea", "eb").alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-        .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
+        pairs.select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("left_id", "right_id")
     )
 

@@ -196,3 +196,50 @@ def test_ext_kv_pushdown_partition_planning(spark, tmp_path):
     )
     assert df.count() == 100
     assert json.loads(trace.read_text())["lo"] == 900
+
+
+def test_runtime_bloom_filter_engages(spark, sf_dir):
+    """session.py enables spark.sql.optimizer.runtime.bloomFilter.enabled
+    (the reference's RuntimeFilterGenerator,
+    fe/.../planner/RuntimeFilterGenerator.java:27-45) — pin that the rule
+    actually injects a filter so the flag cannot silently regress.  The
+    size thresholds are lowered for test-scale data only; the predicate
+    shape (selective dim filter → fact-side bloom probe on the join key)
+    is exactly the 100 TB case the flag exists for."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        building = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = (
+            orders.join(building, orders.o_custkey == building.c_custkey)
+            .groupBy("c_nationkey")
+            .count()
+        )
+        plan = _optimized(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_dedup_embedding_no_broadcast_nested_loop(spark, sf_dir):
+    """dedup_embedding must stay the blocked tile computation — the r3
+    all-pairs form planned a BroadcastNestedLoopJoin over the corpus,
+    which never finishes at 100 TB.  Candidate pairs must not exist as
+    plan-level join output at all: the only join-free shuffle is the
+    tile groupBy feeding applyInPandas."""
+    plan = _physical(fresh("dedup_embedding")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
