@@ -332,6 +332,107 @@ def _gen_part_query(rng: random.Random) -> str:
 
 N_PART_QUERIES = 10
 
+
+# ---------------------------------------------------------------------------
+# events WINDOW branch (VERDICT r3 §next.8): analytic functions over
+# (user, time) orderings are where engine disagreement hides — frame
+# boundary inclusion, tie handling, and windowed-aggregate accumulation
+# order.  Rules that keep both dialects bit-identical:
+#   - every row-dependent ordering ends with event_id (unique) so frames
+#     and LIMITs are deterministic;
+#   - windowed sum/avg over the 2-decimal `value` column uses the
+#     scaled-round shim (DuckDB evaluates window sums with segment trees,
+#     a different accumulation order than Spark's running fold);
+#   - ratio functions (percent_rank/cume_dist) are exact: both engines
+#     divide the same two integers;
+#   - RANGE numeric frames order by `value` alone (Spark requires a
+#     single ORDER BY column for numeric offsets); the peer set is
+#     value-determined, so ties are identical.
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.random()
+        if kind < 0.4:
+            day = rng.randint(1, 28)
+            preds.append(f"ts {rng.choice(['<', '>='])} TIMESTAMP '2024-01-{day:02d} 00:00:00'")
+        elif kind < 0.7:
+            vals = rng.sample(_EVENT_TYPES, rng.randint(1, 3))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            preds.append(f"event_type IN ({quoted})")
+        else:
+            preds.append(f"user_id {rng.choice(['<', '>='])} {rng.randint(2, 14)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    part = rng.choice(["user_id", "event_type"])
+    branch = rng.random()
+    if branch < 0.3:
+        # ROWS frame aggregates
+        k = rng.randint(1, 5)
+        end = rng.choice(["CURRENT ROW", "1 FOLLOWING"])
+        over = (
+            f"OVER (PARTITION BY {part} ORDER BY ts, event_id "
+            f"ROWS BETWEEN {k} PRECEDING AND {end})"
+        )
+        return (
+            f"SELECT event_id, {part}, "
+            f"round(sum(value) {over} * 100) / 100 AS s, "
+            f"min(value) {over} AS mn, max(value) {over} AS mx, "
+            f"count(*) {over} AS n "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    if branch < 0.5:
+        # ranking family over a unique (value, event_id) ordering
+        d = rng.choice(["", " DESC"])
+        over = f"OVER (PARTITION BY {part} ORDER BY value{d}, event_id)"
+        return (
+            f"SELECT event_id, {part}, "
+            f"rank() {over} AS rk, dense_rank() {over} AS drk, "
+            f"percent_rank() {over} AS prk, cume_dist() {over} AS cd, "
+            f"ntile({rng.randint(2, 7)}) {over} AS nt "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    if branch < 0.7:
+        # first/last/nth over an explicit full frame
+        over = (
+            f"OVER (PARTITION BY {part} ORDER BY ts, event_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        )
+        n = rng.randint(2, 4)
+        return (
+            f"SELECT event_id, {part}, "
+            f"first_value(event_type) {over} AS fv, "
+            f"last_value(event_type) {over} AS lv, "
+            f"nth_value(event_type, {n}) {over} AS nv "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    if branch < 0.85:
+        # RANGE numeric-offset frame ordered by value alone
+        span = rng.randint(10, 120)
+        over = (
+            f"OVER (PARTITION BY {part} ORDER BY value "
+            f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)"
+        )
+        return (
+            f"SELECT event_id, {part}, value, "
+            f"count(*) {over} AS n_near, "
+            f"round(sum(value) {over} * 100) / 100 AS s_near "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    # lead/lag with offset + default over the time ordering
+    off = rng.randint(1, 3)
+    over = f"OVER (PARTITION BY {part} ORDER BY ts, event_id)"
+    return (
+        f"SELECT event_id, {part}, "
+        f"lag(value, {off}, -1.0) {over} AS lg, "
+        f"lead(value, {off}, -1.0) {over} AS ld, "
+        f"lag(event_type) {over} AS lg_t "
+        f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+    )
+
+
+N_WINDOW_QUERIES = 24
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -340,11 +441,11 @@ _DRNG = random.Random(20260815)
 QUERIES += [_gen_docs_query(_DRNG) for _ in range(N_DOC_QUERIES)]
 _PRNG = random.Random(20260816)
 QUERIES += [_gen_part_query(_PRNG) for _ in range(N_PART_QUERIES)]
+_WRNG = random.Random(20260817)
+QUERIES += [_gen_window_query(_WRNG) for _ in range(N_WINDOW_QUERIES)]
 
 
-@pytest.mark.parametrize(
-    "idx", range(N_QUERIES + N_EVENT_QUERIES + N_DOC_QUERIES + N_PART_QUERIES)
-)
+@pytest.mark.parametrize("idx", range(len(QUERIES)))
 def test_random_differential(spark, sf_dir, idx):
     sql = QUERIES[idx]
     from minimised_impala_spark.tables import register_tables
