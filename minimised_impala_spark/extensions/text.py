@@ -714,3 +714,138 @@ def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment — the first thing a
+# training pipeline does to a corpus. Hash-based (never random()): the
+# assignment is a pure function of doc_id, so it is reproducible across
+# runs, stable under corpus growth (existing docs never change split),
+# and embarrassingly parallel — a narrow map with no shuffle until the
+# final per-split audit aggregation. 90/5/5 via md5 buckets, the same
+# conv(md5)-bucket idiom as text_sample_deterministic.
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT source, doc_id, length(text) AS n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000
+           AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)  AS n_chars,
+       CAST(min(doc_id) AS BIGINT)   AS first_doc
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@query("text_split_assignment", oracle=_SPLIT_ORACLE)
+def text_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "doc_id", F.length("text").alias("n_chars"))
+        .withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded global corpus shuffle — reproducible training order. The shuffle
+# key is md5(seed || doc_id), so the permutation is a deterministic
+# function of (seed, corpus) and re-runs bit-identically; changing the
+# seed re-permutes. At scale the ORDER BY realizes as a distributed
+# range-partitioned sort (sample → range bounds → per-partition sort) —
+# no single-task bottleneck; the LIMIT here makes the declared query a
+# TakeOrdered so the driver fetches only the head. A full-corpus
+# materialization would instead write the sorted output per partition.
+_SHUFFLE_ORACLE = """
+SELECT doc_id, source,
+       substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 50
+"""
+
+
+@query("text_global_shuffle", oracle=_SHUFFLE_ORACLE)
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("42_"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return (
+        docs.select("doc_id", "source", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling with EXACT per-stratum quotas — "50 docs per
+# source", not a Bernoulli fraction (which only hits quotas in
+# expectation). Rank within each stratum by the deterministic hash order
+# (so the sample is reproducible and unbiased w.r.t. doc content) and
+# keep rank ≤ quota: one window shuffle on the stratum key, scale-safe
+# for any stratum too big to collect. Skewed strata rank in parallel
+# across their partition's sort — no stratum ever convenes on one task
+# beyond the window sort, and the quota cut happens before any wide row
+# leaves the stage.
+_STRAT_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, length(text) AS n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)     AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sample_chars,
+       CAST(min(doc_id) AS BIGINT)  AS min_doc,
+       CAST(max(doc_id) AS BIGINT)  AS max_doc
+FROM ranked
+WHERE rk <= 50
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_sample_stratified", oracle=_STRAT_ORACLE)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.length("text").alias("n_chars"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
