@@ -102,9 +102,41 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Decode pipeline through mapInPandas (rows-only: the fake codec is not
-# SQL-expressible; the pytest suite asserts determinism + batch shape).
-@query("multimodal_decode_stub")
+# Decode pipeline through mapInPandas. The codec is a stub, but a fully
+# DETERMINISTIC one (dims derived from the first 8 payload bytes), and
+# the fixture text is pure ASCII — so the whole fake decode is
+# re-expressible in SQL and the mapInPandas plumbing gets a hard
+# value-hash oracle, not just a rows-only check: the oracle folds the
+# first 8 bytes into the same big-endian integer (ord × 256^k; max byte
+# 0x79 keeps it under 2^63) and recomputes width/height/channels/fmt.
+_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CASE WHEN substr(text, 1, 1) = 't' THEN 'png' ELSE 'jpeg' END AS fmt,
+         (ord(substr(text, 1, 1)) * 72057594037927936
+          + ord(substr(text, 2, 1)) * 281474976710656
+          + ord(substr(text, 3, 1)) * 1099511627776
+          + ord(substr(text, 4, 1)) * 4294967296
+          + ord(substr(text, 5, 1)) * 16777216
+          + ord(substr(text, 6, 1)) * 65536
+          + ord(substr(text, 7, 1)) * 256
+          + ord(substr(text, 8, 1)))                AS h
+  FROM documents
+)
+SELECT fmt,
+       CAST(CASE WHEN h % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+       CAST(count(*) AS BIGINT)                            AS n,
+       CAST(sum(byte_len) AS BIGINT)                       AS total_bytes,
+       CAST(min(64 + h % 1024) AS INT)                     AS min_w,
+       CAST(max(64 + (h // 1024) % 1024) AS INT)           AS max_h
+FROM d
+GROUP BY fmt, channels
+ORDER BY fmt, channels
+"""
+
+
+@query("multimodal_decode_stub", oracle=_DECODE_ORACLE)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = with_payload(docs).mapInPandas(_decode_batches, DECODED_SCHEMA)
@@ -183,7 +215,30 @@ def _frame_sample_batches(every_k: int):
     return kernel
 
 
-@query("multimodal_frame_sample")  # rows-only: codec stub not SQL-expressible
+# The 'frames' are 64-byte payload chunks and the fixture is ASCII, so
+# the sampler has a hard oracle too: one generated frame index per doc
+# (LATERAL generate_series over ceil(len/64)), md5 of the matching
+# 64-char substring, every-4th kept — the exact computation the
+# mapInPandas kernel performs on the Arrow batches.
+_FRAME_ORACLE = """
+WITH frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST((octet_length(encode(text)) + 63) // 64 AS INT) - 1)) AS no
+  FROM documents
+  WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)                AS n_frames,
+       min(md5(substr(text, no * 64 + 1, 64))) AS first_hash
+FROM frames
+WHERE no % 4 = 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample every 4th 'frame' of each synthetic video payload and count
     sampled frames per doc (top 100 docs for determinism)."""

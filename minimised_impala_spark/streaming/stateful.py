@@ -89,7 +89,44 @@ def _sessionize_group(
         yield pd.DataFrame(out)
 
 
-@query("streaming_sessionize_stateful")  # rows-only: custom stateful operator
+# The operator's MECHANISM (applyInPandasWithState over a stream) is not
+# SQL — but on a bounded replay its OUTPUT is: closed sessions are
+# standard gap-sessionization (strict >30 min jumps) minus each user's
+# final session, which stays open in state. That equivalence gives the
+# custom stateful operator a hard value-hash oracle instead of the weaker
+# rows-only check; the streaming semantics themselves (state survival,
+# watermarks, checkpoint restart) are pinned by the pytest suite.
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM sess
+  GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE sid < max_sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("streaming_sessionize_stateful", oracle=_SESSIONIZE_ORACLE)
 def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the sessionizer over the bounded events stream and return all
     closed sessions (the fixture arrives as one micro-batch, so every
