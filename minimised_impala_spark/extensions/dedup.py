@@ -212,7 +212,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """WITH-body through `cand` (distinct LSH candidate pairs) — shared by
+    the dedup_minhash_lsh oracle and the composed pipeline oracle."""
     mins = ",\n         ".join(
         f"min(({2 * j + 3} * h + {5 * j + 7}) % {P}) AS m{j}" for j in range(N_HASH)
     )
@@ -225,8 +227,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {CORPUS_SQL.strip()},
+    return f"""{CORPUS_SQL.strip()},
 {SHINGLES_SQL.strip().lstrip(',').strip()},
 hashed AS (SELECT doc_id, {SHINGLE_HASH_SQL} AS h FROM shingles),
 sig AS (
@@ -236,19 +237,25 @@ sig AS (
 ),
 bands AS (
 {band_selects}
-)
-SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
-FROM bands b1 JOIN bands b2
-  ON b1.band = b2.band AND b1.bsig = b2.bsig AND b1.doc_id < b2.doc_id
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bsig = b2.bsig AND b1.doc_id < b2.doc_id
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_cte()}
+SELECT d1, d2 FROM cand
 ORDER BY d1, d2
 """
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding — the 100 TB near-dup path: signature agg is one
-    shuffle on doc_id, the bucket join shuffles on (band, band_sig) and its
-    output is proportional to true candidates, never n²."""
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct MinHash-LSH candidate pairs (d1, d2) — the shared candidate
+    generator for dedup_minhash_lsh and the composed near-dedup pipeline."""
     # Shingle hashes are computed once each (one md5 per shingle) inside a
     # narrow explode — no distinct: min() is insensitive to shingle
     # multiplicity, so the dedup shuffle is skipped entirely. The 16
@@ -311,8 +318,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
-        .orderBy("d1", "d2")
     )
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path: signature agg is one
+    shuffle on doc_id, the bucket join shuffles on (band, band_sig) and its
+    output is proportional to true candidates, never n²."""
+    return lsh_candidate_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
 # --------------------------------------------------------------------------
@@ -609,3 +623,115 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# The COMPOSED near-dedup pipeline — candidates → rescore → clusters →
+# representatives, end to end, exactly as a production corpus dedup runs:
+#
+#   1. MinHash-LSH candidate pairs      (bucket join; pairs ∝ near-dups)
+#   2. exact trigram-Jaccard rescore    (shingle join restricted to
+#      candidate docs — the rescore cost is ∝ candidates, never n²)
+#   3. transitive closure to clusters   (distributed connected components,
+#      operators/graph.py)
+#   4. keep-best representative         (longest text, lowest id tiebreak)
+#
+# Declared semantics are candidates∩(jaccard ≥ 0.6): LSH recall misses are
+# part of the contract (that is what production near-dedup ships), and the
+# oracle states the identical semantics, so the differential check is
+# exact. Stages 1-2 shuffle on band-key/shingle, stage 3 is O(log d)
+# label-join rounds over pair rows only, stage 4 one window over the
+# cluster id — no stage touches n² rows or collects to the driver.
+_NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS c
+  FROM shingles s1
+  JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  JOIN cand ON cand.d1 = s1.doc_id AND cand.d2 = s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+),
+dups AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes z1 ON z1.doc_id = d1
+  JOIN sizes z2 ON z2.doc_id = d2
+  WHERE c * 1.0 / (z1.sz + z2.sz - c) >= 0.6
+),
+sym AS (SELECT d1 AS u, d2 AS v FROM dups UNION SELECT d2 AS u, d1 AS v FROM dups),
+nodes AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+ranked AS (
+  SELECT comp.component, comp.doc_id,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY length(corpus.text) DESC, comp.doc_id) AS rn,
+         count(*) OVER (PARTITION BY comp.component) AS cluster_size
+  FROM comp JOIN corpus ON corpus.doc_id = comp.doc_id
+)
+SELECT CAST(component AS BIGINT)    AS component,
+       CAST(doc_id AS BIGINT)      AS rep_doc,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked
+WHERE rn = 1
+ORDER BY component
+"""
+
+
+@query("pipeline_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
+def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from minimised_impala_spark.operators.graph import connected_components
+
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sh = shingles(spark, sf_dir)
+    # Restrict the rescore to docs that appear in any candidate pair
+    # before the shingle self-join — at scale candidates ≪ corpus, so
+    # this semi-join is what keeps the exact rescore off the full corpus.
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_r = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_r.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh_r.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = sh_r.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = (
+        s1.join(s2, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
+        .join(cand, ["d1", "d2"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("zd1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("zd2"), F.col("sz").alias("sz2"))
+    jac = F.col("c") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    dups = (
+        inter.join(z1, F.col("zd1") == F.col("d1"))
+        .join(z2, F.col("zd2") == F.col("d2"))
+        .filter(jac >= 0.6)
+        .select("d1", "d2")
+    )
+    labels = connected_components(dups, src="d1", dst="d2")
+    c = corpus(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    wc = W.partitionBy("component")
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .join(c, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").cast("bigint").alias("rep_doc"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("component")
+    )
