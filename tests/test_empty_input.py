@@ -32,11 +32,16 @@ EMPTY_ZERO = [
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding",
+    "pipeline_near_dedup",
     "sim_cosine_topk",
     "sim_lsh_ann",
     "text_quality",
+    "text_sample_stratified",
     "pipeline_corpus_curation",
     "pipeline_pii_redaction",
+    "join_right_anti",
+    "agg_histogram",
 ]
 
 
