@@ -34,6 +34,14 @@ HEADLINE = [
     "sim_lsh_ann",
 ]
 
+# Timed and reported alongside, but NOT in the suite wall: these have no
+# r1 bar, and the suite total must stay comparable across rounds.
+# dedup_embedding joined in r4 after the block-outer-product rework (it
+# was deliberately excluded while it was a broadcast nested loop).
+EXTRA = [
+    "dedup_embedding",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,14 +72,16 @@ def main() -> None:
     # iteration builds a FRESH DataFrame (registry.fresh): re-collecting a
     # cached plan would reuse materialized shuffle outputs and measure
     # incremental recomputation instead of query execution.
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    def best_of_3(name: str) -> float:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             fresh(name)(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        return round(best, 3)
+
+    times = {name: best_of_3(name) for name in HEADLINE}
+    extra = {name: best_of_3(name) for name in EXTRA}
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -82,6 +92,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extra_queries": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
