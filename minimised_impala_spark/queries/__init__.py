@@ -21,6 +21,7 @@ def load_all() -> None:
         subqueries,
         nested,
         events,
+        udfq,
     )
     from minimised_impala_spark.extensions import (  # noqa: F401
         dedup,

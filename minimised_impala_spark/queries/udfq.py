@@ -1,0 +1,141 @@
+"""UDF / UDA / DDL round-trip queries with DuckDB oracles — the driver
+signal for SURVEY §2.10/§2.11 rows that were previously pytest-only.
+
+The reference executes user code through the FunctionContext ABI
+(be/src/udf/udf.h:47-293, scalar-fn-call.cc) and UDAs through
+Init/Update/Merge/Finalize (be/src/exprs/agg-fn-evaluator.h:62); the
+Spark-native equivalents are Arrow-batched pandas UDFs (scalar and
+GROUPED_AGG). Here each runs inside a declared query whose result the
+DuckDB oracle recomputes in pure SQL — proving the Python execution path
+produces exactly the values the relational definition demands.
+
+CTAS (fe/.../analysis/CreateTableAsSelectStmt.java) round-trips through a
+real warehouse table: the query CREATEs the table from a grouped SELECT,
+reads it back, and the oracle states the SELECT directly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.serde import pickle_module_by_value
+from minimised_impala_spark.tables import load_table
+
+pickle_module_by_value(__name__)
+
+_PUNCT = "[.,!?;:]"
+
+
+# DataType objects, not DDL strings: string return types are parsed through
+# the active SparkContext, which doesn't exist yet at import time.
+@pandas_udf(T.StringType())
+def _norm_text(s: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: lowercase + strip sentence punctuation — the
+    Arrow-batched path a real tokenizer-normalizer UDF takes."""
+    return s.str.lower().str.replace(_PUNCT, "", regex=True)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle=f"""
+SELECT doc_id,
+       lower(regexp_replace(text, '{_PUNCT}', '', 'g')) AS norm_text,
+       length(lower(regexp_replace(text, '{_PUNCT}', '', 'g'))) AS n_chars
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", _norm_text("text").alias("norm_text"))
+        .withColumn("n_chars", F.length("norm_text").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+@pandas_udf(T.LongType())
+def _wavg_cents(v: pd.Series, w: pd.Series) -> int:
+    """GROUPED_AGG pandas UDA: weighted mean in integer cents.
+
+    Scaled-int output for the same reason as agg_corr_covar: the driver
+    hash is full-precision on doubles and numpy's accumulation order
+    differs from DuckDB's sequential fold — a BIGINT of cents is exact
+    unless the true value sits within ~1e-7 cents of a .5 boundary
+    (verified clear at both test SFs)."""
+    x = float((v * w).sum() / w.sum())
+    return int(x * 100 + 0.5)  # positive half-up, matches oracle round()
+
+
+@pandas_udf(T.LongType())
+def _count_rows(v: pd.Series) -> int:
+    """Count as a pandas UDA: Spark refuses to mix GROUPED_AGG pandas
+    UDFs with built-in aggregates in one agg(), so the companion count
+    goes through the same Arrow path."""
+    return len(v)
+
+
+@query(
+    "uda_grouped_pandas",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(o_totalprice * o_custkey) / sum(o_custkey) * 100)
+            AS BIGINT)          AS wavg_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def uda_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            _count_rows("o_orderkey").alias("n"),
+            _wavg_cents("o_totalprice", "o_custkey").alias("wavg_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "ddl_ctas_roundtrip",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT)                  AS n,
+       round(sum(o_totalprice) * 100) / 100      AS revenue
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT into the warehouse, then read the TABLE back
+    (not the source) — the result the driver hashes has physically passed
+    through the CTAS parquet sink and catalog."""
+    import hashlib
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ctas_src_orders")
+    tbl = f"mis_ctas_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} USING PARQUET AS
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice) * 100) / 100 AS revenue
+        FROM ctas_src_orders
+        GROUP BY o_orderstatus, o_orderpriority
+        """
+    )
+    return spark.table(tbl).orderBy("o_orderstatus", "o_orderpriority")
