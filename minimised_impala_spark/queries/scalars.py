@@ -625,3 +625,90 @@ def scalar_char_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# JSON-lines scan (the reference treats JSON via Hive serdes; Spark's
+# native json source is the idiomatic equivalent): customer round-trips
+# through gzipped JSON lines and is aggregated from the scan with an
+# explicit schema (schema-on-read); the oracle aggregates the original
+# parquet. Lossless round trip = identical hashes.
+_JSON_SCAN_ORACLE = """
+SELECT c_mktsegment, count(*) AS n,
+       round(sum(c_acctbal) * 100) / 100 AS sum_bal,
+       CAST(min(c_custkey) AS BIGINT) AS first_cust,
+       CAST(max(c_nationkey) AS BIGINT) AS max_nation
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("source_json_scan", oracle=_JSON_SCAN_ORACLE)
+def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from minimised_impala_spark.sources.formats import read_json, write_json
+    from minimised_impala_spark.tables import load_table
+
+    src = os.path.realpath(f"{sf_dir}/customer.parquet")
+    stage = f"/tmp/mis_jsonscan_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    write_json(load_table(spark, sf_dir, "customer"), stage, compression="gzip")
+    js = read_json(
+        spark,
+        stage,
+        schema=(
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        ),
+    )
+    return (
+        js.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("c_acctbal") * 100, 0) / 100).alias("sum_bal"),
+            F.min("c_custkey").alias("first_cust"),
+            F.max("c_nationkey").cast("bigint").alias("max_nation"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC scan (the reference's ORC scanner, be/src/exec/hdfs-orc-scanner.h):
+# part round-trips through ORC and is aggregated from the scan; the
+# oracle aggregates the original parquet.
+_ORC_SCAN_ORACLE = """
+SELECT p_brand, count(*) AS n,
+       round(sum(p_retailprice) * 100) / 100 AS sum_price,
+       CAST(min(p_size) AS INT) AS min_size,
+       CAST(max(p_size) AS INT) AS max_size
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("source_orc_scan", oracle=_ORC_SCAN_ORACLE)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from minimised_impala_spark.sources.formats import read_orc, write_orc
+    from minimised_impala_spark.tables import load_table
+
+    src = os.path.realpath(f"{sf_dir}/part.parquet")
+    stage = f"/tmp/mis_orcscan_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    write_orc(load_table(spark, sf_dir, "part"), stage)
+    orc = read_orc(spark, stage)
+    return (
+        orc.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("p_retailprice") * 100, 0) / 100).alias("sum_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )

@@ -103,8 +103,13 @@ def read_json(
     return reader.json(path)
 
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).json(path)
+def write_json(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
 
 
 def avro_available(spark: SparkSession) -> bool:
