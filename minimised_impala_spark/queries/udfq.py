@@ -123,11 +123,20 @@ def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not the source) — the result the driver hashes has physically passed
     through the CTAS parquet sink and catalog."""
     import hashlib
+    import shutil
 
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("ctas_src_orders")
     tbl = f"mis_ctas_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # DROP IF EXISTS is a no-op in a FRESH session whose in-memory catalog
+    # never saw the table, but the managed location in spark-warehouse
+    # survives from prior sessions and CREATE then fails with
+    # LOCATION_ALREADY_EXISTS — clear the stale directory explicitly.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True
+    )
     spark.sql(
         f"""
         CREATE TABLE {tbl} USING PARQUET AS
