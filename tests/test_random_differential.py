@@ -433,6 +433,42 @@ def _gen_window_query(rng: random.Random) -> str:
 
 N_WINDOW_QUERIES = 24
 
+
+# ---------------------------------------------------------------------------
+# outer-join branch: LEFT/FULL joins with a non-equi term INSIDE the join
+# condition (not the WHERE) — preserved-side rows survive with NULLs,
+# which is where outer-join planners disagree (condition pushdown into
+# the preserved side would be wrong). count(*) vs count(right_key)
+# surfaces the NULL structure; grouping includes the NULL group on FULL.
+
+
+def _gen_outer_join_query(rng: random.Random) -> str:
+    if rng.random() < 0.5:
+        jt = rng.choice(["LEFT", "FULL"])
+        thr = rng.randint(0, 8000)
+        g = rng.choice(["o_orderstatus", "o_orderpriority"])
+        return (
+            f"SELECT {g}, count(*) AS n_all, count(c_custkey) AS n_matched, "
+            f"CAST(min(c_custkey) AS BIGINT) AS mn, "
+            f"count(*) - count(c_custkey) AS n_unmatched "
+            f"FROM orders {jt} JOIN customer "
+            f"ON o_custkey = c_custkey AND c_acctbal > {thr} "
+            f"GROUP BY {g} ORDER BY {g}"
+        )
+    jt = rng.choice(["LEFT", "FULL"])
+    thr = rng.randint(0, 400000)
+    g = rng.choice(["l_returnflag", "l_linestatus"])
+    return (
+        f"SELECT {g}, count(*) AS n_all, count(o_orderkey) AS n_matched, "
+        f"round(sum(l_extendedprice) * 100) / 100 AS s "
+        f"FROM lineitem {jt} JOIN orders "
+        f"ON l_orderkey = o_orderkey AND o_totalprice > {thr} "
+        f"GROUP BY {g} ORDER BY {g}"
+    )
+
+
+N_OUTER_QUERIES = 12
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -443,6 +479,8 @@ _PRNG = random.Random(20260816)
 QUERIES += [_gen_part_query(_PRNG) for _ in range(N_PART_QUERIES)]
 _WRNG = random.Random(20260817)
 QUERIES += [_gen_window_query(_WRNG) for _ in range(N_WINDOW_QUERIES)]
+_ORNG = random.Random(20260818)
+QUERIES += [_gen_outer_join_query(_ORNG) for _ in range(N_OUTER_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))
