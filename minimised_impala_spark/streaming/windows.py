@@ -340,3 +340,51 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("segment", "n", "sum_value").orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch exactly-once file sink — the production pattern for landing
+# streaming results in a table: each micro-batch receives the full
+# complete-mode snapshot and overwrites the output atomically, so a
+# replayed/retried batch rewrites the identical state instead of
+# duplicating it (idempotent-by-construction; Spark's own docs pattern
+# for exactly-once with non-transactional sinks). The declared query runs
+# the stream to completion, then reads the LANDED PARQUET back — the
+# hashed rows physically passed through the foreachBatch sink.
+@query(
+    "streaming_foreach_batch_sink",
+    oracle="""
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+       count(*) AS n,
+       round(sum(value) * 100) / 100 AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    out = f"/tmp/mis_fbsink_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value") * 100, 0) / 100).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).orderBy("window_start", "event_type")
