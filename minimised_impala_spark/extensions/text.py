@@ -564,6 +564,93 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the 100 TB scale path for
+# text_contamination. The exact operator broadcasts the full benchmark
+# shingle STRINGS against every corpus shingle; at web scale the bench set
+# is still small but the strings are wide. Here the bench set is compressed
+# to a Bloom filter (m=2^20 bits, k=3, Kirsch–Mitzenmacher double hashing
+# over xxhash64) and the corpus is prefiltered to "maybe contaminated"
+# shingles before the exact string join rescores the survivors, so the
+# wide string-broadcast join only ever sees candidates (∝ true matches +
+# the bloom false-positive rate), not the whole corpus gram stream.
+#
+# The bit set is expressed Catalyst-natively as a broadcast semi-join on
+# bit POSITIONS (distinct longs ≤ k·|bench shingles|): a probe shingle is
+# a bloom "maybe" iff all k of its probe positions are present. A
+# production deployment could ship the same positions as a literal bitmap
+# (m/8 bytes) inside a pandas UDF; the join form keeps it JVM-side and
+# plan-visible with identical candidate semantics. False positives are
+# eliminated by the exact rescore, so the final output is bit-identical to
+# text_contamination (same oracle). All modular arithmetic is done
+# piecewise (mod m before multiply/add) so it never overflows ANSI bigint.
+_BLOOM_M = 1 << 20
+_BLOOM_K = 3
+
+
+def _bloom_positions(df: DataFrame) -> DataFrame:
+    """Explode each row's `sh` into its k bloom probe positions (`pos`)."""
+    h1 = F.pmod(F.xxhash64(F.col("sh")), F.lit(_BLOOM_M))
+    h2 = F.pmod(F.xxhash64(F.concat(F.col("sh"), F.lit("#bloom"))), F.lit(_BLOOM_M))
+    return (
+        df.withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))))
+        .withColumn(
+            "pos", F.pmod(F.col("_h1") + F.col("i") * F.col("_h2"), F.lit(_BLOOM_M))
+        )
+        .drop("_h1", "_h2")
+    )
+
+
+@query("pipeline_decontaminate_bloom", oracle=_CONTAMINATION_ORACLE)
+def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions.dedup import _trigrams_of
+
+    grams = F.array_distinct(_trigrams_of(F.col("toks")))
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
+        "bench_id", F.explode(grams).alias("sh")
+    )
+    # phase 1: the compressed bench representation — distinct set bits
+    set_bits = (
+        _bloom_positions(bench_sh.select("sh").distinct()).select("pos").distinct()
+    )
+    # phase 2: bloom prefilter — keep (train_id, sh) whose k probes ALL hit
+    train_sh = docs.withColumn("toks", F.split("text", " ")).select(
+        F.col("doc_id").alias("train_id"), F.explode(grams).alias("sh")
+    )
+    candidates = (
+        _bloom_positions(train_sh)
+        .join(F.broadcast(set_bits), "pos")
+        .groupBy("train_id", "sh")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .drop("k_hits")
+    )
+    # phase 3: exact rescore of the candidates only (drops false positives)
+    bsizes = bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    inter = (
+        candidates.join(
+            F.broadcast(bench_sh.withColumnRenamed("sh", "bsh")),
+            F.col("sh") == F.col("bsh"),
+        )
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    containment = F.col("c") * 1.0 / F.col("bsz")
+    return (
+        inter.join(F.broadcast(bsizes), "bench_id")
+        .filter(containment >= 0.5)
+        .select("train_id", "bench_id", F.round(containment, 6).alias("containment"))
+        .orderBy("train_id", "bench_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Boilerplate n-gram removal (CCNet/Dolma-style): 5-grams occurring in many
 # DISTINCT documents are template/boilerplate; each doc reports how much of
 # it is boilerplate. Operational shape at 100 TB: the doc-frequency table

@@ -58,3 +58,45 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     single_hits = len(exact & {(q, n) for q, n in single if q in qids})
     multi_hits = len(exact & {(q, n) for q, n in multi if q in qids})
     assert multi_hits >= single_hits, (multi_hits, single_hits)
+
+
+def test_bloom_decontamination_prunes_and_matches_exact(spark, sf_dir):
+    """The bloom prefilter must (a) produce exactly the exact operator's
+    output (false positives die in the rescore) and (b) actually prune:
+    the candidate shingle set entering the exact string join is a small
+    fraction of the full corpus gram stream."""
+    from minimised_impala_spark.extensions.dedup import _trigrams_of
+    from minimised_impala_spark.extensions.text import (
+        _BLOOM_K,
+        _bloom_positions,
+        pipeline_decontaminate_bloom,
+        text_contamination,
+    )
+    from minimised_impala_spark.tables import load_table
+
+    exact = text_contamination(spark, sf_dir).collect()
+    bloom = pipeline_decontaminate_bloom(spark, sf_dir).collect()
+    assert exact == bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(_trigrams_of(F.col("toks")))
+    train_sh = docs.withColumn("toks", F.split("text", " ")).select(
+        F.col("doc_id").alias("train_id"), F.explode(grams).alias("sh")
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text")
+    )
+    bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
+        F.explode(grams).alias("sh")
+    )
+    set_bits = _bloom_positions(bench_sh.distinct()).select("pos").distinct()
+    n_all = train_sh.count()
+    n_candidates = (
+        _bloom_positions(train_sh)
+        .join(F.broadcast(set_bits), "pos")
+        .groupBy("train_id", "sh")
+        .count()
+        .filter(F.col("count") == _BLOOM_K)
+        .count()
+    )
+    assert n_candidates < n_all * 0.5, (n_candidates, n_all)
