@@ -57,7 +57,8 @@ _PRIORITY = [
     "text_split_assignment", "text_global_shuffle", "text_sample_stratified",
     "pipeline_near_dedup", "udf_pandas_scalar", "uda_grouped_pandas",
     "ddl_ctas_roundtrip", "source_json_scan", "source_orc_scan",
-    "streaming_foreach_batch_sink",
+    "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
+    "streaming_dedup_watermarked", "streaming_outer_join",
     # previously-green category representatives (regression coverage)
     "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
     "source_sequencefile_scan", "source_ext_kv_scan", "select_values",

@@ -233,6 +233,137 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_watermarked",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
+    dedup state only for the watermark horizon (1 h here) instead of
+    forever — the 100 TB ingestion shape, where unbounded dedup state
+    (streaming_dedup_exact) would grow with the stream. Replayed records
+    land with the ORIGINAL event time, so an at-least-once source's
+    replays always fall inside the horizon and are dropped exactly like
+    the unbounded variant; only replays older than the watermark (a bug,
+    not a delivery retry) would slip through. The doubled stage dir
+    arrives in one micro-batch, so the per-type counts equal the batch
+    aggregation over the single-copy events table.
+
+    Scale: state is hash-partitioned on event_id and EVICTED once the
+    watermark passes, so state size ∝ events-per-horizon, not
+    events-ever — the property the unbounded variant lacks.
+    """
+    deduped = (
+        _events_stream(spark, sf_dir, copies=2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("event_type", "n").orderBy("event_type")
+
+
+@query(
+    "streaming_outer_join",
+    oracle="""
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(v_ts) FROM v), (SELECT max(c_ts) FROM c))
+              - INTERVAL '1 hour' AS w),
+j AS (
+  SELECT v.user_id, v.v_ts, c.click_id
+  FROM v LEFT JOIN c
+    ON c.c_user = v.user_id
+   AND c.c_ts >= v.v_ts
+   AND c.c_ts <= v.v_ts + INTERVAL '15 minutes'
+)
+SELECT user_id,
+       count(click_id)                                      AS n_matched,
+       CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_expired
+FROM j, wm
+WHERE click_id IS NOT NULL OR v_ts + INTERVAL '15 minutes' < wm.w
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermarked state
+    eviction: views left-joined to clicks within 15 minutes. Matches emit
+    immediately; an unmatched view emits its null-padded row only once the
+    global watermark (min over both streams of max-event-time − 1 h)
+    passes the end of its join window — i.e. once no future click can
+    match it. Views still inside the horizon stay in state, so the result
+    set is exactly: all matches, plus nulls for views with
+    v_ts + 15 min < watermark (verified boundary-exact against the batch
+    reconstruction in the oracle; final no-data micro-batch flushes are
+    on by default — spark.sql.streaming.noDataMicroBatches.enabled).
+
+    Scale: same shape as streaming_attribution_join (hash-partition on
+    user_id, state ∝ interval + watermark slack); the outer variant adds
+    only the eviction-time null emission, no extra state.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 15 MINUTES")),
+        "leftOuter",
+    )
+    name = f"stream_oj_{uuid.uuid4().hex[:8]}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("click_id").alias("n_matched"),
+            F.sum(F.col("click_id").isNull().cast("bigint")).alias("n_expired"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "streaming_attribution_join",
     oracle="""
 SELECT a.user_id AS user_id, count(*) AS n_pairs,
