@@ -936,3 +936,46 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters with threshold pruning — the scale-safe formulation
+# of "which tokens occur ≥ T times corpus-wide". The naive plan shuffles
+# every (token, partial-count) pair; here a token can only reach global
+# count ≥ T if SOME input partition holds ≥ T/P of its occurrences
+# (pigeonhole), so the map-side candidate filter drops the long tail
+# before the shuffle and the exact recount touches candidates only. No
+# false negatives by construction; false candidates die in the recount —
+# same prune-then-rescore discipline as the bloom/LSH paths. P is read
+# from the scan's partitioning metadata (no job is run).
+_HH_T = 60
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT tok, count(*) AS n
+FROM toks
+GROUP BY tok
+HAVING count(*) >= {_HH_T}
+ORDER BY tok
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    n_parts = max(1, toks.rdd.getNumPartitions())
+    local = toks.groupBy(
+        F.spark_partition_id().alias("pid"), "tok"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    candidates = (
+        local.filter(F.col("c") >= _HH_T / n_parts).select("tok").distinct()
+    )
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _HH_T)
+        .orderBy("tok")
+    )

@@ -528,3 +528,67 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical rollup (hypertable continuous-aggregate pattern): the hour
+# rollup is computed FROM the minute rollup and the day rollup FROM the
+# hour rollup, never re-scanning raw events — the materialized-rollup
+# cascade a 100 TB time-series store runs (coarser grains reaggregate
+# ~60× fewer rows each step). Associativity is guaranteed by aggregating
+# value as exact integer cents (round(value*100) AS BIGINT): double sums
+# would differ between the cascaded and the direct grouping order, integer
+# sums cannot. The oracle computes each grain DIRECTLY from raw events —
+# matching proves the cascade is lossless.
+@query(
+    "events_rollup_hierarchy",
+    oracle="""
+WITH base AS (
+  SELECT date_trunc('minute', ts) AS m, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 'minute' AS grain, CAST(m AS TIMESTAMP) AS bucket, event_type,
+       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM base GROUP BY m, event_type
+UNION ALL
+SELECT 'hour', CAST(date_trunc('hour', m) AS TIMESTAMP), event_type,
+       count(*), CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY date_trunc('hour', m), event_type
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', m) AS TIMESTAMP), event_type,
+       count(*), CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY date_trunc('day', m), event_type
+ORDER BY grain, bucket, event_type
+""",
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.select(
+            F.date_trunc("minute", "ts").alias("bucket"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    lvl = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"), "bucket", "event_type", "n", "sum_cents"
+    )
+    return (
+        lvl(minute, "minute")
+        .unionAll(lvl(hour, "hour"))
+        .unionAll(lvl(day, "day"))
+        .orderBy("grain", "bucket", "event_type")
+    )
