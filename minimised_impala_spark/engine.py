@@ -126,6 +126,37 @@ class Engine:
             )
         return self.spark.sql(f"SELECT 'Loaded {n_files} file(s) into {table}' AS summary")
 
+    def sql_async(self, text: str) -> "QueryHandle":
+        """Submit a statement for background execution with a cancellable
+        handle — the reference's in-flight query registry + cancel RPC
+        (be/src/service/impala-server.cc:999 CancelInternal; the shell's
+        Ctrl-C path, shell/impala_shell.py:404). Spark-first mapping: the
+        collect runs under a per-query job group and ``cancel()`` is
+        ``SparkContext.cancelJobGroup`` — all of the query's jobs/stages
+        on every executor are interrupted, exactly the coordinator-fanout
+        teardown the reference implements by hand."""
+        import threading
+        import uuid as _uuid
+
+        handle = QueryHandle(self, _uuid.uuid4().hex)
+
+        def run() -> None:
+            # Job-group scope is thread-local in Spark: set it on the
+            # runner thread so only this query's jobs join the group.
+            self.spark.sparkContext.setJobGroup(
+                handle.query_id, text, interruptOnCancel=True
+            )
+            try:
+                handle._rows = self.sql(text).collect()
+            except Exception as exc:  # cancelled or failed — surface it
+                handle._error = exc
+            finally:
+                self.spark.sparkContext.setJobGroup("", "")
+
+        handle._thread = threading.Thread(target=run, daemon=True)
+        handle._thread.start()
+        return handle
+
     def explain(self, text: str) -> str:
         df = self.sql(text)
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
@@ -142,6 +173,55 @@ class Engine:
         df = self.sql(text)
         df.collect()
         return render_profile(df)
+
+
+class QueryHandle:
+    """In-flight query handle: ``result()`` / ``cancel()`` / ``running()``.
+
+    Mirrors the reference's query-id handle returned to clients
+    (be/src/service/impala-server.h:374; the shell retries cancel_query on
+    it, shell/impala_shell.py:408). Cancellation is cooperative at the
+    Spark level: cancelJobGroup interrupts the query's running stages and
+    the collect fails with a cancellation error.
+    """
+
+    def __init__(self, engine: Engine, query_id: str):
+        self._engine = engine
+        self.query_id = query_id
+        self._thread = None
+        self._rows = None
+        self._error: Exception | None = None
+        self._cancelled = False
+
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def cancel(self) -> None:
+        """Cancel every job in this query's group (idempotent, like the
+        reference's CancelInternal on an already-done query)."""
+        self._cancelled = True
+        self._engine.spark.sparkContext.cancelJobGroup(self.query_id)
+
+    def result(self, timeout: float | None = None):
+        """Block for the rows; raises QueryCancelledError if cancelled,
+        or the original execution error."""
+        assert self._thread is not None
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(f"query {self.query_id} still running")
+        if self._error is not None:
+            if self._cancelled:
+                raise QueryCancelledError(self.query_id) from self._error
+            raise self._error
+        return self._rows
+
+
+class QueryCancelledError(RuntimeError):
+    """The reference's 'Cancelled' query state (impala-server.cc:999)."""
+
+    def __init__(self, query_id: str):
+        super().__init__(f"query {query_id} was cancelled")
+        self.query_id = query_id
 
 
 def render_profile(df: DataFrame) -> str:

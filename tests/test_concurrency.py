@@ -86,3 +86,47 @@ def test_fair_scheduler_pools(tmp_path):
     )
     assert res.returncode == 0, res.stdout + res.stderr
     assert "FAIR_POOLS_OK" in res.stdout
+
+
+def test_sql_async_cancel(spark, sf_dir):
+    """Query cancellation parity (impala-server.cc:999 CancelInternal;
+    shell Ctrl-C): a long-running query submitted via sql_async is
+    cancelled mid-flight and fails promptly with QueryCancelledError;
+    the session stays healthy for the next query."""
+    import time
+
+    from minimised_impala_spark.engine import Engine, QueryCancelledError
+    from minimised_impala_spark.tables import register_tables
+
+    import pytest
+
+    eng = Engine(spark)
+    register_tables(spark, sf_dir, ("lineitem",))
+    # A cartesian triple self-join is effectively unbounded at any sf.
+    handle = eng.sql_async(
+        "SELECT count(*) FROM lineitem a, lineitem b, lineitem c"
+    )
+    deadline = time.monotonic() + 30
+    while not handle.running() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    time.sleep(1.0)  # let stages actually launch
+    t0 = time.monotonic()
+    handle.cancel()
+    with pytest.raises(QueryCancelledError):
+        handle.result(timeout=30)
+    assert time.monotonic() - t0 < 15, "cancel did not take effect promptly"
+    assert not handle.running()
+    # session is still usable
+    assert spark.sql("SELECT 1 AS one").collect()[0]["one"] == 1
+
+
+def test_sql_async_completes(spark, sf_dir):
+    from minimised_impala_spark.engine import Engine
+    from minimised_impala_spark.tables import register_tables
+
+    eng = Engine(spark)
+    register_tables(spark, sf_dir, ("nation",))
+    handle = eng.sql_async("SELECT count(*) AS n FROM nation")
+    rows = handle.result(timeout=60)
+    assert rows[0]["n"] == 25
+    assert not handle.running()

@@ -66,3 +66,49 @@ def test_engine_profile_metrics_tree(spark, sf_dir):
     assert "Scan parquet" in txt and "numOutputRows=25" in txt
     assert "Exchange" in txt or "ShuffleQueryStage" in txt
     assert "HashAggregate" in txt
+
+
+def test_shell_renders_result_grid(spark):
+    out = _run(spark, "SELECT 41 + 1 AS answer;\nquit\n")
+    assert "answer" in out and "42" in out
+    assert "ERROR" not in out
+
+
+def test_shell_ctrl_c_cancels_and_keeps_session(spark, sf_dir, monkeypatch):
+    """A KeyboardInterrupt mid-statement cancels the query (reference
+    Ctrl-C path) and the REPL stays alive for the next statement."""
+    import minimised_impala_spark.shell as sh
+    from minimised_impala_spark.engine import Engine
+
+    engine = Engine(spark)
+    interrupted = {"n": 0}
+    orig_result = sh.Engine.sql_async
+
+    class FakeHandle:
+        def __init__(self, real):
+            self.real = real
+
+        def result(self, timeout=None):
+            if interrupted["n"] == 0:
+                interrupted["n"] += 1
+                raise KeyboardInterrupt()
+            return self.real.result(timeout)
+
+        def cancel(self):
+            self.real.cancel()
+
+    def fake_async(self, text):
+        return FakeHandle(orig_result(self, text))
+
+    monkeypatch.setattr(sh.Engine, "sql_async", fake_async)
+    import io
+
+    out = io.StringIO()
+    sh.repl(
+        engine,
+        in_stream=io.StringIO("SELECT 1 AS x;\nSELECT 7 AS y;\nquit\n"),
+        out=out,
+    )
+    text = out.getvalue()
+    assert "Cancelled" in text
+    assert "y" in text and "7" in text  # session survived, next stmt ran
