@@ -502,3 +502,101 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN majority-vote classification over the embedding corpus — the
+# label-propagation / auto-labeling shape of a training-data pipeline
+# (classify new items by their nearest labeled neighbors). Exact top-5
+# cosine per query vector (bounded query set, broadcast against the
+# corpus — same scale pattern as sim_cosine_topk: the corpus never
+# shuffles, candidates stream through the window per query), then a
+# per-query label vote with a deterministic tie-break (highest count,
+# then smallest label). Output is all-integer, so no float-determinism
+# shims are needed; ranking ties resolve identically in both engines via
+# (cosine DESC, neighbor_id).
+@query(
+    "sim_knn_classify",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cosine
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 25 = 0
+),
+ranked AS (
+  SELECT query_id, nlabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+),
+votes AS (
+  SELECT query_id, nlabel, count(*) AS c
+  FROM ranked WHERE rn <= 5
+  GROUP BY query_id, nlabel
+),
+pred AS (
+  SELECT query_id, nlabel AS pred_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, nlabel) AS r
+  FROM votes
+)
+SELECT p.query_id AS query_id,
+       CAST(p.pred_label AS INT) AS pred_label,
+       CAST(t.label AS INT)      AS true_label,
+       (p.pred_label = t.label)  AS correct
+FROM pred p JOIN v t ON t.vec_id = p.query_id
+WHERE p.r = 1
+ORDER BY query_id
+""",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vecd("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("ce"),
+    )
+    wknn = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top5 = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "nlabel",
+            VK.cosine_pair("qe", "ce").alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wknn))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = top5.groupBy("query_id", "nlabel").agg(F.count(F.lit(1)).alias("c"))
+    wvote = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(wvote))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nlabel").cast("int").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("int").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id", "pred_label", "true_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
