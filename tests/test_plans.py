@@ -243,3 +243,35 @@ def test_dedup_embedding_no_broadcast_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_rollup_hierarchy_reuses_minute_exchange(spark, sf_dir):
+    """The rollup cascade must compute the minute aggregate ONCE and feed
+    the hour/day grains from its shuffle output (AQE ReusedExchange), not
+    rescan raw events per grain — the materialized-rollup property the
+    query's docstring claims."""
+    df = fresh("events_rollup_hierarchy")(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    """The exact recount joins the token stream against the BROADCAST
+    candidate set (threshold-pruned) — never a shuffle of the full token
+    stream against itself."""
+    df = fresh("text_heavy_hitters")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontamination_no_cartesian(spark, sf_dir):
+    """Bloom prefilter + rescore stays on broadcast equi-joins (positions,
+    then candidate strings) — no all-pairs operator anywhere."""
+    df = fresh("pipeline_decontaminate_bloom")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
