@@ -241,3 +241,30 @@ def test_create_like_parquet_if_not_exists(ddl, tmp_path):
     # second run is a no-op, not an error
     out = eng.sql(f"CREATE TABLE IF NOT EXISTS clf2 LIKE PARQUET '{src}'").collect()
     assert "already exists" in out[0]["summary"]
+
+
+def test_alter_table_partition_lifecycle(ddl, tmp_path):
+    """ALTER TABLE ADD/DROP PARTITION and RECOVER PARTITIONS — the
+    reference's AlterTableAddPartitionStmt / AlterTableDropPartitionStmt /
+    AlterTableRecoverPartitionsStmt (fe/.../analysis/). RECOVER discovers
+    partition dirs written directly to storage, the pattern for data
+    landed by an external pipeline."""
+    loc = tmp_path / "pt"
+    ddl.sql(
+        f"CREATE TABLE pt (k INT) USING parquet PARTITIONED BY (p STRING) "
+        f"LOCATION '{loc}'"
+    )
+    ddl.sql("ALTER TABLE pt ADD PARTITION (p='a')")
+    parts = {r[0] for r in ddl.sql("SHOW PARTITIONS pt").collect()}
+    assert "p=a" in parts
+    # a partition dir landed outside the catalog (external writer)
+    ddl.sql("SELECT 7 AS k").write.mode("overwrite").parquet(str(loc / "p=ext"))
+    ddl.sql("ALTER TABLE pt RECOVER PARTITIONS")
+    parts = {r[0] for r in ddl.sql("SHOW PARTITIONS pt").collect()}
+    assert "p=ext" in parts
+    assert ddl.sql("SELECT k FROM pt WHERE p='ext'").collect()[0]["k"] == 7
+    ddl.sql("ALTER TABLE pt DROP PARTITION (p='ext')")
+    parts = {r[0] for r in ddl.sql("SHOW PARTITIONS pt").collect()}
+    assert "p=ext" not in parts
+    assert ddl.sql("SELECT count(*) n FROM pt").collect()[0]["n"] == 0
+    ddl.sql("DROP TABLE pt")
