@@ -735,3 +735,77 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering similarity join (the SSJoin/PPJoin family: Chaudhuri et
+# al. ICDE'06, Xiao et al. WWW'08) — a third scale path for exact-threshold
+# near-dup alongside MinHash-LSH and SimHash, and unlike those it is
+# EXACT end-to-end: for Jaccard ≥ t a pair must share a shingle inside
+# both docs' prefixes of length L = |s| − ceil(t·|s|) + 1 under any
+# consistent global ordering (rarest-first maximizes selectivity), so the
+# candidate join touches only ~(1−t) of each doc's shingles and the long
+# tail of the posting lists never joins. Candidates are then verified with
+# one array-intersection per pair (pairs ∝ prefix collisions, not n²).
+# ceil(0.6·sz) is computed in integers ((3·sz+4) div 5) — the float form
+# rounds 0.6·5 up to 4 and would silently shrink the prefix (missed pairs).
+# Oracle: identical output to dedup_ngram_jaccard (same exact semantics).
+_PF_T_NUM, _PF_T_DEN = 3, 5  # t = 0.6
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip().lstrip(',').strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS c
+  FROM shingles s1 JOIN shingles s2
+    ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT d1, d2,
+       round(c * 1.0 / (z1.sz + z2.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = d1
+JOIN sizes z2 ON z2.doc_id = d2
+WHERE c * 1.0 / (z1.sz + z2.sz - c) >= 0.6
+ORDER BY d1, d2
+""",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    sh = shingles(spark, sf_dir)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "sh").withColumn(
+        "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # L = sz - ceil(t*sz) + 1, all-integer
+    prefix_len = (
+        F.col("sz")
+        - F.floor((_PF_T_NUM * F.col("sz") + _PF_T_DEN - 1) / _PF_T_DEN)
+        + 1
+    )
+    pre = ranked.join(sizes, "doc_id").filter(F.col("pos") <= prefix_len)
+    a = pre.select(F.col("doc_id").alias("d1"), "sh")
+    b = pre.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    cand = (
+        a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    a1 = arrs.select(F.col("doc_id").alias("d1"), F.col("shset").alias("s1"))
+    a2 = arrs.select(F.col("doc_id").alias("d2"), F.col("shset").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c * 1.0 / (F.size("s1") + F.size("s2") - c)
+    return (
+        cand.join(a1, "d1")
+        .join(a2, "d2")
+        .filter(jac >= _PF_T_NUM / _PF_T_DEN)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
