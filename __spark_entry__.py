@@ -60,7 +60,7 @@ _PRIORITY = [
     "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
     "streaming_dedup_watermarked", "streaming_outer_join",
     "text_heavy_hitters", "events_rollup_hierarchy", "sim_knn_classify",
-    "dedup_prefix_filter",
+    "dedup_prefix_filter", "dedup_incremental",
     # previously-green category representatives (regression coverage)
     "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
     "source_sequencefile_scan", "source_ext_kv_scan", "select_values",

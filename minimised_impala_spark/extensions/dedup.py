@@ -212,9 +212,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _minhash_cte() -> str:
-    """WITH-body through `cand` (distinct LSH candidate pairs) — shared by
-    the dedup_minhash_lsh oracle and the composed pipeline oracle."""
+def _minhash_bands_cte() -> str:
+    """WITH-body through `bands` (doc_id, band, bsig) — the SQL mirror of
+    lsh_bands(), shared by every LSH oracle."""
     mins = ",\n         ".join(
         f"min(({2 * j + 3} * h + {5 * j + 7}) % {P}) AS m{j}" for j in range(N_HASH)
     )
@@ -237,7 +237,13 @@ sig AS (
 ),
 bands AS (
 {band_selects}
-),
+)"""
+
+
+def _minhash_cte() -> str:
+    """WITH-body through `cand` (distinct LSH candidate pairs) — shared by
+    the dedup_minhash_lsh oracle and the composed pipeline oracle."""
+    return f"""{_minhash_bands_cte()},
 cand AS (
   SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
   FROM bands b1 JOIN bands b2
@@ -253,9 +259,9 @@ ORDER BY d1, d2
 """
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct MinHash-LSH candidate pairs (d1, d2) — the shared candidate
-    generator for dedup_minhash_lsh and the composed near-dedup pipeline."""
+def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bsig) MinHash band signatures — the persistable LSH
+    index shared by the pair generator and the incremental probe."""
     # Shingle hashes are computed once each (one md5 per shingle) inside a
     # narrow explode — no distinct: min() is insensitive to shingle
     # multiplicity, so the dedup shuffle is skipped entirely. The 16
@@ -293,9 +299,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
     )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct MinHash-LSH candidate pairs (d1, d2) — the shared candidate
+    generator for dedup_minhash_lsh and the composed near-dedup pipeline."""
+    bands = lsh_bands(spark, sf_dir)
     # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
     # ONE exchange on the bucket key, instead of a self-join's two (and the
     # self-join would execute the signature lineage twice). Pair count per
@@ -808,4 +820,86 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _PF_T_NUM / _PF_T_DEN)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) near-dup — the nightly-ingest shape: an
+# arriving batch (doc_id % 10 = 7 here) is probed against the standing
+# corpus's LSH band index WITHOUT re-pairing the corpus against itself.
+# At 100 TB the band index (|docs| × N_BANDS narrow rows) is a persisted
+# table partitioned on (band, bsig); each ingest shuffles only the new
+# batch's bands into it, so cost ∝ |batch| + collisions, independent of
+# corpus size. Candidates are exact-rescored (set Jaccard ≥ 0.6) and each
+# new doc reports its best corpus match (max jaccard, then min corpus id).
+# The LSH probe is deterministic (md5-derived hashes), so the oracle
+# reproduces the same index and probe in SQL — both engines agree on
+# candidates AND scores.
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH {{bands_cte}},
+cand AS (
+  SELECT DISTINCT b1.doc_id AS new_id, b2.doc_id AS corpus_id
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bsig = b2.bsig
+   AND b1.doc_id % 10 = 7 AND b2.doc_id % 10 <> 7
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.corpus_id, count(*) AS c
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.new_id
+  JOIN shingles s2 ON s2.doc_id = c.corpus_id AND s2.sh = s1.sh
+  GROUP BY c.new_id, c.corpus_id
+),
+scored AS (
+  SELECT i.new_id, i.corpus_id,
+         i.c * 1.0 / (z1.sz + z2.sz - i.c) AS jac
+  FROM inter i
+  JOIN sizes z1 ON z1.doc_id = i.new_id
+  JOIN sizes z2 ON z2.doc_id = i.corpus_id
+  WHERE i.c * 1.0 / (z1.sz + z2.sz - i.c) >= 0.6
+),
+best AS (
+  SELECT new_id, corpus_id, jac,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jac DESC, corpus_id) AS r
+  FROM scored
+)
+SELECT new_id, corpus_id AS match_id, round(jac, 6) AS jaccard
+FROM best WHERE r = 1
+ORDER BY new_id
+""".format(bands_cte=_minhash_bands_cte()),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    bands = lsh_bands(spark, sf_dir)
+    is_new = F.col("doc_id") % 10 == 7
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "bsig"
+    )
+    corp_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bsig"
+    )
+    cand = new_b.join(corp_b, ["band", "bsig"]).select("new_id", "corpus_id").distinct()
+    arrs = shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset")
+    )
+    a1 = arrs.select(F.col("doc_id").alias("new_id"), F.col("shset").alias("s1"))
+    a2 = arrs.select(F.col("doc_id").alias("corpus_id"), F.col("shset").alias("s2"))
+    c = F.size(F.array_intersect("s1", "s2"))
+    jac = c * 1.0 / (F.size("s1") + F.size("s2") - c)
+    w = W.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("corpus_id"))
+    return (
+        cand.join(a1, "new_id")
+        .join(a2, "corpus_id")
+        .select("new_id", "corpus_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.6)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("new_id", F.col("corpus_id").alias("match_id"),
+                F.round("jac", 6).alias("jaccard"))
+        .orderBy("new_id")
     )
