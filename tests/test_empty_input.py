@@ -42,6 +42,12 @@ EMPTY_ZERO = [
     "pipeline_pii_redaction",
     "join_right_anti",
     "agg_histogram",
+    "pipeline_decontaminate_bloom",
+    "text_heavy_hitters",
+    "events_rollup_hierarchy",
+    "sim_knn_classify",
+    "dedup_prefix_filter",
+    "dedup_incremental",
 ]
 
 
