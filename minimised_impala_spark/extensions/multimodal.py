@@ -332,3 +332,61 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_idx", "offset", "n_samples")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Resize + feature-extraction through mapInPandas, driver-oracled like the
+# decode stub: the kernels are stubs but DETERMINISTIC (content-keyed
+# slice / md5-derived floats) over ASCII payloads, so the whole Arrow
+# round trip gets a value-hash oracle. Output stays scalar-typed (the
+# driver canonicalizer rejects array cells) — features land as f0..f7.
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(224 AS INT) AS width,
+       CAST(224 AS INT) AS height,
+       CAST(greatest(8, 50176 % octet_length(encode(text))) AS BIGINT) AS out_len,
+       md5(substr(text, 1, greatest(8, 50176 % octet_length(encode(text)))))
+         AS out_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_resize_stub", oracle=_RESIZE_ORACLE)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """224×224 'resize' of every payload (content-keyed slice stub; real
+    plumbing — binary in → binary out + dims through Arrow batches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = resized(docs, 224, 224)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("out_len"),
+        F.md5("payload").alias("out_md5"),
+    ).orderBy("doc_id")
+
+
+_FEATURES_ORACLE = """
+SELECT doc_id,
+       {cols}
+FROM documents
+ORDER BY doc_id
+""".format(
+    cols=",\n       ".join(
+        f"(('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2))::BIGINT / 255.0) AS f{i}"
+        for i in range(8)
+    )
+)
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-derived 8-dim feature vector per payload (embedding-model stub;
+    real mapInPandas plumbing). The vector feeds the similarity wing;
+    here it is flattened to scalar columns for the driver hash. x/255.0
+    on integer x is bit-exact IEEE in both engines — no rounding shim."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(docs, dim=8)
+    cols = [F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
+    return feats.select("doc_id", *cols).orderBy("doc_id")
