@@ -979,3 +979,55 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= _HH_T)
         .orderBy("tok")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality scoring — the CCNet-style perplexity proxy: score
+# each doc by its average negative log-likelihood under the corpus's own
+# unigram distribution (high avg-NLL = rare-token-heavy = candidate junk;
+# the real pipeline swaps in a KenLM model, same join shape). Shape at
+# 100 TB: the vocab table (distinct tokens + counts) is orders of
+# magnitude smaller than the token stream and joins keyed on tok — or
+# broadcasts when it fits. Both engines sum IEEE doubles in different
+# orders, so the per-doc NLL is rounded to 4 decimals (~1e-13 engine
+# disagreement vs a 5e-5 rounding quantum).
+@query(
+    "text_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_toks,
+         sum(-ln(v.c * 1.0 / tot.n)) AS nll
+  FROM toks t JOIN vocab v ON v.tok = t.tok, tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT)    AS n_toks,
+       round(nll / n_toks, 4)    AS avg_nll
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(-F.log(F.col("c") * 1.0 / F.col("n"))).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.round(F.col("nll") / F.col("n_toks"), 4).alias("avg_nll"),
+    ).orderBy("doc_id")
