@@ -1031,3 +1031,147 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks").cast("bigint").alias("n_toks"),
         F.round(F.col("nll") / F.col("n_toks"), 4).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking with overlap: split each document's token stream
+# into fixed-size windows (W=64) advancing by a stride (S=48, i.e. 16
+# tokens of overlap) — the standard assembly step for LLM pretraining when
+# documents exceed the context length and boundaries shouldn't lose
+# context. Pure narrow ops (split → sequence → explode → slice): no
+# shuffle at all, so at 100 TB this is an embarrassingly parallel map
+# whose output size is input × (1 + overlap fraction). Chunks are
+# identified by (doc_id, chunk_id) and fingerprinted with md5 so the
+# oracle pins the exact token content of every window, not just counts.
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n, toks,
+         unnest(generate_series(0,
+           CAST(CASE WHEN n <= {_CHUNK_W} THEN 0
+                ELSE CEIL((n - {_CHUNK_W}) / {_CHUNK_S}.0) END AS INT)))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                           chunk_id * {_CHUNK_S} + {_CHUNK_W})) AS INT)
+         AS chunk_len,
+       md5(array_to_string(list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                                      chunk_id * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_sig
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("text_chunk_overlap", oracle=_CHUNK_ORACLE)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, s = _CHUNK_W, _CHUNK_S
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    last_chunk = F.when(n <= w, F.lit(0)).otherwise(
+        F.ceil((n - w) / F.lit(float(s))).cast("int")
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * s + 1, F.lit(w)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(chunk).cast("int").alias("chunk_len"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_sig"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (the XLM-R / mC4 recipe): sample
+# language l with probability ∝ p_l^alpha (alpha=0.5), which downsamples
+# head languages and keeps the tail. Realized as a per-language keep RATE
+# r_l = (p_l^alpha / max_l p_l^alpha) = sqrt(n_min/n_l) — the smallest
+# language keeps everything — applied via the same deterministic md5
+# bucket as text_sample_deterministic, so membership is bit-stable across
+# engines and re-runs. The threshold is floor()'d to an integer out of
+# 10000 (floor, not round: no .5-tie ambiguity between engines) and every
+# FP step (divide, sqrt, multiply) is IEEE correctly-rounded, so both
+# engines compute the identical threshold. At 100 TB the language census
+# is a tiny agg, thresholds broadcast, and the filter is a narrow map.
+_TEMP_ORACLE = """
+WITH census AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+thr AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt((SELECT min(n_docs) FROM census) * 1.0 / n_docs)
+                    * 10000) AS BIGINT) AS threshold
+  FROM census
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+                   % 10000 < t.threshold
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN thr t ON t.lang = d.lang
+)
+SELECT t.lang,
+       CAST(t.n_docs AS BIGINT)   AS n_docs,
+       t.threshold                AS threshold,
+       CAST(sum(k.keep) AS BIGINT) AS n_kept
+FROM thr t JOIN kept k ON k.lang = t.lang
+GROUP BY t.lang, t.n_docs, t.threshold
+ORDER BY t.lang
+"""
+
+
+@query("text_temperature_resample", oracle=_TEMP_ORACLE)
+def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    census = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = census.agg(F.min("n_docs").alias("n_min"))
+    thr = (
+        census.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            "n_docs",
+            F.floor(
+                F.sqrt(F.col("n_min") * 1.0 / F.col("n_docs")) * 10000
+            ).cast("bigint").alias("threshold"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    kept = (
+        docs.select("lang", bucket.alias("bucket"))
+        .join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(F.sum((F.col("bucket") < F.col("threshold")).cast("bigint")).alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "threshold",
+            "n_kept",
+        )
+        .orderBy("lang")
+    )
