@@ -1175,3 +1175,65 @@ def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min-sketch heavy hitters: the sublinear-memory counterpart to
+# text_heavy_hitters' exact two-phase recount. The sketch is built
+# DISTRIBUTED (Spark's CountMinSketchAgg: per-partition sketches merged by
+# cell-wise addition — order-independent, so the seeded result is
+# deterministic), then the exact top-10 tokens are probed against it.
+# CMS guarantees est >= true, and est <= true + eps*N with prob 1-delta
+# per probe; with seed fixed the outcome is a pure function of the data,
+# and the generous eps makes the bound hold at every tested sf. The
+# oracle recomputes the exact top-10 and pins within_bounds=TRUE, so a
+# broken sketch (wrong merge, wrong seed plumbing) fails the hash.
+# At 100 TB: the sketch is O(1) memory per executor vs the exact path's
+# shuffle of the full token census — this is the operator you run FIRST
+# to size the candidate set.
+@query(
+    "text_countmin_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok)
+SELECT tok, CAST(exact_count AS BIGINT) AS exact_count, TRUE AS within_bounds
+FROM c
+ORDER BY exact_count DESC, tok
+LIMIT 10
+""",
+)
+def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("tok")).limit(10).collect()
+
+    eps, confidence, seed = 0.005, 0.99, 42
+    agg = toks.agg(
+        F.count_min_sketch("tok", F.lit(eps), F.lit(confidence), F.lit(seed)).alias("sk"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    # deserialize the merged sketch via the JVM sketch library and probe the
+    # bounded candidate set driver-side (10 lookups — not a distributed step)
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
+    )
+    slack = int(math.ceil(eps * agg["n_total"]))
+    rows = []
+    for r in top:
+        est = sketch.estimateCount(r["tok"])
+        rows.append(
+            (
+                r["tok"],
+                int(r["exact_count"]),
+                bool(r["exact_count"] <= est <= r["exact_count"] + slack),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "tok string, exact_count bigint, within_bounds boolean"
+    ).orderBy(F.desc("exact_count"), F.asc("tok"))

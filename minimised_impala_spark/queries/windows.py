@@ -339,3 +339,65 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# IGNORE NULLS analytic variants (beyond the reference: the vendored
+# Impala's AnalyticExpr — fe/.../analysis/AnalyticExpr.java:81-94 — has
+# first_value/last_value but no IGNORE NULLS modifier; later Impala and
+# ANSI added it, and it is the standard forward-fill idiom for sparse
+# time-series). value is NULL'd on 'view' events, then:
+#   ffill     — last non-null value at or before the current row
+#   first_nn  — first non-null value in the whole partition
+#   second_nn — nth_value(2) skipping nulls
+# Pure value selection (no FP arithmetic), so doubles pass through
+# bit-exact in both engines. Partitioned by user_id — one hash shuffle +
+# in-partition sort, the scale-safe window shape.
+@query(
+    "window_ignore_nulls",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+  FROM events WHERE user_id < 40
+)
+SELECT event_id, user_id, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)  AS ffill,
+       first_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn,
+       nth_value(v, 2 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_nn
+FROM e
+ORDER BY user_id, event_id
+""",
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        events.filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", v.alias("v"), "ts")
+        .select(
+            "event_id",
+            "user_id",
+            "v",
+            F.last("v", ignorenulls=True).over(wc).alias("ffill"),
+            F.first("v", ignorenulls=True).over(wf).alias("first_nn"),
+            F.nth_value("v", 2, ignoreNulls=True).over(wf).alias("second_nn"),
+        )
+        .orderBy("user_id", "event_id")
+    )
