@@ -1237,3 +1237,79 @@ def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tok string, exact_count bigint, within_bounds boolean"
     ).orderBy(F.desc("exact_count"), F.asc("tok"))
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus MERGE (upsert): apply an update batch to an existing
+# corpus — matched doc_ids take the new revision, unmatched batch rows
+# insert, untouched corpus rows carry over — then land the merged corpus
+# through a physical parquet table and aggregate from the READ-BACK data,
+# so the driver hash covers the sink round trip (same discipline as
+# ddl_ctas_roundtrip). The vendored reference has INSERT [OVERWRITE] only
+# (no MERGE/UPSERT in its grammar — fe/src/main/cup/sql-parser.cup); this
+# is the beyond-ref DML a continuously-refreshed training corpus needs.
+# Scale shape: the anti join is one hash shuffle on doc_id (or a no-shuffle
+# bucket join when both sides are bucketed by doc_id); the rewrite is
+# bounded by dynamic partition overwrite when the corpus is partitioned —
+# only touched partitions rewrite, not 100 TB.
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, text, 1 AS version FROM documents WHERE doc_id % 10 < 8
+),
+upd AS (
+  SELECT doc_id, source, upper(text) AS text, 2 AS version
+  FROM documents WHERE doc_id % 10 >= 6
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                  AS n_docs,
+       CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                 AS n_from_batch,
+       CAST(sum(CASE WHEN version = 2 AND doc_id % 10 >= 8
+                     THEN 1 ELSE 0 END) AS BIGINT)               AS n_inserted,
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+                                                                 AS text_checksum
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_merge_upsert", oracle=_MERGE_ORACLE)
+def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 < 8).select(
+        "doc_id", "source", "text", F.lit(1).alias("version")
+    )
+    upd = docs.filter(F.col("doc_id") % 10 >= 6).select(
+        "doc_id", "source", F.upper("text").alias("text"), F.lit(2).alias("version")
+    )
+    merged = base.join(upd, "doc_id", "left_anti").unionByName(upd)
+
+    tbl = f"mis_merge_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True)
+    merged.write.format("parquet").saveAsTable(tbl)
+
+    landed = spark.table(tbl)
+    checksum = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return (
+        landed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("version") == 2).cast("bigint")).alias("n_from_batch"),
+            F.sum(
+                ((F.col("version") == 2) & (F.col("doc_id") % 10 >= 8)).cast("bigint")
+            ).alias("n_inserted"),
+            F.sum(checksum).alias("text_checksum"),
+        )
+        .orderBy("source")
+    )

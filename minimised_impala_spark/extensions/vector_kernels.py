@@ -172,3 +172,54 @@ def make_probe_udf(centers: list[list[float]], nprobe: int):
         return pd.Series(list(idx.astype("int32")))
 
     return probe_lists
+
+
+def make_pq_encode_udf(codebooks: list[list[list[float]]]):
+    """UDF factory: product-quantization encoder. ``codebooks`` is
+    M × K × dsub (one K-centroid codebook per contiguous subspace);
+    each vector maps to M small codes = argmin squared-L2 per subspace
+    (ties → lowest centroid index via argmin's first-occurrence rule).
+    Codebooks are closure-captured, so encoding is a narrow map with the
+    (tiny) codebook tensor shipped by value — no shuffle, no broadcast
+    machinery needed."""
+    cb = [np.array(c) for c in codebooks]
+    m_sub = len(cb)
+    dsub = cb[0].shape[1]
+
+    @pandas_udf(_ARR_I)
+    def pq_encode(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return _empty("object")
+        m = _mat(s)
+        codes = np.empty((m.shape[0], m_sub), dtype="int32")
+        for j in range(m_sub):
+            sub = m[:, j * dsub : (j + 1) * dsub]
+            c = cb[j]
+            d = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return pq_encode
+
+
+def make_adc_udf(codebooks: list[list[list[float]]]):
+    """UDF factory: asymmetric-distance scoring — exact query sub-vectors
+    against the CODED corpus: score = Σ_j q_j · codebook[j][code_j]. With
+    pre-normalized inputs this approximates cosine while the corpus side
+    stores only M bytes per vector — the memory path that lets a
+    billion-vector corpus fit executor RAM."""
+    cb = np.stack([np.array(c) for c in codebooks])  # M × K × dsub
+    m_sub, _, dsub = cb.shape
+
+    @pandas_udf(T.DoubleType())
+    def adc_dot(q: pd.Series, codes: pd.Series) -> pd.Series:
+        if q.empty:
+            return _empty()
+        mq = _mat(q)
+        mc = np.vstack(codes.to_numpy()).astype("int64")
+        total = np.zeros(mq.shape[0])
+        for j in range(m_sub):
+            total += (mq[:, j * dsub : (j + 1) * dsub] * cb[j][mc[:, j]]).sum(axis=1)
+        return pd.Series(total)
+
+    return adc_dot
