@@ -1211,6 +1211,9 @@ def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     top = exact.orderBy(F.desc("exact_count"), F.asc("tok")).limit(10).collect()
+    schema = "tok string, exact_count bigint, within_bounds boolean"
+    if not top:  # empty corpus: no candidates, no sketch to probe
+        return spark.createDataFrame([], schema)
 
     eps, confidence, seed = 0.005, 0.99, 42
     agg = toks.agg(
@@ -1234,9 +1237,9 @@ def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(r["exact_count"] <= est <= r["exact_count"] + slack),
             )
         )
-    return spark.createDataFrame(
-        rows, "tok string, exact_count bigint, within_bounds boolean"
-    ).orderBy(F.desc("exact_count"), F.asc("tok"))
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.desc("exact_count"), F.asc("tok")
+    )
 
 
 # --------------------------------------------------------------------------

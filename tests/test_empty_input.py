@@ -48,6 +48,11 @@ EMPTY_ZERO = [
     "sim_knn_classify",
     "dedup_prefix_filter",
     "dedup_incremental",
+    "text_chunk_overlap",
+    "text_temperature_resample",
+    "window_ignore_nulls",
+    "text_countmin_hitters",
+    "pipeline_merge_upsert",
 ]
 
 
