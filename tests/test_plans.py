@@ -275,3 +275,34 @@ def test_bloom_decontamination_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_dir):
+    """Context-window chunking is split→sequence→explode→slice — pure
+    narrow ops. Any Exchange in this plan would mean an accidental
+    repartition of the full token stream (catastrophic at 100 TB for a
+    map-only transform). The final orderBy exists only for the oracle's
+    deterministic comparison, so assert on the plan BEFORE the sort."""
+    df = fresh("text_chunk_overlap")(spark, sf_dir)
+    # strip the presentation-only global sort: everything under it must be
+    # exchange-free
+    plan = _physical(df)
+    pre_sort = plan.split("Sort ")[-1]
+    assert "Exchange hashpartitioning" not in pre_sort
+    assert "Generate explode" in plan
+
+
+def test_temperature_resample_broadcasts_thresholds(spark, sf_dir):
+    """The per-language census/threshold side is 5 rows — it must reach
+    the corpus via BroadcastHashJoin, never a shuffled join of the full
+    documents table against a 5-row dim."""
+    plan = _physical(fresh("text_temperature_resample")(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_ann_broadcasts_queries(spark, sf_dir):
+    """PQ ADC scan: the bounded query set must broadcast over the coded
+    corpus (a shuffle of the corpus keyed by query would be quadratic
+    traffic at scale)."""
+    plan = _physical(fresh("sim_pq_ann")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
