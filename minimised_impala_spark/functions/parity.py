@@ -471,6 +471,42 @@ _SQL_UDFS: dict[str, str] = {
         "(s STRING, pat STRING) RETURNS INT RETURN "
         "size(regexp_extract_all(s, pat, 0))"
     ),
+    # math-functions.cc double-typed alias names (impala_functions.py:
+    # 265-276). The 1-arg dround/dtrunc/dceil/dfloor forms return BIGINT
+    # in the reference (MathFunctions::Round = llround, half away from
+    # zero — Spark round() on DOUBLE matches); the 2-arg dround(x, d)
+    # overload can't share the name (SQL UDFs are monomorphic) and routes
+    # through the native round(x, d) spelling.
+    "dceil": "(x DOUBLE) RETURNS BIGINT RETURN CAST(ceil(x) AS BIGINT)",
+    "dfloor": "(x DOUBLE) RETURNS BIGINT RETURN CAST(floor(x) AS BIGINT)",
+    "dtrunc": "(x DOUBLE) RETURNS BIGINT RETURN CAST(x AS BIGINT)",
+    "dround": "(x DOUBLE) RETURNS BIGINT RETURN CAST(round(x) AS BIGINT)",
+    "dexp": "(x DOUBLE) RETURNS DOUBLE RETURN exp(x)",
+    "dlog1": "(x DOUBLE) RETURNS DOUBLE RETURN ln(x)",
+    "dlog10": "(x DOUBLE) RETURNS DOUBLE RETURN log10(x)",
+    "dsqrt": "(x DOUBLE) RETURNS DOUBLE RETURN sqrt(x)",
+    "dpow": "(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN power(a, b)",
+    "fpow": "(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN power(a, b)",
+    # timestamp-functions.cc third alias spellings (impala_functions.py:
+    # 145-151: days_add/date_add/adddate share one implementation) and the
+    # FE's INTERVAL-expression rewrite targets (impala_functions.py:659).
+    "adddate": "(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(DAY, n, t)",
+    "subdate": "(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(DAY, -n, t)",
+    "months_add_interval": (
+        "(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(MONTH, n, t)"
+    ),
+    "months_sub_interval": (
+        "(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(MONTH, -n, t)"
+    ),
+    # utility-functions.cc Sleep (impala_functions.py:545) — really blocks
+    # the calling thread for n ms via reflection, then returns true
+    # unconditionally (the reference's Sleep always returns true; the
+    # coalesce only forces evaluation of the reflect call).
+    "sleep": (
+        "(ms INT) RETURNS BOOLEAN RETURN "
+        "coalesce(java_method('java.lang.Thread', 'sleep', CAST(ms AS BIGINT)), '') "
+        ">= ''"
+    ),
 }
 
 

@@ -294,3 +294,45 @@ def test_fmod_extreme_ratio(spark):
     ).collect()[0]
     assert row["a"] is not None and abs(row["a"]) <= 1e-3
     assert row["a"] == math.fmod(1e300, 1e-3)
+
+
+def test_double_alias_math_family(spark):
+    """math-functions.cc d*-alias names (impala_functions.py:265-276):
+    1-arg integral forms return BIGINT (llround / trunc-toward-zero
+    semantics), transcendental forms DOUBLE."""
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT dceil(1.2) a, dfloor(-1.2) b, dtrunc(-2.7) c, dround(2.5) d, "
+        "       dround(-2.5) e, dexp(0.0D) f, dlog1(e()) g, dlog10(100.0D) h, "
+        "       dsqrt(9.0D) i, dpow(2.0D, 10.0D) j, fpow(3.0D, 2.0D) k"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (2, -2, -2)
+    assert (row["d"], row["e"]) == (3, -3)  # half away from zero
+    assert row["f"] == 1.0 and abs(row["g"] - 1.0) < 1e-12 and row["h"] == 2.0
+    assert row["i"] == 3.0 and row["j"] == 1024.0 and row["k"] == 9.0
+
+
+def test_adddate_subdate_interval_aliases(spark):
+    P.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT adddate(timestamp'2024-01-30 12:00:00', 3) a, "
+        "       subdate(timestamp'2024-01-30 12:00:00', 30) b, "
+        "       months_add_interval(timestamp'2024-01-31 00:00:00', 1) c, "
+        "       months_sub_interval(timestamp'2024-03-31 00:00:00', 1) d"
+    ).collect()[0]
+    assert str(row["a"]).startswith("2024-02-02 12:00:00")
+    assert str(row["b"]).startswith("2023-12-31 12:00:00")
+    # month arithmetic clamps to end-of-month (boost date semantics)
+    assert str(row["c"]).startswith("2024-02-29")
+    assert str(row["d"]).startswith("2024-02-29")
+
+
+def test_sleep_blocks_and_returns_true(spark):
+    import time
+
+    P.register_sql_functions(spark)
+
+    t0 = time.perf_counter()
+    row = spark.sql("SELECT sleep(200) ok").collect()[0]
+    assert row["ok"] is True
+    assert time.perf_counter() - t0 >= 0.2
