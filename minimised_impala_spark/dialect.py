@@ -13,9 +13,13 @@ runs unchanged on Spark SQL. This module rewrites the residue:
   ``ANALYZE TABLE t COMPUTE STATISTICS``; ``INVALIDATE METADATA t`` /
   ``REFRESH t`` → ``REFRESH TABLE t`` (statestored propagation is a no-op
   in Spark — SURVEY §1.4);
-- dialect function names are NOT rewritten here — they are registered as
-  session SQL functions (functions/parity.py:register_sql_functions), which
-  keeps translation purely syntactic.
+- SCALAR dialect function names are NOT rewritten here — they are registered
+  as session SQL functions (functions/parity.py:register_sql_functions),
+  which keeps translation purely syntactic. AGGREGATE spellings are the one
+  exception (CREATE FUNCTION bodies are scalar-only, so they can't be
+  registered): ndv/distinctpc/distinctpcsa → approx_count_distinct,
+  appx_median → median (exact — a documented upgrade over the reference's
+  sampled estimate), variance_pop/variance_samp → var_pop/var_samp.
 
 Translation is regex-based over a comment/string-masked copy of the text, so
 hints inside string literals are never rewritten.
@@ -142,6 +146,19 @@ def parse_load_data(sql: str) -> dict | None:
     }
 
 
+_AGG_NAMES = {
+    "ndv": "approx_count_distinct",
+    "distinctpc": "approx_count_distinct",
+    "distinctpcsa": "approx_count_distinct",
+    "appx_median": "median",
+    "variance_pop": "var_pop",
+    "variance_samp": "var_samp",
+}
+_AGG_RENAME = re.compile(
+    r"\b(" + "|".join(_AGG_NAMES) + r")\s*(?=\()", re.IGNORECASE
+)
+
+
 def translate(sql: str) -> str:
     """Rewrite an Impala-dialect statement into Spark SQL text."""
     m = _COMPUTE_STATS.match(sql)
@@ -192,5 +209,18 @@ def translate(sql: str) -> str:
     for pos, kind, name in sorted(hints, reverse=True):
         comment = f" /*+ {_SPARK_HINT[kind]}({name}) */"
         out = out[:pos] + comment + out[pos:]
+
+    # AGGREGATE-name renames, last (they change lengths, so they must run
+    # after every offset-based edit; right-to-left keeps earlier match
+    # offsets valid). These cannot be session SQL UDFs like the scalar
+    # residue: CREATE FUNCTION bodies are scalar-only, so sketch/variance
+    # aggregate spellings are a pure syntactic rename —
+    # ndv/distinctpc/distinctpcsa (aggregate-functions.h:126 HLL) →
+    # approx_count_distinct (Spark's HLL++), appx_median → median,
+    # variance_pop/variance_samp (BuiltinsDb.java alias spellings) →
+    # var_pop/var_samp.
+    masked = _mask(out)
+    for m in reversed(list(_AGG_RENAME.finditer(masked))):
+        out = out[: m.start(1)] + _AGG_NAMES[m.group(1).lower()] + out[m.end(1):]
 
     return out

@@ -123,3 +123,35 @@ def test_hints_in_both_blocks():
     )
     assert out.startswith("SELECT /*+ SHUFFLE_HASH(w) */")
     assert "(SELECT /*+ BROADCAST(d) */" in out
+
+
+def test_aggregate_name_renames():
+    from minimised_impala_spark.dialect import translate
+
+    out = translate(
+        "SELECT ndv(a), distinctpc(b), distinctpcsa(c), appx_median(d), "
+        "variance_pop(e), variance_samp(f) FROM t"
+    )
+    assert out == (
+        "SELECT approx_count_distinct(a), approx_count_distinct(b), "
+        "approx_count_distinct(c), median(d), var_pop(e), var_samp(f) FROM t"
+    )
+    # names inside string literals are never rewritten
+    assert translate("SELECT 'ndv(x)' s FROM t") == "SELECT 'ndv(x)' s FROM t"
+    # bare identifiers (no call parens) are not function calls
+    assert translate("SELECT ndv FROM t") == "SELECT ndv FROM t"
+
+
+def test_engine_ndv_appx_median_run(spark, sf_dir):
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "dialect_orders"
+    )
+    row = eng.sql(
+        "SELECT ndv(o_custkey) nd, appx_median(o_totalprice) med, "
+        "       variance_pop(o_totalprice) vp "
+        "FROM dialect_orders"
+    ).collect()[0]
+    assert row["nd"] > 0 and row["med"] is not None and row["vp"] > 0
