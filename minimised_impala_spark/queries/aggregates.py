@@ -651,3 +651,53 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketch — the mergeable-sketch successor to the reference's
+# sampled appx_median (aggregate-functions.cc ReservoirSample/AppxMedian:
+# a bounded reservoir merged across fragments). Spark's kll_sketch_agg
+# keeps the same contract (fixed memory per group, cell-wise merge across
+# partitions — one narrow shuffle per group key at any scale) with a
+# PROVEN rank-error bound instead of a reservoir's luck. KLL compaction
+# is randomized, so point values can't be oracle-hashed; the oracle pins
+# the guarantee itself: every estimated quantile must land within ±5%
+# RANK of the exact order statistics (default k=200 gives ~1.65% rank
+# error at 99% confidence — the margin is 3× that, so a correct sketch
+# cannot fail it while a broken merge/serialization will). The exact
+# rank bounds come from sort_array(collect_list(...)) — that part is the
+# VERIFICATION harness, not the operator; at 100 TB only the sketch runs.
+_KLL_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS ok95
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("agg_kll_quantiles", oracle=_KLL_ORACLE)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    EPS = 0.05
+
+    def rank_value(sorted_col, frac_expr):
+        # value at 1-based rank clamp(round(frac*n), 1, n)
+        idx = F.greatest(
+            F.lit(1), F.least(F.col("n"), F.round(frac_expr * F.col("n")).cast("int"))
+        ).cast("int")
+        return F.element_at(sorted_col, idx)
+
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.kll_sketch_agg_double(F.col("o_totalprice").cast("double")).alias("sk"),
+        F.sort_array(F.collect_list(F.col("o_totalprice").cast("double"))).alias("xs"),
+    )
+    cols = [F.col("o_orderstatus"), F.col("n").cast("bigint").alias("n")]
+    for p, name in ((0.25, "ok25"), (0.5, "ok50"), (0.75, "ok75"), (0.95, "ok95")):
+        est = F.kll_sketch_get_quantile_double("sk", F.lit(p))
+        lo = rank_value(F.col("xs"), F.lit(max(p - EPS, 0.0)))
+        hi = rank_value(F.col("xs"), F.lit(min(p + EPS, 1.0)))
+        cols.append(((est >= lo) & (est <= hi)).alias(name))
+    return g.select(*cols).orderBy("o_orderstatus")
