@@ -100,3 +100,49 @@ def test_bloom_decontamination_prunes_and_matches_exact(spark, sf_dir):
         .count()
     )
     assert n_candidates < n_all * 0.5, (n_candidates, n_all)
+
+
+def test_pq_kernels_roundtrip(spark):
+    """Product-quantization kernel properties (vector_kernels.make_pq_*):
+    (1) a vector assembled from codebook centroids encodes to exactly
+    those centroid indices; (2) ADC of a query against that code equals
+    the true dot product with the reconstruction (no approximation when
+    quantization error is zero)."""
+    import numpy as np
+    import pandas as pd
+
+    from minimised_impala_spark.extensions import vector_kernels as VK
+
+    rng = np.random.default_rng(7)
+    M, K, dsub = 4, 8, 16  # 4 subspaces over DIM=64
+    codebooks = [rng.normal(size=(K, dsub)).tolist() for _ in range(M)]
+
+    picks = [3, 0, 7, 5]
+    vec = np.concatenate([np.array(codebooks[j][picks[j]]) for j in range(M)])
+    query = rng.normal(size=M * dsub)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"e": [vec.tolist()], "q": [query.tolist()]})
+    )
+    encode = VK.make_pq_encode_udf(codebooks)
+    adc = VK.make_adc_udf(codebooks)
+    row = df.select(
+        encode("e").alias("codes"),
+        adc("q", encode("e")).alias("score"),
+    ).collect()[0]
+    assert list(row["codes"]) == picks
+    assert abs(row["score"] - float(query @ vec)) < 1e-9
+
+
+def test_kll_sketch_merge_matches_single_pass(spark):
+    """KLL sketches built over partitioned data and merged must answer
+    like a single sketch over all of it (mergeability is what makes the
+    aggregate scale-safe): median of 0..9999 across 8 partitions lands
+    within rank +-2% of 5000."""
+    df = spark.range(10000).repartition(8).select((F.col("id") * 1.0).alias("x"))
+    est = (
+        df.agg(F.kll_sketch_agg_double("x").alias("sk"))
+        .select(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q"))
+        .collect()[0]["q"]
+    )
+    assert 4800 <= est <= 5200
