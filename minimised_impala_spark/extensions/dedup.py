@@ -279,29 +279,30 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint") % P).alias("h"),
         )
     )
+    # Expressions are built as consolidated SQL strings (one F.expr) rather
+    # than nested Column operators: every Column op is a py4j round trip,
+    # and the 16-min + 4-band tree costs ~150 of them (~0.35 s of DRIVER
+    # time per fresh plan at local[32]) — pure plan-construction overhead
+    # that the string form collapses to 2 calls with an identical analyzed
+    # plan. The SQL text mirrors _minhash_bands_cte, same formulas.
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(2 * j + 3) * F.col("h") + F.lit(5 * j + 7)) % P).alias(f"m{j}")
+            F.expr(f"min(({2 * j + 3} * h + {5 * j + 7}) % {P})").alias(f"m{j}")
             for j in range(N_HASH)
         ]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
-                    )
-                ).alias("bsig"),
-            )
-            for b in range(N_BANDS)
-        ]
+    bands_sql = ", ".join(
+        "struct({b} AS band, md5(concat_ws('_', {ms})) AS bsig)".format(
+            b=b,
+            ms=", ".join(
+                f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
     )
-    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-    )
+    return sig.select(
+        "doc_id", F.explode(F.expr(f"array({bands_sql})")).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,14 +315,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket is k², bounded by near-dup cluster size — the same bound the
     # self-join has; a giant bucket means a degenerate band either way.
     ids = F.sort_array(F.collect_list("doc_id"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
+    # single-F.expr HOF (see lsh_bands on plan-construction overhead)
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
+        "y -> struct(x AS d1, y AS d2))))"
     )
     return (
         bands.groupBy("band", "bsig")
