@@ -519,3 +519,62 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out).orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_topk_windowed",
+    oracle="""
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY window_start, event_type
+),
+r AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT window_start, event_type, n, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 2
+ORDER BY window_start, rk
+""",
+)
+def streaming_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-2 event types per tumbling hour. The
+    windowed count is the STREAMING stage (watermarked, state bounded);
+    the rank is applied per micro-batch over the sink table — ranking
+    inside the stream is unsupported for update-mode aggs, and the
+    post-sink rank over the (small) per-window aggregate table is the
+    standard production split: heavy count state lives in the stream,
+    the cheap top-k runs on serving read. Scale: stream state is
+    |windows|×|event types|; the rank input is already aggregated, so
+    the batch window sees thousands of rows, not raw events."""
+    from pyspark.sql import Window as W
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wr = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= 2)
+        .orderBy("window_start", "rk")
+    )
