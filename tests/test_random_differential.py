@@ -469,6 +469,43 @@ def _gen_outer_join_query(rng: random.Random) -> str:
 
 N_OUTER_QUERIES = 12
 
+
+def _gen_rollup_query(rng: random.Random) -> str:
+    """ROLLUP/CUBE differential branch: grouping-set total rows (NULL
+    group keys + grouping() markers) are a classic engine-disagreement
+    area — subtotal placement, grouping() typing, HAVING over grouping
+    sets. Row comparison is order-insensitive (canon_rows sorts), so no
+    ORDER BY is emitted — Spark and DuckDB disagree on default NULL
+    ordering, which would otherwise need NULLS FIRST/LAST pinning."""
+    kind = rng.choice(["ROLLUP", "CUBE"])
+    having = (
+        f"HAVING count(*) > {rng.randint(0, 40)}" if rng.random() < 0.5 else ""
+    )
+    if rng.random() < 0.5:
+        g1, g2 = rng.sample(["o_orderstatus", "o_orderpriority"], 2)
+        thr = rng.randint(50000, 400000)
+        return (
+            f"SELECT {g1}, {g2}, count(*) AS n, "
+            f"round(sum(o_totalprice) * 100) / 100 AS s, "
+            f"CAST(grouping({g1}) AS INT) AS g_1, "
+            f"CAST(grouping({g2}) AS INT) AS g_2 "
+            f"FROM orders WHERE o_totalprice < {thr} "
+            f"GROUP BY {kind} ({g1}, {g2}) {having}"
+        )
+    g1, g2 = rng.sample(["l_returnflag", "l_linestatus"], 2)
+    q = rng.randint(10, 45)
+    return (
+        f"SELECT {g1}, {g2}, count(*) AS n, "
+        f"round(sum(l_extendedprice) * 100) / 100 AS s, "
+        f"CAST(grouping({g1}) AS INT) AS g_1, "
+        f"CAST(grouping({g2}) AS INT) AS g_2 "
+        f"FROM lineitem WHERE l_quantity < {q} "
+        f"GROUP BY {kind} ({g1}, {g2}) {having}"
+    )
+
+
+N_ROLLUP_QUERIES = 12
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -481,6 +518,8 @@ _WRNG = random.Random(20260817)
 QUERIES += [_gen_window_query(_WRNG) for _ in range(N_WINDOW_QUERIES)]
 _ORNG = random.Random(20260818)
 QUERIES += [_gen_outer_join_query(_ORNG) for _ in range(N_OUTER_QUERIES)]
+_RRNG = random.Random(20260819)
+QUERIES += [_gen_rollup_query(_RRNG) for _ in range(N_ROLLUP_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))
