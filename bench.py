@@ -40,6 +40,8 @@ HEADLINE = [
 # was deliberately excluded while it was a broadcast nested loop).
 EXTRA = [
     "dedup_embedding",
+    "sim_pq_ann",
+    "text_chunk_overlap",
 ]
 
 
