@@ -901,3 +901,42 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("jac", 6).alias("jaccard"))
         .orderBy("new_id")
     )
+
+
+# --------------------------------------------------------------------------
+def _edit_distance_oracle() -> str:
+    return f"""
+WITH {_minhash_cte()}
+SELECT c.d1, c.d2, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN corpus a ON a.doc_id = c.d1
+JOIN corpus b ON b.doc_id = c.d2
+WHERE levenshtein(a.text, b.text)
+      <= CAST(floor(0.2 * greatest(length(a.text), length(b.text))) AS BIGINT)
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_edit_distance", oracle=_edit_distance_oracle())
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: LSH candidate generation → exact Levenshtein
+    rescore with a length-relative threshold (dist ≤ 20% of the longer
+    text). The expensive O(len²) DP runs ONLY on LSH-colliding pairs —
+    candidates ∝ true near-dups — never all-pairs; at 100 TB the rescore
+    is a narrow map over the (joined) candidate rows, texts shuffled once
+    by doc_id. Both engines compute standard Levenshtein; the threshold
+    uses explicit floor() (DuckDB CAST rounds, Spark CAST truncates — the
+    one cross-engine trap in this query)."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    c = corpus(spark, sf_dir)
+    a = c.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
+    b = c.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
+    lev = F.levenshtein("t1", "t2")
+    thr = F.floor(0.2 * F.greatest(F.length("t1"), F.length("t2")))
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .filter(lev <= thr)
+        .select("d1", "d2", lev.cast("bigint").alias("edit_dist"))
+        .orderBy("d1", "d2")
+    )
