@@ -53,6 +53,8 @@ EMPTY_ZERO = [
     "window_ignore_nulls",
     "text_countmin_hitters",
     "pipeline_merge_upsert",
+    "agg_kll_quantiles",
+    "dedup_edit_distance",
 ]
 
 
