@@ -60,3 +60,45 @@ def test_rotate_inverse_property(spark, cases):
     for r in got:
         assert r["rt"] == r["x"], (r["x"], r["n"])
         assert r["rl"] == rot64(r["x"] % (1 << 64), r["n"] % 64, True), (r["x"], r["n"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+)
+def test_chunk_overlap_invariants(spark, n_tokens):
+    """text_chunk_overlap coverage invariants against a Python model:
+    every token position is covered by >= 1 chunk; chunks advance by the
+    stride; only the final chunk may be short; consecutive chunks overlap
+    by exactly W-S when full."""
+    W, S = 64, 48
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    df.createOrReplaceTempView("prop_chunk_doc")
+    from pyspark.sql import functions as FF
+
+    toks = FF.split("text", " ")
+    n = FF.size(toks)
+    last_chunk = FF.when(n <= W, FF.lit(0)).otherwise(
+        FF.ceil((n - W) / FF.lit(float(S))).cast("int")
+    )
+    chunk = FF.slice(FF.col("toks"), FF.col("chunk_id") * S + 1, FF.lit(W))
+    rows = (
+        df.select("doc_id", toks.alias("toks"),
+                  FF.explode(FF.sequence(FF.lit(0), last_chunk)).alias("chunk_id"))
+        .select("chunk_id", FF.size(chunk).alias("ln"))
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # python model
+    if n_tokens <= W:
+        exp_chunks = 1
+    else:
+        exp_chunks = 1 + -(-(n_tokens - W) // S)
+    assert len(rows) == exp_chunks
+    covered = set()
+    for r in rows:
+        start = r["chunk_id"] * S
+        assert r["ln"] == min(W, n_tokens - start)
+        covered.update(range(start, start + r["ln"]))
+    assert covered == set(range(n_tokens))
