@@ -697,3 +697,119 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(hits.agg((F.count(F.lit(1)) >= RECALL_FLOOR).alias("recall_ok")))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — the composition the billion-scale ANN indexes actually ship
+# (coarse inverted lists prune WHICH vectors are scored; PQ residual
+# codes shrink WHAT is stored): vectors are assigned to one of nlist=16
+# coarse centroids; the PQ codebooks quantize the RESIDUAL x − c_list
+# (residuals carry far less energy, so the same code budget quantizes
+# finer); a query probes its nprobe=4 nearest lists and ADC-scores only
+# those candidates via the decomposition
+#   dot(q, x) = dot(q, c_list) + dot(q, residual),
+# then exact-rescores a shortlist of 20. Oracle: recall@3 property like
+# sim_ivf_ann/sim_pq_ann — floored at 6/30, above random (≪1) and the
+# probe-miss floor, below the measured recalls on near-random data
+# (list pruning bounds recall by P[true neighbor in a probed list] —
+# this is the accuracy/cost dial, nprobe trades linearly).
+# Scale: coarse+PQ models are kilobytes, trained on a driver sample and
+# closure-shipped; assignment/encoding are narrow maps; the probe join
+# is an EQUI-join on list_id (candidates ∝ corpus·nprobe/nlist); only
+# ~20 full vectors per query are touched for rescoring.
+@query(
+    "sim_ivfpq_ann",
+    oracle="""
+SELECT CAST(count(*) AS INT)     AS n_queries,
+       CAST(3 * count(*) AS INT) AS total_exact,
+       TRUE                      AS recall_ok
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)
+""",
+)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    NLIST, NPROBE, M, K, TOPK, SHORTLIST, RECALL_FLOOR = 16, 4, 16, 16, 3, 20, 6
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    ne = emb.select("vec_id", VK.norm_vec("e").alias("ne"))
+
+    sample = np.array(
+        ne.filter(F.col("vec_id") < 2048).orderBy("vec_id").select("ne").collect()
+    ).reshape(-1, VK.DIM)
+    # coarse quantizer: one "subspace" spanning the full dim
+    centers = VK.train_pq_codebooks(sample, 1, NLIST, seed=7)[0]
+    probe1 = VK.make_probe_udf(centers, 1)
+    # residual PQ codebooks, trained on the sample's residuals
+    c_arr = np.array(centers)
+    d = ((sample[:, None, :] - c_arr[None, :, :]) ** 2).sum(axis=2)
+    res_sample = sample - c_arr[np.argmin(d, axis=1)]
+    codebooks = VK.train_pq_codebooks(res_sample, M, K)
+
+    residual_of = VK.make_residual_udf(centers)
+    center_dot = VK.make_center_dot_udf(centers)
+    pq_encode = VK.make_pq_encode_udf(codebooks)
+    adc_dot = VK.make_adc_udf(codebooks)
+
+    coded = (
+        ne.select("vec_id", "ne", F.element_at(probe1("ne"), 1).alias("list_id"))
+        .select(
+            F.col("vec_id").alias("nid"),
+            "list_id",
+            pq_encode(residual_of("ne", "list_id")).alias("codes"),
+        )
+    )
+    probe_n = VK.make_probe_udf(centers, NPROBE)
+    qs = ne.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("ne").alias("qe"),
+        F.explode(probe_n("ne")).alias("probe_list"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    shortlist = (
+        F.broadcast(qs)
+        .join(
+            coded,
+            (F.col("probe_list") == F.col("list_id"))
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select(
+            "qid",
+            "nid",
+            (center_dot("qe", "list_id") + adc_dot("qe", "codes")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SHORTLIST)
+        .select("qid", "nid")
+    )
+    cs = ne.select(F.col("vec_id").alias("nid"), F.col("ne").alias("ce"))
+    qv = ne.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qe")
+    )
+    ann = (
+        shortlist.join(F.broadcast(qv), "qid")
+        .join(cs, "nid")
+        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "nid")
+    )
+    exact = (
+        F.broadcast(qv)
+        .join(cs, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "nid")
+    )
+    hits = ann.join(exact, ["qid", "nid"], "left_semi")
+    return exact.agg(
+        F.countDistinct("qid").cast("int").alias("n_queries"),
+        F.count(F.lit(1)).cast("int").alias("total_exact"),
+    ).crossJoin(
+        F.broadcast(hits.agg((F.count(F.lit(1)) >= RECALL_FLOOR).alias("recall_ok")))
+    )

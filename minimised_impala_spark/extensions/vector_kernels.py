@@ -253,3 +253,36 @@ def train_pq_codebooks(
                     c[ci] = pts.mean(axis=0)
         books.append(c.tolist())
     return books
+
+
+def make_residual_udf(centers: list[list[float]]):
+    """UDF factory: residual vector x − centroid[list_id] — the IVF-PQ
+    encoding input (PQ codes quantize the residual, which has far less
+    energy than the raw vector once the coarse quantizer explains the
+    list mean)."""
+    c = np.array(centers)
+
+    @pandas_udf(_ARR_D)
+    def residual_of(s: pd.Series, lid: pd.Series) -> pd.Series:
+        if s.empty:
+            return _empty("object")
+        m = _mat(s) - c[lid.to_numpy().astype("int64")]
+        return pd.Series(list(m))
+
+    return residual_of
+
+
+def make_center_dot_udf(centers: list[list[float]]):
+    """UDF factory: q · centroid[list_id] — the coarse term of the IVF-PQ
+    score decomposition dot(q, x) = dot(q, c_list) + dot(q, residual)."""
+    c = np.array(centers)
+
+    @pandas_udf(T.DoubleType())
+    def center_dot(q: pd.Series, lid: pd.Series) -> pd.Series:
+        if q.empty:
+            return _empty()
+        return pd.Series(
+            (_mat(q) * c[lid.to_numpy().astype("int64")]).sum(axis=1)
+        )
+
+    return center_dot

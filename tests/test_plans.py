@@ -306,3 +306,13 @@ def test_pq_ann_broadcasts_queries(spark, sf_dir):
     traffic at scale)."""
     plan = _physical(fresh("sim_pq_ann")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_probe_is_equijoin(spark, sf_dir):
+    """IVF-PQ candidate generation must be a hash EQUI-join on list_id
+    (broadcast of the bounded query set) — the list pruning is the whole
+    point; a nested-loop over the full coded corpus would defeat it.
+    (The BroadcastNestedLoopJoin that also appears belongs to the
+    ground-truth/verification side of the query, not the probe path.)"""
+    plan = _physical(fresh("sim_ivfpq_ann")(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
