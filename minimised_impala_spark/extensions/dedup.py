@@ -940,3 +940,50 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", lev.cast("bigint").alias("edit_dist"))
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+def _containment_oracle() -> str:
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip().lstrip(',').strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shingles a JOIN shingles b ON b.sh = a.sh AND b.doc_id <> a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2, round(i.c * 1.0 / s1.sz, 6) AS containment
+FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+WHERE i.c * 1.0 / s1.sz >= 0.9
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+    the quote/near-superset detector (CCNet-style): Jaccard misses a short
+    doc fully embedded in a long one (union dominates), containment flags
+    it. Directional output: (d1, d2) where ≥90% of d1's trigrams appear
+    in d2. Same shingle-posting join shape as dedup_ngram_jaccard (the
+    exact baseline — candidates ∝ shared shingles); at 100 TB route
+    candidates through the LSH/prefix-filter generators first and use
+    this as the rescore, exactly like dedup_edit_distance does."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("d1"), "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = (
+        a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("d1") != F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    cont = F.col("c") * 1.0 / F.col("sz1")
+    return (
+        inter.join(s1, "d1")
+        .filter(cont >= 0.9)
+        .select("d1", "d2", F.round(cont, 6).alias("containment"))
+        .orderBy("d1", "d2")
+    )
