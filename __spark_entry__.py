@@ -67,7 +67,7 @@ _PRIORITY = [
     "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
     "streaming_topk_windowed", "dedup_edit_distance",
     # slot 51+ — first names past this round's 50-cap; r5 leads with these
-    "sim_ivfpq_ann", "dedup_containment",
+    "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
     # previously-green category representatives (regression coverage)
     "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
     "source_sequencefile_scan", "source_ext_kv_scan", "select_values",

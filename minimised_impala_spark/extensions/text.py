@@ -1316,3 +1316,88 @@ def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit (Deequ-style): the pipeline stage that
+# gates a corpus/fact refresh before it ships — uniqueness, referential
+# integrity, ranges, null contracts — expressed as ONE pass of scalar
+# aggregates per table plus one anti-join for the FK check. All-integer
+# output (violation counts), so the oracle is exact. At 100 TB each check
+# is a map-side-combined aggregate over its own scan (no wide row
+# explosion), and the FK anti join shuffles on the key like any join —
+# checks over the same table share a scan via the single plan.
+_DQ_ORACLE = """
+SELECT 'orders' AS tbl, 'unique_orderkey' AS chk,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS total
+FROM orders
+UNION ALL
+SELECT 'orders', 'totalprice_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders', 'orderdate_not_null',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'quantity_in_1_50',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'fk_orderkey_exists',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+ORDER BY tbl, chk
+"""
+
+
+@query("pipeline_data_quality", oracle=_DQ_ORACLE)
+def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(tbl, chk, violations, total):
+        return (
+            F.lit(tbl).alias("tbl"),
+            F.lit(chk).alias("chk"),
+            violations.cast("bigint").alias("violations"),
+            total.cast("bigint").alias("total"),
+        )
+
+    o_checks = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("bad_price"),
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("null_date"),
+    )
+    li_checks = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("bigint")
+        ).alias("bad_qty"),
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphans"))
+
+    r1 = o_checks.select(*row("orders", "unique_orderkey", F.col("n") - F.col("nd"), F.col("n")))
+    r2 = o_checks.select(*row("orders", "totalprice_positive", F.col("bad_price"), F.col("n")))
+    r3 = o_checks.select(*row("orders", "orderdate_not_null", F.col("null_date"), F.col("n")))
+    r4 = li_checks.select(*row("lineitem", "quantity_in_1_50", F.col("bad_qty"), F.col("n")))
+    r5 = (
+        li_checks.crossJoin(F.broadcast(orphans))
+        .select(*row("lineitem", "fk_orderkey_exists", F.col("orphans"), F.col("n")))
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5).orderBy(
+        "tbl", "chk"
+    )
