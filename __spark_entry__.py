@@ -39,8 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # first so every registered query has at least one driver row across
 # r1–r4, then the 5 rows that were red in r3 (all re-worked this round:
 # scaled-BIGINT stats, dsum shims, CSV-joined arrays — see each query's
-# docstring), then the queries added in round 4, then previously-green
-# category representatives for regression coverage up to the cap.
+# docstring), then the round-4 additions. The 50-cap lands exactly at the
+# end of the first 33 additions (dedup_edit_distance is slot 50); the
+# three later additions sit at 51-53 and lead round 5, followed by
+# previously-green category representatives for regression rotation.
 _PRIORITY = [
     # never driver-verified through r3 — close the coverage gap first
     "text_repetition", "text_mix_sources", "text_contamination",
@@ -68,6 +70,7 @@ _PRIORITY = [
     "streaming_topk_windowed", "dedup_edit_distance",
     # slot 51+ — first names past this round's 50-cap; r5 leads with these
     "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
+    "events_scd2_intervals",
     # previously-green category representatives (regression coverage)
     "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
     "source_sequencefile_scan", "source_ext_kv_scan", "select_values",

@@ -592,3 +592,49 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(lvl(day, "day"))
         .orderBy("grain", "bucket", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval build (beyond ref — the reference grammar has no MERGE or
+# dimension versioning; this is the warehouse idiom every star schema
+# refresh needs): each user's 'purchase' events are treated as attribute
+# changes, and the operator rebuilds the type-2 dimension — one row per
+# version with [valid_from, valid_to) bounds from lead(), NULL valid_to +
+# is_current=true on the open version. Pure value selection (timestamps
+# and the raw DOUBLE pass through untouched), so no rounding shims are
+# needed. Scale: one hash shuffle on user_id + in-partition sort — the
+# same single-window shape as sessionize; at 100 TB the dimension key
+# partitioning IS the shuffle key.
+@query(
+    "events_scd2_intervals",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'purchase' AND user_id < 60
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS INT)  AS version,
+       ts                                AS valid_from,
+       lead(ts) OVER w                   AS valid_to,
+       value,
+       (lead(ts) OVER w IS NULL)         AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 60))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ch.select(
+            "user_id",
+            F.row_number().over(w).cast("int").alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
