@@ -390,3 +390,91 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(docs, dim=8)
     cols = [F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
     return feats.select("doc_id", *cols).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# CLIP-score pair filtering (the LAION curation step): an image-text pair
+# survives only if the two towers' embeddings agree. The IMAGE tower
+# output is the embeddings table (pretend model output, joined 1:1 on
+# doc_id = vec_id); the TEXT tower is a STUB with real plumbing — a
+# deterministic md5-derived 64-dim projection of the caption, generated
+# from the SAME expression text in both engines (the Spark side F.expr's
+# the literal fragment the oracle runs), so the fake model is
+# bit-identical. Cosine runs in the Arrow/numpy kernel (vector_kernels)
+# like the rest of the similarity wing; rounded to 6. At 100 TB: both
+# towers are narrow maps (in production, a Pandas-UDF model invocation),
+# the join is 1:1 on the pair key, the filter a narrow predicate — no
+# shuffle beyond the id join, which co-partitioning/bucketing removes.
+_TVEC_DIMS = 64
+
+
+def _tvec_sql() -> str:
+    """64-dim deterministic caption projection, as engine-portable SQL
+    fragments: value_i = (H_i % 2001 - 1000) / 1000.0 where H_i is the
+    first 8 md5 hex digits of text||'_'||i. ``{h}`` is the only engine
+    difference (hex-to-int spelling), filled per engine."""
+    return ", ".join(
+        "(({h} % 2001) - 1000) / 1000.0".format(
+            h="{pre}md5(text || '_%d'){post}" % i
+        )
+        for i in range(_TVEC_DIMS)
+    )
+
+
+def _tvec_for(engine: str) -> str:
+    body = _tvec_sql()
+    if engine == "duckdb":
+        return body.format(pre="('0x' || substr(", post=", 1, 8))::BIGINT")
+    return body.format(pre="conv(substring(", post=", 1, 8), 16, 10)")
+
+
+_CLIP_ORACLE = f"""
+WITH pairs AS (
+  SELECT d.doc_id, d.source,
+         [{_tvec_for('duckdb')}] AS tv,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS iv
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, source,
+         list_dot_product(tv, iv)
+           / (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(iv, iv)))
+           AS s
+  FROM pairs
+)
+SELECT doc_id, source, round(s, 6) AS clip_score, s >= 0.0 AS kept
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_pair_clip_filter", oracle=_CLIP_ORACLE)
+def multimodal_pair_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions import vector_kernels as VK
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(f"array({_tvec_for('spark')})").alias("tv"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("iv"),
+            ),
+            "doc_id",
+        )
+    )
+    s = VK.cosine_pair("tv", "iv")
+    return (
+        pairs.select(
+            "doc_id",
+            "source",
+            F.round(s, 6).alias("clip_score"),
+            (s >= 0.0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
