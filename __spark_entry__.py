@@ -71,6 +71,7 @@ _PRIORITY = [
     # slot 51+ — first names past this round's 50-cap; r5 leads with these
     "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
     "events_scd2_intervals", "multimodal_pair_clip_filter",
+    "streaming_upsert_sink",
     # previously-green category representatives (regression coverage)
     "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
     "source_sequencefile_scan", "source_ext_kv_scan", "select_values",

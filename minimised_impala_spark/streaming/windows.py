@@ -578,3 +578,83 @@ def streaming_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .orderBy("window_start", "rk")
     )
+
+
+@query(
+    "streaming_upsert_sink",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE user_id < 80
+)
+SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+       value AS last_value
+FROM latest WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert sink: foreachBatch MERGEs each micro-batch's
+    latest-row-per-key into a keyed parquet dimension (read target →
+    union batch winners → re-rank → atomic directory swap). The source
+    replays the fixture TWICE (copies=2, the at-least-once scenario):
+    correctness of the final table proves the upsert is IDEMPOTENT —
+    replayed rows lose the (ts, event_id) tie-break to themselves and
+    change nothing. The driver hash covers the physically-landed parquet.
+    Scale: the merge is one shuffle on the key per batch; on a
+    partitioned target use dynamic partition overwrite so only touched
+    key ranges rewrite (same seam as pipeline_merge_upsert)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    out = f"/tmp/mis_upsert_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    stream = _events_stream(spark, sf_dir, copies=2).filter(F.col("user_id") < 80)
+    rk = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def upsert_batch(bdf: DataFrame, batch_id: int) -> None:
+        winners = (
+            bdf.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").cast("bigint").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        if os.path.exists(out):
+            target = bdf.sparkSession.read.parquet(out)
+            merged = (
+                target.unionByName(winners)
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        W.partitionBy("user_id").orderBy(
+                            F.desc("last_ts"), F.desc("last_event_id")
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = winners
+        staging = f"{out}.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(staging, out)
+
+    q = stream.writeStream.outputMode("append").foreachBatch(upsert_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).orderBy("user_id")
