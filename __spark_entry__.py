@@ -71,7 +71,9 @@ _PRIORITY = [
     # slot 51+ — first names past this round's 50-cap; r5 leads with these
     "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
     "events_scd2_intervals", "multimodal_pair_clip_filter",
-    "streaming_upsert_sink",
+    "streaming_upsert_sink", "events_concurrency_curve",
+    # text_pack_sequences re-led: its prefix-sum operator was bug-fixed this round
+    "text_pack_sequences",
     # previously-green category representatives (regression coverage)
     "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
     "source_sequencefile_scan", "source_ext_kv_scan", "select_values",
@@ -87,7 +89,7 @@ _PRIORITY = [
     "events_path_mining", "streaming_window_counts", "streaming_dedup_exact",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_cc",
     "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_quantized_topk",
-    "text_quality", "text_tokens", "text_pack_sequences",
+    "text_quality", "text_tokens",
     "pipeline_corpus_curation", "multimodal_binary_meta",
     "multimodal_audio_chunks",
 ]

@@ -48,8 +48,18 @@ def distributed_cumsum(
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint PINS the bucket assignment: `ranged` feeds both the
+    # local-cumsum branch and the totals branch, and without
+    # materialization each branch re-executes the range exchange —
+    # RangePartitioner re-SAMPLES boundaries per execution (sample seed
+    # derives from the RDD id), so the two executions can split a
+    # boundary a few rows apart and the offsets no longer match the
+    # bucket contents (observed as a ±2 drift in the concurrency sweep:
+    # rows that switched buckets get double/never-counted in the offset).
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local_w = (
         Window.partitionBy(_PID)

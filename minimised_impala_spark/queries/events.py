@@ -638,3 +638,121 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap concurrency curve: peak simultaneous sessions per hour
+# — the classic +1/-1 endpoint sweep. Sessions come from the 30-min-gap
+# sessionizer; each emits a start(+1) and end(-1) endpoint; the GLOBAL
+# running sum of deltas in endpoint order is the live-session level. The
+# global scan is the scale hazard: a bare Window.orderBy() serializes to
+# ONE task, so the level is computed with operators/prefix.py's
+# distributed two-phase cumsum (range shuffle + pid-local windows +
+# broadcast offsets) — same machinery as text_pack_sequences. Endpoint
+# order is a zero-padded composite key (epoch µs, end-before-start at
+# ties, user, session) so both engines sweep in the identical total
+# order.
+@query(
+    "events_concurrency_curve",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sn AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+),
+iv AS (
+  SELECT user_id, sess, min(ts) AS st, max(ts) + INTERVAL '30 minutes' AS en
+  FROM sn GROUP BY user_id, sess
+),
+pts AS (
+  SELECT st AS t, 1 AS delta,
+         lpad(CAST(epoch_us(st) AS VARCHAR), 18, '0') || '_1_' ||
+         lpad(CAST(user_id AS VARCHAR), 6, '0') || '_' ||
+         lpad(CAST(sess AS VARCHAR), 6, '0') AS k
+  FROM iv
+  UNION ALL
+  SELECT en AS t, -1 AS delta,
+         lpad(CAST(epoch_us(en) AS VARCHAR), 18, '0') || '_0_' ||
+         lpad(CAST(user_id AS VARCHAR), 6, '0') || '_' ||
+         lpad(CAST(sess AS VARCHAR), 6, '0') AS k
+  FROM iv
+),
+lv AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS level
+  FROM pts
+)
+SELECT time_bucket(INTERVAL '1 hour', t) AS hour_bucket,
+       CAST(max(level) AS BIGINT)        AS peak_concurrency,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                         AS sessions_started
+FROM lv
+GROUP BY hour_bucket
+ORDER BY hour_bucket
+""",
+)
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.operators.prefix import distributed_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            (
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 1800 * 1_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    iv = sess.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("st"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("en"),
+    )
+    starts = iv.select(
+        F.col("st").alias("t"),
+        F.lit(1).alias("delta"),
+F.concat(
+            F.lpad(F.unix_micros("st").cast("string"), 18, "0"),
+            F.lit("_1_"),
+            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+            F.lit("_"),
+            F.lpad(F.col("sess").cast("string"), 6, "0"),
+        ).alias("k"),
+    )
+    ends = iv.select(
+        F.col("en").alias("t"),
+        F.lit(-1).alias("delta"),
+F.concat(
+            F.lpad(F.unix_micros("en").cast("string"), 18, "0"),
+            F.lit("_0_"),
+            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+            F.lit("_"),
+            F.lpad(F.col("sess").cast("string"), 6, "0"),
+        ).alias("k"),
+    )
+    lv = distributed_cumsum(starts.unionByName(ends), "k", "delta", "level")
+    return (
+        lv.groupBy(F.date_trunc("hour", "t").alias("hour_bucket"))
+        .agg(
+            F.max("level").cast("bigint").alias("peak_concurrency"),
+            F.sum((F.col("delta") == 1).cast("bigint")).alias("sessions_started"),
+        )
+        .orderBy("hour_bucket")
+    )

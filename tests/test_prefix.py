@@ -49,8 +49,14 @@ def test_no_global_window_over_input(spark):
     plan = out._jdf.queryExecution().toString()
     # the local pass appears as a Window with partition spec on the pid col
     assert "__prefix_pid" in plan
-    # the totals branch must NOT rescan the input: AQE reuses the range
-    # exchange's shuffle files for both the local-scan and totals subtrees
+    # Both branches must consume ONE materialization of the range
+    # exchange. AQE ReusedExchange only fires when the two subtrees
+    # canonicalize identically — which silently fails for some inputs,
+    # re-sampling different range boundaries per branch (the ±2 offset
+    # drift found by events_concurrency_curve). The operator therefore
+    # pins bucket assignment with localCheckpoint: the executed plan
+    # scans the checkpointed RDD and contains NO second range exchange.
     out.collect()
     executed = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    assert "ExistingRDD" in executed
+    assert executed.count("Exchange rangepartitioning") == 0
