@@ -1401,3 +1401,69 @@ def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5).orderBy(
         "tbl", "chk"
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixing (the Dolma/Pile recipe): each source contributes
+# documents — in a DETERMINISTIC pseudo-random order (md5 of doc_id), so
+# the mix is reproducible and refreshing the corpus extends rather than
+# reshuffles it — until its token budget is exhausted; the doc that
+# crosses the budget line is the last one in. All-integer arithmetic
+# (token counts and running sums), so the oracle is exact. Scale: the
+# running sum is a window PARTITIONED by source — an ordinary hash
+# shuffle, no global scan (contrast events_concurrency_curve, which
+# needs the two-phase prefix machinery precisely because its sweep is
+# global).
+_BUDGET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+),
+run AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY ord_key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                       AS n_docs,
+       CAST(sum(CASE WHEN cum - n_tokens < 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_kept,
+       CAST(sum(CASE WHEN cum - n_tokens < 2000 THEN n_tokens ELSE 0 END)
+            AS BIGINT)                                AS kept_tokens
+FROM run
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_token_budget_mix", oracle=_BUDGET_ORACLE)
+def text_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    BUDGET = 2000
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    kept = F.col("cum") - F.col("n_tokens") < BUDGET
+    return (
+        run.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
