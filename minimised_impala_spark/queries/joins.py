@@ -277,3 +277,29 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.asc_nulls_first("g"))
     )
+
+
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 200
+ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+@query("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (top-2 orders per customer) —
+    beyond the vendored reference (its grammar, fe/src/main/cup/
+    sql-parser.cup, has no LATERAL; later engines and ANSI added it).
+    The IDENTICAL SQL text runs on both engines: Catalyst decorrelates
+    the per-row subquery into a ranked join (same physical shape as
+    window_topk_per_group), so 'run a subquery per outer row' never
+    executes literally — the plan is one shuffle + rank at any scale.
+    Values pass through unaggregated, so no rounding shims are needed."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
