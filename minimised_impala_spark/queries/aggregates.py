@@ -701,3 +701,34 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = rank_value(F.col("xs"), F.lit(min(p + EPS, 1.0)))
         cols.append(((est >= lo) & (est <= hi)).alias(name))
     return g.select(*cols).orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Boolean aggregate suite (beyond ref — BuiltinsDb.java has no
+# bool_and/bool_or/count_if; later engines and ANSI:2023 added them).
+# All-boolean/integer outputs: exact across engines with no shims.
+@query(
+    "agg_boolean_suite",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000)                    AS all_over_1k,
+       bool_or(o_totalprice > 400000)                   AS any_over_400k,
+       CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+       CAST(count(*) AS BIGINT)                         AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
