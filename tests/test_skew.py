@@ -73,3 +73,50 @@ def test_salted_join_rejects_unsupported_how(spark):
 
     with pytest.raises(ValueError):
         salted_join(_skewed(spark), _dim(spark), "k", how="right")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin must engage on a skewed sort-merge join
+    (the runtime half of the skew story — salting above is the manual
+    half). With the skew thresholds lowered to test scale, the hot key's
+    partition must be split: the executed plan marks the join skew=true.
+    At 100 TB these thresholds are the defaults (256 MB / 5× median) and
+    this is what absorbs a hot user_id or null-heavy key without a manual
+    salt."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .cast("int")
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pay"),
+        )
+        # second big side so neither broadcasts and SMJ is chosen; the
+        # probe stays 1:1-ish so the collect below is bounded
+        right = spark.range(100).select(
+            (F.col("id") % 100).cast("int").alias("k"),
+            F.col("id").alias("rv"),
+        )
+        joined = big.join(right, "k")
+        # execute THIS dataset (count() would run a different plan and
+        # leave joined's own AQE plan unfinalized)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
