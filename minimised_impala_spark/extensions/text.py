@@ -1467,3 +1467,76 @@ def text_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the one-query corpus report a data team publishes with a
+# training set — volume, vocabulary, composition, duplication, and
+# quality-gate rates, each already defined by an operator above and
+# recomputed here in ONE pass per source table. All counts are exact
+# integers (rates reported as per-10000 integers to stay shim-free).
+# Scale: three independent aggregation trees (docs, tokens, dup groups)
+# over the same scan — Catalyst shares the scan; every agg is
+# map-side-combined; nothing is driver-side.
+_CARD_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         md5(text) AS h,
+         (length(text) >= 100 AND len(string_split(text, ' ')) >= 20)
+           AS passes_gate
+  FROM documents
+),
+dups AS (
+  SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT h, count(*) AS c FROM base GROUP BY h) t
+)
+SELECT CAST(count(*) AS BIGINT)                          AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)                     AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT)                      AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT)              AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT)            AS n_sources,
+       (SELECT n_dup_docs FROM dups)                     AS n_exact_dups,
+       CAST(sum(CASE WHEN passes_gate THEN 1 ELSE 0 END) * 10000
+            / count(*) AS BIGINT)                        AS gate_pass_per_10k,
+       CAST(min(n_tokens) AS BIGINT)                     AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT)                     AS max_tokens
+FROM base
+"""
+
+
+@query("pipeline_dataset_card", oracle=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+        ((F.length("text") >= 100) & (F.size(toks) >= 20)).alias("passes_gate"),
+    )
+    dups = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_exact_dups"))
+    )
+    card = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        (
+            F.sum(F.col("passes_gate").cast("bigint")) * 10000 / F.count(F.lit(1))
+        ).cast("bigint").alias("gate_pass_per_10k"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return card.crossJoin(F.broadcast(dups)).select(
+        "n_docs", "total_tokens", "total_chars", "n_langs", "n_sources",
+        "n_exact_dups", "gate_pass_per_10k", "min_tokens", "max_tokens",
+    )
