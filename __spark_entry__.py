@@ -73,7 +73,7 @@ _PRIORITY = [
     "events_scd2_intervals", "multimodal_pair_clip_filter",
     "streaming_upsert_sink", "events_concurrency_curve",
     "text_token_budget_mix", "join_lateral", "agg_boolean_suite",
-    "pipeline_dataset_card",
+    "pipeline_dataset_card", "events_session_window_native",
     # text_pack_sequences re-led: its prefix-sum operator was bug-fixed this round
     "text_pack_sequences",
     # previously-green category representatives (regression coverage)

@@ -756,3 +756,55 @@ F.concat(
         )
         .orderBy("hour_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Native session_window sessionization (batch): Spark's built-in
+# session_window(ts, gap) runs in the SAME groupBy-aggregate machinery as
+# tumbling windows (no analytic sort-pass at all), producing one row per
+# session with [start, end) = [first_ts, last_ts + gap). Functionally
+# equivalent to the window-function sessionizer (events_sessionize) but a
+# different physical operator — at 100 TB the agg form merges partial
+# sessions map-side instead of sorting whole user partitions. The oracle
+# reconstructs sessions with the gap-flag running sum.
+@query(
+    "events_session_window_native",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 60
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sn AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id,
+       min(ts)                          AS session_start,
+       max(ts) + INTERVAL '30 minutes'  AS session_end,
+       CAST(count(*) AS BIGINT)         AS n_events
+FROM sn
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
