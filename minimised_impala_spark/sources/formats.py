@@ -280,3 +280,65 @@ def compact_files(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return n_out
+
+
+def _spread8(c):
+    """Spread the low 8 bits of ``c`` into the even bit positions of a
+    16-bit word (classic Morton-code magic numbers)."""
+    from pyspark.sql import functions as F
+
+    c = c.bitwiseAND(F.lit(0xFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x3333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x5555))
+    return c
+
+
+def zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    parquet_block_bytes: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering on TWO columns — the layout lever
+    when scans filter on more than one dimension: single-column range
+    clustering (optimize_layout) makes row-group stats tight on ONE key
+    and useless on the second; interleaving the bits of both keys' bucket
+    numbers keeps every row group confined to a small rectangle of
+    (a, b)-space, so min/max pruning bites on BOTH predicates
+    (tests/test_layout.py pins z-ordered < single-key scanned rows for a
+    2-dim predicate). Buckets here are equi-width over the driver-fetched
+    min/max (one tiny agg — scale-free); production layouts over skewed
+    keys should bucket by sampled quantiles instead, same interleave."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(col_a).cast("double").alias("amn"),
+        F.max(col_a).cast("double").alias("amx"),
+        F.min(col_b).cast("double").alias("bmn"),
+        F.max(col_b).cast("double").alias("bmx"),
+    ).collect()[0]
+
+    def bucket(col: str, mn: float, mx: float):
+        span = (mx - mn) or 1.0
+        return F.least(
+            F.lit(255),
+            F.floor((F.col(col).cast("double") - mn) / span * 256).cast("int"),
+        )
+
+    z = _spread8(bucket(col_a, stats["amn"], stats["amx"])).bitwiseOR(
+        F.shiftleft(_spread8(bucket(col_b, stats["bmn"], stats["bmx"])), 1)
+    )
+    w = (
+        df.withColumn("__zcode", z)
+        .repartitionByRange(n_files, F.col("__zcode"))
+        .sortWithinPartitions("__zcode")
+        .drop("__zcode")
+    )
+    writer = w.write.mode(mode)
+    if parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+    writer.parquet(path)
