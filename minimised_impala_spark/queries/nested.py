@@ -353,7 +353,8 @@ def nested_exists_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NESTED_DOUBLE_ORACLE = """
 SELECT c.c_mktsegment AS c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0
          AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -396,7 +397,16 @@ def nested_tpch_double_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            (F.round(F.sum(rev) * 10000, 0) / 10000).alias("revenue"),
+            # per-item scaled-int sum: each item's revenue is 4-decimal
+            # fixed point, so round(x*1e4) is the same BIGINT in both
+            # engines and the integer sum is exact — rounding AFTER a
+            # double sum (the old form) broke the strict hash at sf0.1,
+            # where the ~1e10 total's accumulation-order error crosses
+            # the rounding quantum
+            (
+                F.sum(F.round(rev * 10000, 0).cast("bigint")).cast("double")
+                / 10000.0
+            ).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
