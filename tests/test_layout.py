@@ -122,3 +122,43 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     z_scanned, z_out = _scan_rows(spark, p_z, pred)
     assert a_out == z_out  # identical result set from both layouts
     assert z_scanned < a_scanned, (z_scanned, a_scanned)
+
+
+def test_parquet_bloom_filter_prunes_absent_key(spark, tmp_path):
+    """Parquet column bloom filters: for a high-cardinality key written in
+    RANDOM order, every row group's min/max spans the whole key range, so
+    only the bloom filter can prove a point-lookup key absent and skip
+    the group. The bloomed layout must scan strictly fewer rows for an
+    absent-key equality probe; at 100 TB this is the needle-in-haystack
+    path (id lookups on unsorted fact tables)."""
+    df = spark.range(200_000).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.col("id").alias("v")
+    )
+    # dictionary encoding off for BOTH layouts: parquet dictionary pages
+    # can also prove equality keys absent, which would mask the bloom
+    # filter's contribution; the probe is an in-range hex string so
+    # min/max stats cannot prune either
+    p_plain = str(tmp_path / "plain")
+    (
+        df.repartition(4)
+        .write.option("parquet.block.size", "65536")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(p_plain)
+    )
+    p_bloom = str(tmp_path / "bloom")
+    (
+        df.repartition(4)
+        .write.option("parquet.block.size", "65536")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "200000")
+        .parquet(p_bloom)
+    )
+    import hashlib
+
+    absent = hashlib.md5(b"key-not-in-the-range").hexdigest()
+    probe = f"k = '{absent}'"
+    plain_scanned, plain_out = _scan_rows(spark, p_plain, probe)
+    bloom_scanned, bloom_out = _scan_rows(spark, p_bloom, probe)
+    assert plain_out == 0 and bloom_out == 0
+    assert bloom_scanned < plain_scanned, (bloom_scanned, plain_scanned)
