@@ -24,5 +24,11 @@ def golden_tables(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,case", _CASES, ids=[n for n, _ in _CASES])
-def test_golden(golden_tables, name, case):
+def test_golden(golden_tables, name, case, sf_dir):
+    # table-based goldens bake sf0.001 values; VALUES-based cases are
+    # sf-independent but a whole-suite run at another SF should skip the
+    # file rather than fail with misleading diffs
+    if "sf0.001" not in sf_dir and " FROM " in case.query.upper().replace("\n", " "):
+        if "VALUES" not in case.query.upper():
+            pytest.skip("table goldens are recorded at sf0.001")
     run_case(golden_tables, case)
