@@ -1540,3 +1540,65 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "total_tokens", "total_chars", "n_langs", "n_sources",
         "n_exact_dups", "gate_pass_per_10k", "min_tokens", "max_tokens",
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental statistics maintenance: the additive counterpart to
+# pipeline_merge_upsert — a standing per-source aggregate (docs, tokens,
+# quality passes) is refreshed by MERGING the delta batch's partial
+# aggregate into the landed state (union → re-sum), never rescanning the
+# base corpus. Works because count/sum are associative partial-aggregate
+# states — the same property Spark exploits for map-side combine, here
+# applied ACROSS refresh cycles through a physical parquet round trip.
+# The oracle recomputes from scratch; equality proves the merge path.
+# At 100 TB: the refresh cost is O(delta) + O(|groups|), not O(corpus).
+_INCR_STATS_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT)                                 AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)        AS total_tokens,
+       CAST(sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_quality
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_incremental_stats", oracle=_INCR_STATS_ORACLE)
+def pipeline_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
+            F.sum((F.length("text") >= 100).cast("bigint")).alias("n_quality"),
+        )
+
+    base = docs.filter(F.col("doc_id") % 4 != 0)   # standing corpus
+    delta = docs.filter(F.col("doc_id") % 4 == 0)  # this refresh's batch
+
+    state = f"/tmp/mis_incrstats_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(state, ignore_errors=True)
+    partial(base).write.parquet(state)  # the landed standing state
+
+    merged = (
+        spark.read.parquet(state)
+        .unionByName(partial(delta))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("n_quality").alias("n_quality"),
+        )
+    )
+    staging = f"{state}.next"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(state, ignore_errors=True)
+    import os
+
+    os.rename(staging, state)
+    return spark.read.parquet(state).orderBy("source")
