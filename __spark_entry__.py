@@ -74,7 +74,7 @@ _PRIORITY = [
     "streaming_upsert_sink", "events_concurrency_curve",
     "text_token_budget_mix", "join_lateral", "agg_boolean_suite",
     "pipeline_dataset_card", "events_session_window_native",
-    "pipeline_incremental_stats",
+    "pipeline_incremental_stats", "udtf_sentence_split",
     # text_pack_sequences re-led: its prefix-sum operator was bug-fixed this round
     "text_pack_sequences",
     # previously-green category representatives (regression coverage)

@@ -148,3 +148,58 @@ def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table(tbl).orderBy("o_orderstatus", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (user-defined TABLE function) — the table-valued extension
+# of the reference's UDF surface (§2.10 covers scalar UDF/UDA/Hive jars;
+# the vendored grammar has no UDTF — later engines added them and
+# PySpark exposes them via @udtf + LATERAL-style invocation). Sentence
+# splitting with positions is the canonical shape: one input row → N
+# (pos, sentence, n_tokens) rows. The oracle reproduces the expansion
+# relationally (string_split + unnest with ordinality), so the UDTF path
+# gets a full value hash, not a rows-only check. At 100 TB the UDTF runs
+# per input partition (Arrow-batched rows in, iterator of tuples out) —
+# same narrow-map economics as explode.
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="pos int, sentence string, n_tokens int")
+class _SentenceSplit:
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        for i, raw in enumerate(text.split(". ")):
+            sent = raw.strip()
+            if sent:
+                yield i, sent, len(sent.split(" "))
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         unnest(string_split(text, '. ')) AS raw,
+         generate_subscripts(string_split(text, '. '), 1) - 1 AS pos
+  FROM documents
+  WHERE doc_id < 120
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, trim(raw) AS sentence,
+       CAST(len(string_split(trim(raw), ' ')) AS INT) AS n_tokens
+FROM s
+WHERE trim(raw) <> ''
+ORDER BY doc_id, pos
+""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("mis_sentence_split", _SentenceSplit)
+    docs.filter(F.col("doc_id") < 120).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence, s.n_tokens
+        FROM udtf_docs d, LATERAL mis_sentence_split(d.doc_id, d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
