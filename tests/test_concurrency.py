@@ -130,3 +130,29 @@ def test_sql_async_completes(spark, sf_dir):
     rows = handle.result(timeout=60)
     assert rows[0]["n"] == 25
     assert not handle.running()
+
+
+def test_observe_collects_inflight_metrics(spark, sf_dir):
+    """df.observe(): named metrics computed DURING execution (one pass, no
+    second job) — the engine's answer to the reference's per-operator
+    runtime profile counters (be/src/util/runtime-profile.h): a pipeline
+    can assert row counts / sums at an intermediate stage without
+    re-scanning. The observation rides the existing plan at any scale."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = Observation("ingest")
+    gated = (
+        docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.length("text")).alias("chars_in"),
+        )
+        .filter(F.length("text") >= 100)
+    )
+    kept = gated.count()
+    m = obs.get
+    assert m["rows_in"] == docs.count()
+    assert m["chars_in"] > 0
+    assert kept <= m["rows_in"]
