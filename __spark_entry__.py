@@ -75,6 +75,7 @@ _PRIORITY = [
     "text_token_budget_mix", "join_lateral", "agg_boolean_suite",
     "pipeline_dataset_card", "events_session_window_native",
     "pipeline_incremental_stats", "udtf_sentence_split",
+    "udtf_longest_streak",
     # text_pack_sequences re-led: its prefix-sum operator was bug-fixed this round
     "text_pack_sequences",
     # previously-green category representatives (regression coverage)

@@ -203,3 +203,82 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+# --------------------------------------------------------------------------
+# PARTITION-AWARE UDTF: custom sequential per-group logic (longest
+# same-event streak per user) written as a plain Python state machine —
+# the escape hatch for logic that is awkward as window algebra. The
+# engine hash-partitions by user and ORDER BYs within each partition
+# before feeding eval(); terminate() flushes one row per group. The
+# oracle re-derives the same answer relationally (gaps-and-islands:
+# row_number difference → island id → max run, first-reaching wins) —
+# proving the procedural and relational formulations agree. Scale: one
+# shuffle on the partition key, Python sees Arrow-batched rows.
+@udtf(returnType="user_id bigint, longest_streak int, streak_type string")
+class _LongestStreak:
+    def __init__(self):
+        self.user = None
+        self.cur_type = None
+        self.cur_len = 0
+        self.best = 0
+        self.best_type = None
+
+    def eval(self, row):
+        self.user = row["user_id"]
+        t = row["event_type"]
+        if t == self.cur_type:
+            self.cur_len += 1
+        else:
+            self.cur_type = t
+            self.cur_len = 1
+        if self.cur_len > self.best:  # strictly greater: first streak wins ties
+            self.best = self.cur_len
+            self.best_type = t
+
+    def terminate(self):
+        if self.user is not None:
+            yield self.user, self.best, self.best_type
+
+
+@query(
+    "udtf_longest_streak",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events WHERE user_id < 50
+),
+runs AS (
+  SELECT user_id, event_type, island,
+         CAST(count(*) AS INT) AS run_len, min(ts) AS run_start,
+         min(event_id) AS run_start_id
+  FROM e GROUP BY user_id, event_type, island
+),
+best AS (
+  SELECT user_id, run_len, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, run_start, run_start_id)
+           AS rk
+  FROM runs
+)
+SELECT user_id, run_len AS longest_streak, event_type AS streak_type
+FROM best WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def udtf_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    spark.udtf.register("mis_longest_streak", _LongestStreak)
+    ev.createOrReplaceTempView("udtf_events")
+    return spark.sql(
+        """
+        SELECT * FROM mis_longest_streak(
+          TABLE(SELECT user_id, ts, event_id, event_type FROM udtf_events)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id
+        """
+    )
