@@ -55,6 +55,8 @@ EMPTY_ZERO = [
     "pipeline_merge_upsert",
     "agg_kll_quantiles",
     "dedup_edit_distance",
+    "udtf_sentence_split",
+    "udtf_longest_streak",
 ]
 
 
