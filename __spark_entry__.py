@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scaled-BIGINT stats, dsum shims, CSV-joined arrays — see each query's
 # docstring), then the round-4 additions. The 50-cap lands exactly at the
 # end of the first 33 additions (dedup_edit_distance is slot 50); the
-# three later additions sit at 51-53 and lead round 5, followed by
+# later additions queue at 51+ and lead round 5, followed by
 # previously-green category representatives for regression rotation.
 _PRIORITY = [
     # never driver-verified through r3 — close the coverage gap first
