@@ -31,44 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies only the first 50 registry entries per round. Round 1
-# covered the registration-order prefix; round 2 a category-spanning
-# representative list; round 3 the never-verified tail — r1 ∪ r2 ∪ r3
-# drove 134 distinct queries, leaving exactly 12 names never
-# driver-verified (the r3 cap ended mid-list).  Round 4 puts those 12
-# first so every registered query has at least one driver row across
-# r1–r4, then the 5 rows that were red in r3 (all re-worked this round:
-# scaled-BIGINT stats, dsum shims, CSV-joined arrays — see each query's
-# docstring), then the round-4 additions. The 50-cap lands exactly at the
-# end of the first 33 additions (dedup_edit_distance is slot 50); the
-# later additions queue at 51+ and lead round 5, followed by
-# previously-green category representatives for regression rotation.
+# The driver verifies only the first 50 registry entries per round.
+# r1 ∪ r2 ∪ r3 ∪ r4 drove 178 distinct queries (177 green at latest
+# check); after r4 exactly 16 names had never been driver-verified (the
+# 50-cap ended at dedup_edit_distance, slot 50). Round 5 leads with
+# those 16 so every registered query gets >=1 hard driver row, then
+# scalar_decimal (red r2-r4 — r5 fix casts the six DECIMAL output
+# columns to DOUBLE at the boundary per the judge's diagnosis), then
+# the round-5 additions, then previously-green category representatives
+# chosen to rotate regression coverage onto names last verified in
+# r1-r3 (the r4 sweep already re-greened the round-4 additions).
 _PRIORITY = [
-    # never driver-verified through r3 — close the coverage gap first
-    "text_repetition", "text_mix_sources", "text_contamination",
-    "text_boilerplate_ngrams", "pipeline_pii_redaction",
-    "streaming_sliding_counts", "streaming_session_window",
-    "streaming_attribution_join", "streaming_enrich_join",
-    "streaming_sessionize_stateful", "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # red in r3 — re-worked, re-verify
-    "agg_sample_reservoir", "nested_array_funcs", "window_percentile",
-    "agg_corr_covar", "scalar_decimal",
-    # new in round 4
-    "join_right_anti", "agg_histogram", "dedup_embedding",
-    "text_split_assignment", "text_global_shuffle", "text_sample_stratified",
-    "pipeline_near_dedup", "udf_pandas_scalar", "uda_grouped_pandas",
-    "ddl_ctas_roundtrip", "source_json_scan", "source_orc_scan",
-    "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
-    "streaming_dedup_watermarked", "streaming_outer_join",
-    "text_heavy_hitters", "events_rollup_hierarchy", "sim_knn_classify",
-    "dedup_prefix_filter", "dedup_incremental",
-    "multimodal_resize_stub", "multimodal_features", "text_lm_score",
-    "text_chunk_overlap", "text_temperature_resample",
-    "window_ignore_nulls", "text_countmin_hitters",
-    "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
-    "streaming_topk_windowed", "dedup_edit_distance",
-    # slot 51+ — first names past this round's 50-cap; r5 leads with these
+    # never driver-verified through r4 — close the coverage gap first
     "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
     "events_scd2_intervals", "multimodal_pair_clip_filter",
     "streaming_upsert_sink", "events_concurrency_curve",
@@ -76,26 +50,32 @@ _PRIORITY = [
     "pipeline_dataset_card", "events_session_window_native",
     "pipeline_incremental_stats", "udtf_sentence_split",
     "udtf_longest_streak",
-    # text_pack_sequences re-led: its prefix-sum operator was bug-fixed this round
+    # prefix-sum operator bug-fixed r4; re-verify the user-facing query
     "text_pack_sequences",
-    # previously-green category representatives (regression coverage)
-    "tpch_q1", "tpch_q5", "tpch_q18", "source_text_scan", "source_avro_scan",
-    "source_sequencefile_scan", "source_ext_kv_scan", "select_values",
-    "join_full_outer", "join_null_aware_anti", "join_null_safe_eq",
-    "agg_distinct_multi", "agg_ndv_sketches", "agg_rollup", "agg_pivot",
-    "agg_bitwise", "window_rank_suite", "window_rows_frame",
-    "window_range_numeric", "window_topk_per_group",
-    "sort_nulls_limit_offset", "set_union", "scalar_math", "scalar_string",
-    "scalar_datetime", "scalar_cast", "scalar_parity_fns",
-    "subq_not_in_null_semantics", "subq_exists_correlated",
-    "nested_explode_outer", "nested_tpch_q18", "nested_map_access",
-    "events_sessionize", "events_asof_join", "events_gapfill",
-    "events_path_mining", "streaming_window_counts", "streaming_dedup_exact",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_cc",
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_quantized_topk",
-    "text_quality", "text_tokens",
+    # red r2-r4, fixed r5 (DECIMAL->DOUBLE at the comparison boundary)
+    "scalar_decimal",
+    # new in round 5
+    "dedup_embedding_lsh", "ddl_insert_partitions",
+    # previously-green category representatives (regression rotation;
+    # last driver check r1-r3)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
+    "source_text_scan", "source_avro_scan", "source_ext_kv_scan",
+    "select_values", "join_full_outer", "join_null_aware_anti",
+    "agg_distinct_multi", "agg_ndv_sketches", "agg_rollup",
+    "window_rank_suite", "window_rows_frame", "window_range_numeric",
+    "window_topk_per_group", "sort_nulls_limit_offset",
+    "scalar_math", "scalar_string", "scalar_datetime", "scalar_cast",
+    "scalar_parity_fns", "subq_not_in_null_semantics",
+    "subq_exists_correlated", "nested_explode_outer", "nested_tpch_q18",
+    "events_sessionize", "events_asof_join", "events_range_join",
+    "streaming_window_counts", "streaming_dedup_exact",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_cluster_cc", "dedup_keep_best",
+    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     "pipeline_corpus_curation", "multimodal_binary_meta",
-    "multimodal_audio_chunks",
+    "multimodal_audio_chunks", "agg_cube_grouping", "events_funnel",
+    # remaining greens follow in registration order via _ordered_names
 ]
 
 

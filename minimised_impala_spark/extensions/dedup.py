@@ -545,6 +545,119 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scale-first semantic dedup: banded hyperplane-LSH candidates + exact
+# cosine rescore — the DEFAULT recipe at dedup-strength thresholds
+# (cosine >= ~0.7), where banded recall is drivable arbitrarily close to 1:
+# P(candidate) = 1 − (1 − p^r)^b with p = 1 − acos(cos)/π. At 88 bands of
+# 12 planes a cosine-0.87 pair is missed with P ≈ 2e-5 (≈ 7e-2 at the 0.7
+# threshold itself — raise b to push the recall knee lower) while a
+# random pair collides with P ≈ 88/2^12 ≈ 2% — candidates are ~50× fewer
+# than all-pairs, improving with r at fixed b·2^−r. Contrast
+# dedup_embedding above: at threshold 0.45 no banded scheme prunes without
+# losing borderline pairs, so blocked exact all-pairs is the (bounded-
+# corpus) fallback there. COVERAGE.md records which recipe at which
+# threshold.
+#
+# The fixture corpus tops out at cosine ~0.51, so (mirroring CORPUS_SQL's
+# planted-twin pattern) the query unions a deterministically perturbed
+# copy of every 10th vector (every 16th component zeroed → cosine
+# sqrt(1 − f) ∈ [0.87, 0.97] vs its source); the oracle builds the identical
+# corpus and scores ALL pairs exactly — a green hash proves the LSH path
+# reached recall 1 on every qualifying pair.
+#
+# 100 TB shape: signature stage is one narrow Arrow-batched matmul per
+# batch (1056 plane dots amortized into a single BLAS call); candidates
+# come from one self-equi-join on (band, bucket); rescore touches only
+# surviving pairs. No broadcast of the corpus, no n² rows.
+_EMB_LSH_BANDS = 88
+_EMB_LSH_PLANES_PER_BAND = 12
+_EMB_LSH_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(e, (x, i) -> CASE WHEN (i - 1) % 16 = 0
+                                          THEN 0.0 ELSE x END) AS e
+  FROM base WHERE vec_id % 10 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, round(cosine, 6) AS cosine
+FROM pairs
+WHERE cosine >= 0.7
+ORDER BY left_id, right_id
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions import vector_kernels as VK
+    from minimised_impala_spark.shipping import ship_module_by_value
+
+    ship_module_by_value("minimised_impala_spark.extensions.vector_kernels")
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # Planted near-dups: zero every 16th component (0-based idx here ↔
+    # 1-based (i-1) in the DuckDB lambda). Zeroing is FP-exact, so the
+    # derived corpus is bit-identical across engines.
+    pert = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: F.when(i % 16 == 0, F.lit(0.0)).otherwise(x)
+        ).alias("e"),
+    )
+    corpus_df = base.unionByName(pert)
+
+    band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
+    bands = corpus_df.select(
+        "vec_id", F.posexplode(band_sigs("e")).alias("band", "bucket")
+    )
+    a = bands.select(
+        F.col("vec_id").alias("left_id"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("band").alias("band2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("left_id") < F.col("right_id")),
+        )
+        .select("left_id", "right_id")
+        .distinct()  # a pair colliding in several bands scores once
+    )
+    norm = corpus_df.select("vec_id", VK.norm_vec("e").alias("ne"))
+    return (
+        cand.join(
+            norm.select(F.col("vec_id").alias("left_id"), F.col("ne").alias("le")),
+            "left_id",
+        )
+        .join(
+            norm.select(F.col("vec_id").alias("right_id"), F.col("ne").alias("re")),
+            "right_id",
+        )
+        .select("left_id", "right_id", VK.dot_pair("le", "re").alias("cosine"))
+        .filter(F.col("cosine") >= 0.7)
+        .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("left_id", "right_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Duplicate resolution policy: real pipelines keep the HIGHEST-QUALITY copy
 # of each duplicate group, not an arbitrary one — rank within the exact-
 # duplicate group (content hash) by quality (longer text, then lower id as

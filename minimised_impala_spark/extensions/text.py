@@ -1498,8 +1498,8 @@ SELECT CAST(count(*) AS BIGINT)                          AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT)              AS n_langs,
        CAST(count(DISTINCT source) AS BIGINT)            AS n_sources,
        (SELECT n_dup_docs FROM dups)                     AS n_exact_dups,
-       CAST(sum(CASE WHEN passes_gate THEN 1 ELSE 0 END) * 10000
-            / count(*) AS BIGINT)                        AS gate_pass_per_10k,
+       CAST(floor(sum(CASE WHEN passes_gate THEN 1 ELSE 0 END) * 10000.0
+            / count(*)) AS BIGINT)                       AS gate_pass_per_10k,
        CAST(min(n_tokens) AS BIGINT)                     AS min_tokens,
        CAST(max(n_tokens) AS BIGINT)                     AS max_tokens
 FROM base
@@ -1530,8 +1530,11 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
-        (
-            F.sum(F.col("passes_gate").cast("bigint")) * 10000 / F.count(F.lit(1))
+        # floor() explicitly on both sides: DuckDB's CAST(double AS BIGINT)
+        # rounds while Spark's truncates — the r4 parity held only because
+        # fixture counts divide 10000 exactly (ADVICE r4).
+        F.floor(
+            F.sum(F.col("passes_gate").cast("bigint")) * 10000.0 / F.count(F.lit(1))
         ).cast("bigint").alias("gate_pass_per_10k"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
@@ -1581,8 +1584,16 @@ def pipeline_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 4 != 0)   # standing corpus
     delta = docs.filter(F.col("doc_id") % 4 == 0)  # this refresh's batch
 
-    state = f"/tmp/mis_incrstats_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-    shutil.rmtree(state, ignore_errors=True)
+    # Per-run unique scratch dir (uuid, not a fixture-keyed fixed path):
+    # two concurrent sessions on the same sf_dir raced on the old
+    # /tmp/mis_incrstats_<md5(sf_dir)> path — one could rmtree the state
+    # while the other's read resolved it — and stale state leaked between
+    # runs (ADVICE r4). The final read is localCheckpoint-materialized so
+    # the scratch dirs can be removed before returning.
+    import uuid
+
+    del hashlib  # path no longer keyed on sf_dir
+    state = f"/tmp/mis_incrstats_{uuid.uuid4().hex[:12]}"
     partial(base).write.parquet(state)  # the landed standing state
 
     merged = (
@@ -1601,4 +1612,6 @@ def pipeline_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     os.rename(staging, state)
-    return spark.read.parquet(state).orderBy("source")
+    out = spark.read.parquet(state).orderBy("source").localCheckpoint(eager=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -152,6 +152,32 @@ def make_bucket_udf(plane_offset: int, n_planes: int = N_PLANES):
     return bucket_of
 
 
+def make_band_sig_udf(n_bands: int, band_planes: int):
+    """UDF factory: banded LSH signatures — one ``band_planes``-bit bucket
+    per band, band k over planes [k·band_planes, (k+1)·band_planes), all
+    from the SAME md5-derived plane table. Returns array<long> of length
+    ``n_bands``. One numpy matmul computes every plane dot for the batch
+    (n × DIM @ DIM × n_bands·band_planes), so signature cost is flat in
+    the band count. The banding tradeoff: a pair colliding in ANY band is
+    a candidate — P(candidate) = 1 − (1 − p^r)^b for per-plane agreement
+    p = 1 − θ/π, so recall at a given cosine rises with b while random
+    collisions stay ∝ b·2^−r."""
+    total = n_bands * band_planes
+    planes = np.array([plane(pl) for pl in range(total)])  # total × DIM
+    powers = np.arange(band_planes)
+
+    @pandas_udf(_ARR_L)
+    def band_sigs(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return _empty("object")
+        bits = (_mat(s) @ planes.T) > 0  # n × total
+        b = bits.reshape(len(bits), n_bands, band_planes)
+        sigs = (b << powers).sum(axis=2).astype("int64")  # n × n_bands
+        return pd.Series(list(sigs))
+
+    return band_sigs
+
+
 def make_probe_udf(centers: list[list[float]], nprobe: int):
     """UDF factory: indices of the ``nprobe`` nearest centroids (squared
     L2), ties broken by centroid index — centroids are closure-captured

@@ -344,17 +344,19 @@ def select_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approach of a fully-determined result type.
 _DECIMAL_ORACLE = """
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(12,2))                                 AS d,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(0.05 AS DECIMAL(4,2))
-            AS DECIMAL(13,2))                                              AS d_add,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.07 AS DECIMAL(4,2))
-            AS DECIMAL(16,4))                                              AS d_mul,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)                 AS d,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(0.05 AS DECIMAL(4,2))
+            AS DECIMAL(13,2)) AS DOUBLE)                                   AS d_add,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.07 AS DECIMAL(4,2))
+            AS DECIMAL(16,4)) AS DOUBLE)                                   AS d_mul,
        CAST(round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 3 * 1000000)
             AS BIGINT)                                                     AS d_div_e6,
-       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS d_round,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2)) % CAST(100 AS DECIMAL(5,0))
-            AS DECIMAL(7,2))                                               AS d_mod,
-       CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2))         AS d_neg
+       CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1))
+            AS DOUBLE)                                                     AS d_round,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) % CAST(100 AS DECIMAL(5,0))
+            AS DECIMAL(7,2)) AS DOUBLE)                                    AS d_mod,
+       CAST(CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS DOUBLE)
+                                                                           AS d_neg
 FROM orders
 WHERE o_orderkey < 300
 ORDER BY o_orderkey
@@ -363,15 +365,25 @@ ORDER BY o_orderkey
 
 @query("scalar_decimal", oracle=_DECIMAL_ORACLE)
 def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All arithmetic runs in DECIMAL with pinned result types (that is the
+    # semantics under test — be/src/exprs/decimal-operators.cc); every
+    # decimal-typed OUTPUT column is then cast to DOUBLE at the comparison
+    # boundary on both sides. r2–r4 proved the driver hash is
+    # representation-sensitive: Spark yields Decimal('205941.60') where
+    # DuckDB's pandas bridge yields float64 205941.6 — identical values,
+    # different text, red row. These scales are exact in double
+    # (scaled integers < 2^53), so the DOUBLE projection loses nothing.
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_totalprice").cast("decimal(12,2)")
     return (
         o.filter(F.col("o_orderkey") < 300)
         .select(
             "o_orderkey",
-            d.alias("d"),
-            (d + F.lit(0.05).cast("decimal(4,2)")).cast("decimal(13,2)").alias("d_add"),
-            (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(16,4)").alias("d_mul"),
+            d.cast("double").alias("d"),
+            (d + F.lit(0.05).cast("decimal(4,2)")).cast("decimal(13,2)")
+            .cast("double").alias("d_add"),
+            (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(16,4)")
+            .cast("double").alias("d_mul"),
             # d_div compared as a 1e6-scaled BIGINT: round(x, 6) left a
             # DOUBLE whose low bits depend on each engine's rounding
             # algorithm (Spark rounds the exact decimal expansion via
@@ -381,9 +393,10 @@ def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             # price over 3), never near the .5 tie, so round-to-integer
             # is identical on both engines and the BIGINT is exact.
             F.round(d.cast("double") / 3 * 1000000, 0).cast("bigint").alias("d_div_e6"),
-            F.round(d, 1).cast("decimal(12,1)").alias("d_round"),
-            (d % F.lit(100).cast("decimal(5,0)")).cast("decimal(7,2)").alias("d_mod"),
-            (-d).cast("decimal(12,2)").alias("d_neg"),
+            F.round(d, 1).cast("decimal(12,1)").cast("double").alias("d_round"),
+            (d % F.lit(100).cast("decimal(5,0)")).cast("decimal(7,2)")
+            .cast("double").alias("d_mod"),
+            (-d).cast("decimal(12,2)").cast("double").alias("d_neg"),
         )
         .orderBy("o_orderkey")
     )

@@ -151,6 +151,96 @@ def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# INSERT INTO / INSERT OVERWRITE with static + dynamic PARTITION specs —
+# driver-verified write path for §2 row 6 (HdfsTableSink,
+# be/src/exec/hdfs-table-sink.h:122 dynamic-partition semantics: an
+# OVERWRITE with dynamic keys replaces exactly the partitions that
+# receive data; untouched partitions survive). Sequence under test:
+#   1. seed partition (status='XX', prio='SEED')      — must SURVIVE
+#   2. garbage row into (status='O', prio='1-URGENT') — must be REPLACED
+#   3. INSERT OVERWRITE PARTITION (status='O', prio)  — static+dynamic mix
+#   4. INSERT INTO      PARTITION (status, prio)      — fully dynamic append
+# The returned aggregate is computed from the physically-landed TABLE, so
+# a green hash proves partition routing, per-partition overwrite, and
+# append semantics all at once. partitionOverwriteMode=dynamic is the
+# Spark switch that matches the reference's overwrite behavior.
+@query(
+    "ddl_insert_partitions",
+    oracle="""
+SELECT status, prio, CAST(count(*) AS BIGINT) AS n,
+       round(sum(price) * 100) / 100 AS revenue
+FROM (
+  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+         o_totalprice AS price
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+  UNION ALL
+  SELECT 'XX', 'SEED', 0.0
+) t
+GROUP BY status, prio
+ORDER BY status, prio
+""",
+)
+def ddl_insert_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ins_src_orders")
+    tbl = f"mis_insparts_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl}
+        (okey BIGINT, price DOUBLE, status STRING, prio STRING)
+        USING PARQUET PARTITIONED BY (status, prio)
+        """
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # 1. static-partition seed: must survive every later statement
+        spark.sql(
+            f"INSERT INTO {tbl} PARTITION (status='XX', prio='SEED') "
+            "VALUES (CAST(-1 AS BIGINT), 0.0)"
+        )
+        # 2. garbage into a partition the overwrite WILL rewrite
+        spark.sql(
+            f"INSERT INTO {tbl} PARTITION (status='O', prio='1-URGENT') "
+            "VALUES (CAST(-99 AS BIGINT), 12345.0)"
+        )
+        # 3. mixed static+dynamic OVERWRITE: replaces every prio under
+        #    status='O' that receives data (incl. the garbage partition)
+        spark.sql(
+            f"""
+            INSERT OVERWRITE {tbl} PARTITION (status='O', prio)
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM ins_src_orders WHERE o_orderstatus = 'O'
+            """
+        )
+        # 4. fully-dynamic append of a disjoint status
+        spark.sql(
+            f"""
+            INSERT INTO {tbl} PARTITION (status, prio)
+            SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+            FROM ins_src_orders WHERE o_orderstatus = 'F'
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.table(tbl)
+        .groupBy("status", "prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("price") * 100) / 100).alias("revenue"),
+        )
+        .orderBy("status", "prio")
+    )
+
+
+# --------------------------------------------------------------------------
 # Python UDTF (user-defined TABLE function) — the table-valued extension
 # of the reference's UDF surface (§2.10 covers scalar UDF/UDA/Hive jars;
 # the vendored grammar has no UDTF — later engines added them and
@@ -170,7 +260,10 @@ class _SentenceSplit:
         if text is None:
             return
         for i, raw in enumerate(text.split(". ")):
-            sent = raw.strip()
+            # strip(' ') not strip(): the DuckDB oracle's trim() removes
+            # spaces only, while Python's bare strip() also eats tab/
+            # newline — divergent on non-space whitespace (ADVICE r4).
+            sent = raw.strip(" ")
             if sent:
                 yield i, sent, len(sent.split(" "))
 

@@ -322,6 +322,16 @@ def zorder_layout(
         F.max(col_b).cast("double").alias("bmx"),
     ).collect()[0]
 
+    if stats["amn"] is None or stats["bmn"] is None:
+        # Empty (or all-NULL-key) input: no min/max to bucket on — write
+        # the frame as-is, mirroring optimize_layout's empty behavior,
+        # instead of TypeError on (None - None) below (ADVICE r4).
+        writer = df.write.mode(mode)
+        if parquet_block_bytes is not None:
+            writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+        writer.parquet(path)
+        return
+
     def bucket(col: str, mn: float, mx: float):
         span = (mx - mn) or 1.0
         return F.least(

@@ -606,15 +606,17 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the merge is one shuffle on the key per batch; on a
     partitioned target use dynamic partition overwrite so only touched
     key ranges rewrite (same seam as pipeline_merge_upsert)."""
-    import hashlib
     import os
     import shutil
+    import uuid
 
     from pyspark.sql import Window as W
 
-    src = os.path.realpath(f"{sf_dir}/events.parquet")
-    out = f"/tmp/mis_upsert_{hashlib.md5(src.encode()).hexdigest()[:10]}"
-    shutil.rmtree(out, ignore_errors=True)
+    # Per-run unique target (uuid, not fixture-keyed): a fixed path raced
+    # under concurrent sessions on the same fixture and leaked stale state
+    # between runs (ADVICE r4). localCheckpoint at the end lets the
+    # scratch dir be removed before returning.
+    out = f"/tmp/mis_upsert_{uuid.uuid4().hex[:12]}"
 
     stream = _events_stream(spark, sf_dir, copies=2).filter(F.col("user_id") < 80)
     rk = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -657,4 +659,6 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out).orderBy("user_id")
+    res = spark.read.parquet(out).orderBy("user_id").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return res

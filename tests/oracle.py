@@ -126,10 +126,18 @@ def _arrow_rows(tbl) -> list[tuple]:
     produced (Decimal for decimals, datetime for timestamps, etc.)."""
     import pyarrow as pa
 
-    cols = [c.to_pylist() for c in tbl.columns]
-    # decimal128 survives to_pylist as Decimal; timestamps as datetime —
-    # matching duckdb's fetchall, so canon_rows treats both paths alike.
-    del pa
+    # Driver-faithful decimal handling: the driver fetches the oracle via
+    # DuckDB's pandas bridge, which renders DECIMAL as float64 — so cast
+    # decimal columns to float64 here too (r4 judge finding: fetching them
+    # as Decimal made the local check blind to the driver's
+    # Decimal-vs-float64 hash divergence). Timestamps still arrive as
+    # datetime, matching fetchall.
+    cols = [
+        c.cast(pa.float64()).to_pylist()
+        if pa.types.is_decimal(c.type)
+        else c.to_pylist()
+        for c in tbl.columns
+    ]
     return [tuple(vals) for vals in zip(*cols)] if cols else []
 
 
@@ -146,6 +154,15 @@ def canon_rows_strict(columns: list[str], rows: list[tuple]) -> list[tuple]:
             if math.isnan(v):
                 return "NaN"
             return repr(v) + ("|-0" if math.copysign(1.0, v) < 0 and v == 0.0 else "")
+        if isinstance(v, Decimal):
+            # r4 judge finding: the driver hash sees Spark's
+            # Decimal('205941.60') vs DuckDB's float64 205941.6 as DIFFERENT
+            # even though the values are identical — str(Decimal) on both
+            # sides (the old behavior) hid that. Canonicalize Decimal the
+            # way the driver's float path renders it so the strict check
+            # predicts the driver: any query emitting DECIMAL output columns
+            # should cast them to DOUBLE/scaled-BIGINT at the boundary.
+            return repr(float(v)) + "|dec"
         return _canon_value(v)
 
     out = [tuple(cv(r[i]) for i in order) for r in rows]
