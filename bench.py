@@ -74,17 +74,37 @@ def main() -> None:
     # iteration builds a FRESH DataFrame (registry.fresh): re-collecting a
     # cached plan would reuse materialized shuffle outputs and measure
     # incremental recomputation instead of query execution.
-    def best_of_3(name: str) -> float:
-        best = float("inf")
+    #
+    # Each query reports {sec, plan_build_s, exec_s}: plan_build_s is
+    # driver-side Python DataFrame construction (fresh(name)(...)), exec_s
+    # is .collect() — the cluster-execution analogue. The split exists
+    # because BENCH_r04 regressed 45% with zero plan changes and the
+    # aggregate number couldn't distinguish ambient driver-box load
+    # (inflates plan_build_s and exec_s uniformly) from an engine
+    # regression (moves exec_s of specific queries). The reference's
+    # per-operator runtime profile (be/src/util/runtime-profile.cc) is the
+    # analogue signal.
+    def best_of_3(name: str) -> dict:
+        best = (float("inf"), 0.0, 0.0)
         for _ in range(3):
             t0 = time.perf_counter()
-            fresh(name)(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            df = fresh(name)(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.collect()
+            t2 = time.perf_counter()
+            if t2 - t0 < best[0]:
+                best = (t2 - t0, t1 - t0, t2 - t1)
+        return {
+            "sec": round(best[0], 3),
+            "plan_build_s": round(best[1], 3),
+            "exec_s": round(best[2], 3),
+        }
 
-    times = {name: best_of_3(name) for name in HEADLINE}
-    extra = {name: best_of_3(name) for name in EXTRA}
+    detail = {name: best_of_3(name) for name in HEADLINE}
+    extra_detail = {name: best_of_3(name) for name in EXTRA}
 
+    times = {name: d["sec"] for name, d in detail.items()}
+    extra = {name: d["sec"] for name, d in extra_detail.items()}
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -95,6 +115,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "extra_queries": extra,
+                "query_detail": detail,
+                "extra_query_detail": extra_detail,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

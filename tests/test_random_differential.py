@@ -435,6 +435,121 @@ N_WINDOW_QUERIES = 24
 
 
 # ---------------------------------------------------------------------------
+# frame-spec + IGNORE NULLS branch (VERDICT r4 §next.7): the corners the
+# first window branch leaves untouched — two-sided ROWS frames with both
+# offsets random, RANGE frames ending in FOLLOWING, and the IGNORE NULLS
+# navigation family over a column whose NULLs are data-dependent
+# (value → NULL when event_id % k = 0, identical derivation both engines).
+# Dialect note: Spark spells `f(x) IGNORE NULLS OVER`, DuckDB spells
+# `f(x IGNORE NULLS) OVER`; queries are generated in Spark syntax and
+# to_duck_dialect() rewrites them for DuckDB — a pure-syntax transform.
+# Aggregates inside frames stay sum/min/max/count over 2-decimal `value`
+# (integer-exact in cents); avg is excluded: its double division's low
+# bits depend on accumulation order and floor()/round() at the boundary
+# could legitimately disagree.
+
+
+def _gen_frame_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.random()
+        if kind < 0.4:
+            day = rng.randint(1, 28)
+            preds.append(
+                f"ts {rng.choice(['<', '>='])} TIMESTAMP '2024-01-{day:02d} 00:00:00'"
+            )
+        elif kind < 0.7:
+            vals = rng.sample(_EVENT_TYPES, rng.randint(1, 3))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            preds.append(f"event_type IN ({quoted})")
+        else:
+            preds.append(f"user_id {rng.choice(['<', '>='])} {rng.randint(2, 14)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    part = rng.choice(["user_id", "event_type"])
+    k = rng.choice([3, 4, 5, 7])
+    nullable = f"CASE WHEN event_id % {k} = 0 THEN NULL ELSE value END"
+    branch = rng.random()
+    if branch < 0.35:
+        # IGNORE NULLS navigation family over the derived nullable column
+        n = rng.randint(2, 3)
+        off = rng.randint(1, 3)
+        over = (
+            f"OVER (PARTITION BY {part} ORDER BY ts, event_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        )
+        lagover = f"OVER (PARTITION BY {part} ORDER BY ts, event_id)"
+        return (
+            f"SELECT event_id, {part}, "
+            f"first_value({nullable}) IGNORE NULLS {over} AS fv, "
+            f"last_value({nullable}) IGNORE NULLS {over} AS lv, "
+            f"nth_value({nullable}, {n}) IGNORE NULLS {over} AS nv, "
+            f"lag({nullable}, {off}) IGNORE NULLS {lagover} AS lg, "
+            f"lead({nullable}, {off}) IGNORE NULLS {lagover} AS ld "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    if branch < 0.6:
+        # two-sided ROWS frame, both offsets random (incl. frames entirely
+        # in the past / future via PRECEDING-PRECEDING etc.)
+        a, b = rng.randint(1, 6), rng.randint(0, 4)
+        lo, hi = f"{a} PRECEDING", (f"{b} FOLLOWING" if b else "CURRENT ROW")
+        if rng.random() < 0.25 and a > 2:
+            lo, hi = f"{a} PRECEDING", f"{rng.randint(1, a - 1)} PRECEDING"
+        elif rng.random() < 0.2:
+            lo, hi = "CURRENT ROW", f"{rng.randint(1, 5)} FOLLOWING"
+        over = (
+            f"OVER (PARTITION BY {part} ORDER BY ts, event_id "
+            f"ROWS BETWEEN {lo} AND {hi})"
+        )
+        return (
+            f"SELECT event_id, {part}, "
+            f"round(sum(value) {over} * 100) / 100 AS s, "
+            f"min(value) {over} AS mn, max(value) {over} AS mx, "
+            f"count({nullable}) {over} AS n_nn, count(*) {over} AS n "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    if branch < 0.8:
+        # RANGE numeric frame with a FOLLOWING end (peer window both ways)
+        lo_span, hi_span = rng.randint(5, 80), rng.randint(5, 80)
+        over = (
+            f"OVER (PARTITION BY {part} ORDER BY value "
+            f"RANGE BETWEEN {lo_span} PRECEDING AND {hi_span} FOLLOWING)"
+        )
+        return (
+            f"SELECT event_id, {part}, value, "
+            f"count(*) {over} AS n_near, "
+            f"round(sum(value) {over} * 100) / 100 AS s_near, "
+            f"min(value) {over} AS mn_near "
+            f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+        )
+    # RANGE over the time ordering with an INTERVAL offset — session-ish
+    # (how many events in the trailing N minutes)
+    mins = rng.randint(5, 120)
+    over = (
+        f"OVER (PARTITION BY {part} ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL '{mins}' MINUTE PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        f"SELECT event_id, {part}, "
+        f"count(*) {over} AS n_trail, "
+        f"round(sum(value) {over} * 100) / 100 AS s_trail "
+        f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+    )
+
+
+N_FRAME_QUERIES = 24
+
+
+import re as _re
+
+
+def to_duck_dialect(sql: str) -> str:
+    """Spark `f(args) IGNORE NULLS OVER` → DuckDB `f(args IGNORE NULLS)
+    OVER`; pure syntax, no semantic change. INTERVAL literals are shared
+    syntax and pass through."""
+    return _re.sub(r"\(([^()]*)\) IGNORE NULLS OVER", r"(\1 IGNORE NULLS) OVER", sql)
+
+
+# ---------------------------------------------------------------------------
 # outer-join branch: LEFT/FULL joins with a non-equi term INSIDE the join
 # condition (not the WHERE) — preserved-side rows survive with NULLs,
 # which is where outer-join planners disagree (condition pushdown into
@@ -520,6 +635,8 @@ _ORNG = random.Random(20260818)
 QUERIES += [_gen_outer_join_query(_ORNG) for _ in range(N_OUTER_QUERIES)]
 _RRNG = random.Random(20260819)
 QUERIES += [_gen_rollup_query(_RRNG) for _ in range(N_ROLLUP_QUERIES)]
+_FRNG = random.Random(20260820)
+QUERIES += [_gen_frame_query(_FRNG) for _ in range(N_FRAME_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))
@@ -537,7 +654,7 @@ def test_random_differential(spark, sf_dir, idx):
 
     con = duckdb_connect(sf_dir)
     try:
-        cur = con.execute(sql)
+        cur = con.execute(to_duck_dialect(sql))
         d_cols = [d[0] for d in cur.description]
         d_rows = canon_rows(d_cols, [tuple(r) for r in cur.fetchall()])
     finally:
