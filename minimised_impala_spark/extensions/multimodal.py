@@ -38,11 +38,20 @@ DECODED_SCHEMA = (
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real codec hook — would use PIL/libjpeg etc.
+    """Real codec hook: decodes via PIL when it is installed, raises
+    NotImplementedError otherwise. Environment-gated rather than
+    hard-stubbed so an install of the codec libs upgrades this path (and
+    its importorskip-gated tests) with no code change."""
+    try:
+        import io
 
-    STUB: media libraries are not available in this container.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs not available in this environment"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height, len(im.getbands()))
 
 
 def decode_image_fake(payload: bytes) -> tuple[int, int, int]:
@@ -157,11 +166,21 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image_real(payload: bytes, w: int, h: int) -> bytes:
-    """Real resize hook (PIL.Image.resize).
+    """Real resize hook: PIL.Image.resize when PIL is installed, raises
+    NotImplementedError otherwise (environment-gated like
+    decode_image_real)."""
+    try:
+        import io
 
-    STUB: media libraries are not available in this container.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs not available in this environment"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.resize((w, h)).save(out, format=im.format or "PNG")
+        return out.getvalue()
 
 
 def _resize_batches(target_w: int, target_h: int):

@@ -14,11 +14,37 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").filter("doc_id < 50")
 
 
-def test_real_codec_hooks_are_stubbed():
+def _pil_available() -> bool:
+    try:
+        import PIL  # type: ignore[import-not-found]  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL installed: real codec active")
+def test_real_codec_hooks_raise_without_pil():
     with pytest.raises(NotImplementedError):
         M.decode_image_real(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         M.resize_image_real(b"\x89PNG", 224, 224)
+
+
+def test_real_codec_roundtrip_with_pil():
+    """Environment-gated real-codec test: skipped while PIL is absent,
+    upgrades itself automatically when codec libs are installed."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert M.decode_image_real(payload) == (32, 16, 3)
+    resized = M.resize_image_real(payload, 8, 8)
+    assert M.decode_image_real(resized) == (8, 8, 3)
 
 
 def test_decode_stub_deterministic(spark, sf_dir):

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Fresh-seed differential fuzz sweep over the window/frame generators.
+
+The in-suite differential tests (tests/test_random_differential.py) pin
+FIXED seeds so CI is reproducible; this sweep drives the same generators
+with FRESH seeds to hunt for engine disagreement beyond the pinned
+corpus — the reference's discrepancy_searcher.py ran in exactly this
+mode (generate → run on both engines → diff → log).
+
+Usage:  python tools/fuzz_sweep.py [n_queries] [base_seed]
+Prints one line per mismatch and a final summary; exit code 1 on any
+mismatch. Results are logged to NOTES.md by hand per round.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else random.randrange(1 << 30)
+
+    from minimised_impala_spark.session import build_session
+    from minimised_impala_spark.tables import register_tables
+    from tests.oracle import canon_rows, duckdb_connect
+    from tests.test_random_differential import (
+        _gen_events_query,
+        _gen_frame_query,
+        _gen_outer_join_query,
+        _gen_query,
+        _gen_rollup_query,
+        _gen_window_query,
+        to_duck_dialect,
+    )
+
+    sf_dir = os.environ.get("MIS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    spark = build_session(
+        app_name="mis-fuzz-sweep",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    register_tables(
+        spark,
+        sf_dir,
+        ("orders", "lineitem", "customer", "events", "documents", "part", "supplier"),
+    )
+
+    # Weighted toward the window/frame generators (the r5 focus), with the
+    # other branches mixed in for breadth.
+    gens = [
+        (_gen_frame_query, 4),
+        (_gen_window_query, 3),
+        (_gen_events_query, 1),
+        (_gen_query, 1),
+        (_gen_outer_join_query, 1),
+        (_gen_rollup_query, 1),
+    ]
+    pool = [g for g, w in gens for _ in range(w)]
+
+    con = duckdb_connect(sf_dir)
+    mismatches = 0
+    try:
+        for i in range(n):
+            rng = random.Random(base_seed + i)
+            sql = rng.choice(pool)(rng)
+            sdf = spark.sql(sql)
+            s_rows = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+            cur = con.execute(to_duck_dialect(sql))
+            d_cols = [d[0] for d in cur.description]
+            d_rows = canon_rows(d_cols, [tuple(r) for r in cur.fetchall()])
+            if s_rows != d_rows:
+                mismatches += 1
+                print(f"MISMATCH seed={base_seed + i}: {sql}")
+    finally:
+        con.close()
+
+    print(
+        f"fuzz_sweep: {n} queries, base_seed={base_seed}, "
+        f"sf_dir={sf_dir}, mismatches={mismatches}"
+    )
+    return 1 if mismatches else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
