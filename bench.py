@@ -58,7 +58,13 @@ def main() -> None:
         app_name="mis-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # local[N] runs executor threads inside the driver JVM — the
+            # 1g default heap is undersized for N=32 with broadcast joins
+            # (first observed as a broadcast OOM at the sf1 scale smoke).
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
     )
 
     # warm the JVM + parquet footers once (not counted)
