@@ -25,6 +25,7 @@ def load_all() -> None:
     )
     from minimised_impala_spark.extensions import (  # noqa: F401
         dedup,
+        retrieval,
         similarity,
         text,
         multimodal,

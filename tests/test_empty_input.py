@@ -57,6 +57,8 @@ EMPTY_ZERO = [
     "dedup_edit_distance",
     "udtf_sentence_split",
     "udtf_longest_streak",
+    "dedup_embedding_lsh",
+    "text_bm25_topk",
 ]
 
 

@@ -316,3 +316,41 @@ def test_ivfpq_probe_is_equijoin(spark, sf_dir):
     ground-truth/verification side of the query, not the probe path.)"""
     plan = _physical(fresh("sim_ivfpq_ann")(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_embedding_lsh_no_allpairs_join(spark, sf_dir):
+    """dedup_embedding_lsh's candidates must come from the (band, bucket)
+    EQUI-join — no BroadcastNestedLoopJoin/CartesianProduct anywhere: the
+    whole point of the banded default is that all-pairs never appears in
+    the plan, only collision candidates."""
+    plan = _physical(fresh("dedup_embedding_lsh")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # rescore joins back to the normalized vectors by id — hash equi-joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_insert_partitions_prunes_on_partition_key(spark, sf_dir):
+    """Reading one partition of the landed INSERT table must prune to that
+    partition's files (PartitionFilters), not scan the whole table —
+    the partitioned-sink layout exists precisely for this."""
+    fresh("ddl_insert_partitions")(spark, sf_dir).collect()  # lands table
+    import hashlib
+
+    tbl = f"mis_insparts_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    df = spark.table(tbl).filter("status = 'O'")
+    plan = _physical(df)
+    assert "PartitionFilters" in plan, plan
+    assert "status" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_bm25_broadcasts_query_terms_and_takeordered(spark, sf_dir):
+    """BM25 scoring must touch only postings of queried terms (broadcast
+    of the bounded query-term set → BroadcastHashJoin on term) and the
+    top-k must be TakeOrderedAndProject, never a global sort of the
+    scored corpus."""
+    plan = _physical(fresh("text_bm25_topk")(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
