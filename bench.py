@@ -40,7 +40,9 @@ HEADLINE = [
 # was deliberately excluded while it was a broadcast nested loop).
 EXTRA = [
     "dedup_embedding",
+    "dedup_embedding_lsh",
     "sim_pq_ann",
+    "text_bm25_topk",
     "text_chunk_overlap",
 ]
 
