@@ -619,9 +619,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_df = base.unionByName(pert)
 
     band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
+    # localCheckpoint = build the signature index ONCE: both self-join
+    # sides (and the norm table below) would otherwise recompute their
+    # pandas-UDF stage — same materialization seam as sim_lsh_ann.
     bands = corpus_df.select(
         "vec_id", F.posexplode(band_sigs("e")).alias("band", "bucket")
-    )
+    ).localCheckpoint(eager=False)
     a = bands.select(
         F.col("vec_id").alias("left_id"), "band", "bucket"
     )
@@ -640,7 +643,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id")
         .distinct()  # a pair colliding in several bands scores once
     )
-    norm = corpus_df.select("vec_id", VK.norm_vec("e").alias("ne"))
+    norm = corpus_df.select("vec_id", VK.norm_vec("e").alias("ne")).localCheckpoint(
+        eager=False
+    )
     return (
         cand.join(
             norm.select(F.col("vec_id").alias("left_id"), F.col("ne").alias("le")),

@@ -609,6 +609,114 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Centroid (Rocchio) classification — the O(|labels|) sibling of
+# sim_knn_classify's O(|corpus|) vote: one mean embedding per label,
+# trained on the non-query split (vec_id % 25 != 0), queries assigned to
+# the max-cosine centroid. Implemented in the component-join formulation
+# (explode to (label, dim, x) → per-dim mean → dot/norms as grouped
+# sums), all JVM-side Column code — no Python kernel needed because the
+# model side is |labels|·64 rows, not the corpus. Cosines are rounded to
+# 6 decimals BEFORE the argmax (FP mean/dot accumulation order differs
+# between engines at ~1e-15; the rounded value is the tie-broken sort
+# key, so the prediction is deterministic on both). At 100 TB: training
+# is one shuffle of (label, dim) partial sums; the centroid table is
+# kilobytes and broadcasts; scoring is a narrow map per query.
+@query(
+    "sim_centroid_classify",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, label, i.dim, e[i.dim + 1] AS x
+  FROM v, (SELECT unnest(range(64)) AS dim) i
+),
+cents AS (
+  SELECT label, dim, avg(x) AS cx
+  FROM comps WHERE vec_id % 25 <> 0
+  GROUP BY label, dim
+),
+qc AS (
+  SELECT vec_id AS query_id, dim, x AS qx
+  FROM comps WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT q.query_id, c.label,
+         round(sum(q.qx * c.cx)
+               / (sqrt(sum(q.qx * q.qx)) * sqrt(sum(c.cx * c.cx))), 6)
+           AS cosine
+  FROM qc q JOIN cents c ON c.dim = q.dim
+  GROUP BY q.query_id, c.label
+),
+pred AS (
+  SELECT query_id, label AS pred_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, label) AS r
+  FROM scored
+)
+SELECT p.query_id,
+       CAST(p.pred_label AS INT) AS pred_label,
+       CAST(t.label AS INT)      AS true_label,
+       (p.pred_label = t.label)  AS correct
+FROM pred p JOIN v t ON t.vec_id = p.query_id
+WHERE p.r = 1
+ORDER BY p.query_id
+""",
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vecd("embedding").alias("e")
+    )
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("e").alias("dim", "x")
+    )
+    cents = (
+        comps.filter(F.col("vec_id") % 25 != 0)
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+    )
+    qc = comps.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("x").alias("qx")
+    )
+    scored = (
+        qc.join(F.broadcast(cents), "dim")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("qx") * F.col("cx"))
+                / (
+                    F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                    * F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )
+    wpred = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
+    pred = (
+        scored.withColumn("r", F.row_number().over(wpred))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").cast("int").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("int").alias("true_label"),
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id", "pred_label", "true_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the third ANN family member next to LSH
 # (hash pruning) and IVF (partition pruning): PQ attacks MEMORY. Each
 # 64-dim vector compresses to M=16 one-byte codes (one K=16-centroid

@@ -1034,6 +1034,113 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bigram language model scoring — the order-sensitive upgrade of
+# text_lm_score's unigram model (the CCNet/Gopher-style quality filter
+# family scores documents by LM fit; a bigram model with Laplace
+# smoothing catches scrambled/boilerplate text a unigram model scores as
+# fluent). Training IS aggregation: corpus bigram counts c(w1,w2), head
+# counts c(w1), vocab size V — three grouped aggregates; scoring joins
+# each document's bigram stream against the (broadcast) count tables:
+#   P(w2|w1) = (c12 + 1) / (c1 + V),  avg_nll = -mean ln P
+# Bigrams are derived from the MATERIALIZED token array by index
+# (narrow map, no positional self-join — the shingle lesson in
+# dedup._trigrams_of). All count inputs are integers, so both engines
+# evaluate identical ln() arguments; the per-doc sum is rounded at 4
+# decimals like text_lm_score. At 100 TB the model tables are the only
+# shuffles (|vocab| and |bigram-vocab| rows) and scoring is a broadcast
+# join over the token stream.
+_BIGRAM_LM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, n - 1),
+                               i -> toks[i] || chr(9) || toks[i + 1])) AS bigram
+  FROM t WHERE n >= 2
+),
+c12 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bigram),
+c1 AS (
+  SELECT split_part(bigram, chr(9), 1) AS w1, CAST(count(*) AS BIGINT) AS c1
+  FROM bg GROUP BY w1
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(-ln((x.c12 + 1.0) / (h.c1 + vocab.v))) AS nll
+  FROM bg b
+  JOIN c12 x ON x.bigram = b.bigram
+  JOIN c1 h ON h.w1 = split_part(b.bigram, chr(9), 1)
+  CROSS JOIN vocab
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(nll / n_bigrams, 4) AS avg_nll
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("text_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    # bigram stream from the materialized token array (index transform —
+    # no positional self-join)
+    bg = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - 2),
+                    lambda i: F.concat_ws(
+                        "\t",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(c12), "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+            ).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(F.col("nll") / F.col("n_bigrams"), 4).alias("avg_nll"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Context-window chunking with overlap: split each document's token stream
 # into fixed-size windows (W=64) advancing by a stride (S=48, i.e. 16
 # tokens of overlap) — the standard assembly step for LLM pretraining when

@@ -59,6 +59,8 @@ EMPTY_ZERO = [
     "udtf_longest_streak",
     "dedup_embedding_lsh",
     "text_bm25_topk",
+    "text_bigram_lm",
+    "sim_centroid_classify",
 ]
 
 
