@@ -662,3 +662,91 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.read.parquet(out).orderBy("user_id").localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return res
+
+
+# --------------------------------------------------------------------------
+# Streaming distribution-drift detection: the monitoring primitive a
+# training-data ingestion pipeline runs continuously — per tumbling
+# window, compare the incoming event-type distribution against the
+# corpus baseline via KL divergence KL(p_w ‖ q) = Σ_t p·ln(p/q). The
+# stateful streaming part is the watermarked windowed count (state
+# evicted past the watermark); the KL finish runs over the landed sink
+# rows against the (tiny, broadcast) baseline distribution — the same
+# sink-side finishing pattern as streaming_topk_windowed. All
+# probability inputs are integer counts, so both engines evaluate
+# identical double expressions; the per-window sum spans ≤|event types|
+# terms and is rounded at 6 decimals. At 100 TB/day: state per window is
+# |event types| longs, the baseline is kilobytes, and a drift alert is a
+# filter on the output — nothing scales with the stream length.
+@query(
+    "streaming_drift_kl",
+    oracle="""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY w, event_type
+),
+wt AS (SELECT w, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY w),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM events
+  GROUP BY event_type
+),
+bt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM base)
+SELECT wt.w AS window_start,
+       wt.tot AS n_events,
+       round(sum((n * 1.0 / wt.tot)
+                 * ln((n * 1.0 / wt.tot) / (c * 1.0 / bt.total))), 6) AS kl
+FROM counts
+JOIN wt ON wt.w = counts.w
+JOIN base ON base.event_type = counts.event_type
+CROSS JOIN bt
+GROUP BY wt.w, wt.tot
+ORDER BY window_start
+""",
+)
+def streaming_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.tables import load_table
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+    wt = counts.groupBy("window_start").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bt = base.agg(F.sum("c").cast("bigint").alias("total"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    qd = F.col("c") * 1.0 / F.col("total")
+    return (
+        counts.join(wt, "window_start")
+        .join(F.broadcast(base), "event_type")
+        .crossJoin(F.broadcast(bt))
+        .groupBy("window_start", "tot")
+        .agg(F.round(F.sum(p * F.log(p / qd)), 6).alias("kl"))
+        .select(
+            "window_start",
+            F.col("tot").alias("n_events"),
+            "kl",
+        )
+        .orderBy("window_start")
+    )
