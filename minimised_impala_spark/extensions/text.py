@@ -1350,6 +1350,88 @@ def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus snapshot diff — the dataset-versioning primitive (what changed
+# between corpus v1 and v2: added / removed / changed / unchanged), the
+# audit companion to pipeline_merge_upsert's apply path. Both snapshots
+# derive deterministically from the fixture (v2 rewrites every 7th doc,
+# drops every 13th, adds a shifted-id batch), the diff is ONE full outer
+# join on doc_id comparing content hashes — never the texts themselves:
+# at 100 TB the join carries (id, 16-byte digest) pairs, and bucketing
+# both snapshots by doc_id removes even that shuffle. Output is the
+# per-source change matrix a dataset card / release note is built from.
+_CORPUS_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' [rev2]')
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, source, md5(text || ' [new]') AS h
+  FROM documents WHERE doc_id % 11 = 0
+),
+diff AS (
+  SELECT coalesce(v2.source, v1.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h       THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source, change, CAST(count(*) AS BIGINT) AS n
+FROM diff
+GROUP BY source, change
+ORDER BY source, change
+"""
+
+
+@query("pipeline_corpus_diff", oracle=_CORPUS_DIFF_ORACLE)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" [rev2]")))
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.col("text"), F.lit(" [new]"))).alias("h"),
+            )
+        )
+    )
+    a = v1.select(
+        F.col("doc_id"), F.col("source").alias("s1"), F.col("h").alias("h1")
+    )
+    b = v2.select(
+        F.col("doc_id"), F.col("source").alias("s2"), F.col("h").alias("h2")
+    )
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("s2", "s1").alias("source"),
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        diff.groupBy("source", "change")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("source", "change")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental corpus MERGE (upsert): apply an update batch to an existing
 # corpus — matched doc_ids take the new revision, unmatched batch rows
 # insert, untouched corpus rows carry over — then land the merged corpus

@@ -61,6 +61,7 @@ EMPTY_ZERO = [
     "text_bm25_topk",
     "text_bigram_lm",
     "sim_centroid_classify",
+    "pipeline_corpus_diff",
 ]
 
 
