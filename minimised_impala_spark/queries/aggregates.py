@@ -732,3 +732,35 @@ def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigated aggregation as a driver-oracled query (§2.4 hot-key row,
+# previously pytest-only via tests/test_skew.py): a deliberately skewed
+# derived key (~70% of orders land on 'hot') counted through
+# operators.skew.salted_groupby_count — partial counts per (key, salt)
+# spread the hot group over n_salts shuffle partitions, the final
+# combine sums |keys|·n_salts partials. The oracle is the plain GROUP
+# BY, so a green hash proves the two-phase rewrite is semantics-
+# preserving. At 100 TB this is the manual fallback when AQE's skew-join
+# splitting doesn't apply (single-key aggregation has no join to split).
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 10 < 7 THEN 'hot'
+            ELSE 'cold_' || CAST(o_orderkey % 10 AS VARCHAR) END AS k,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY k
+ORDER BY k
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.operators.skew import salted_groupby_count
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 10 < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("o_orderkey") % 10).cast("string")))
+        .alias("k")
+    )
+    return salted_groupby_count(orders, "k", n_salts=8).orderBy("k")

@@ -375,3 +375,122 @@ def udtf_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Java UDF through the jar path (§2.10 row "Hive/Java UDF via JAR",
+# be/src/exprs/hive-udf-call.cc:335): the reference executes user jars
+# in-process; here the jar compiles from source with the in-container
+# JDK (cached by content hash), lands in the session via ADD JAR, and
+# registers through registerJavaFunction — the non-Hive-catalog jar
+# entry point that works on a plain SparkSession (the CREATE FUNCTION
+# ... USING JAR Hive-catalog variant is covered by tests/test_hive_udf.py
+# in a dedicated hive-enabled subprocess). The oracle replicates the
+# UDF's arithmetic in SQL, so the driver hash proves executor-side jar
+# execution end to end.
+_JAVA_UDF_SRC = """
+public class MisScaleUdf implements org.apache.spark.sql.api.java.UDF2<Long, Long, Long> {
+  public Long call(Long x, Long k) {
+    if (x == null || k == null) return null;
+    return x * k + 7L;
+  }
+}
+"""
+
+
+def _compiled_java_udf_jar() -> str:
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    import pyspark
+
+    h = hashlib.md5(_JAVA_UDF_SRC.encode()).hexdigest()[:10]
+    jar = f"{tempfile.gettempdir()}/mis_java_udf_{h}.jar"
+    if os.path.exists(jar):
+        return jar
+    jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "MisScaleUdf.java")
+        with open(src, "w") as f:
+            f.write(_JAVA_UDF_SRC)
+        subprocess.run(
+            ["javac", "-cp", f"{jars_dir}/*", "MisScaleUdf.java"],
+            check=True,
+            cwd=td,
+        )
+        staged = os.path.join(td, "mis_java_udf.jar")
+        subprocess.run(
+            ["jar", "cf", staged, "MisScaleUdf.class"], check=True, cwd=td
+        )
+        os.replace(staged, jar)  # atomic into the cache path
+    return jar
+
+
+@query(
+    "udf_java_jar",
+    oracle="""
+SELECT o_orderkey, o_orderkey * 3 + 7 AS scaled
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+)
+def udf_java_jar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jar = _compiled_java_udf_jar()
+    spark.sql(f"ADD JAR '{jar}'")
+    spark.udf.registerJavaFunction("mis_java_scale", "MisScaleUdf", T.LongType())
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.expr("mis_java_scale(o_orderkey, CAST(3 AS BIGINT))").alias("scaled"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Views + CTEs through the catalog (§2.11 ALTER/views/CTE row): a TEMP
+# VIEW created over a filtered relation, consumed by a WITH query whose
+# CTE is referenced twice (forcing a real named-subquery resolution, not
+# inline substitution semantics differences). The oracle runs the same
+# logic as plain SQL over the base table.
+@query(
+    "ddl_view_cte",
+    oracle="""
+WITH big AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+),
+per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice) * 100) / 100 AS spend
+  FROM big GROUP BY o_custkey
+)
+SELECT a.o_custkey, a.n, a.spend
+FROM per_cust a
+JOIN (SELECT CAST(avg(n) AS DOUBLE) AS avg_n FROM per_cust) s
+  ON a.n > s.avg_n
+ORDER BY a.o_custkey
+""",
+)
+def ddl_view_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_totalprice") > 100000).select(
+        "o_custkey", "o_totalprice"
+    ).createOrReplaceTempView("mis_big_orders_v")
+    return spark.sql(
+        """
+        WITH per_cust AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(o_totalprice) * 100) / 100 AS spend
+          FROM mis_big_orders_v GROUP BY o_custkey
+        )
+        SELECT a.o_custkey, a.n, a.spend
+        FROM per_cust a
+        JOIN (SELECT CAST(avg(n) AS DOUBLE) AS avg_n FROM per_cust) s
+          ON a.n > s.avg_n
+        ORDER BY a.o_custkey
+        """
+    )
