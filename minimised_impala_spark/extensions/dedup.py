@@ -118,16 +118,20 @@ def _trigrams_of(toks: F.Column) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct trigram shingles per doc: (doc_id, sh)."""
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct trigram shingles of an arbitrary (doc_id, text) frame."""
     return (
-        corpus(spark, sf_dir)
-        .withColumn("toks", F.split("text", " "))
+        docs.withColumn("toks", F.split("text", " "))
         .select(
             "doc_id",
             F.explode(F.array_distinct(_trigrams_of(F.col("toks")))).alias("sh"),
         )
     )
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct trigram shingles per doc: (doc_id, sh)."""
+    return shingles_of(corpus(spark, sf_dir))
 
 
 def _shingle_hash(col: F.Column) -> F.Column:
@@ -259,9 +263,10 @@ ORDER BY d1, d2
 """
 
 
-def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bsig) MinHash band signatures — the persistable LSH
-    index shared by the pair generator and the incremental probe."""
+def bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) MinHash band signatures of an arbitrary
+    (doc_id, text) frame — the index-build kernel, also applied per
+    micro-batch by the streaming probe (streaming_dedup_lsh)."""
     # Shingle hashes are computed once each (one md5 per shingle) inside a
     # narrow explode — no distinct: min() is insensitive to shingle
     # multiplicity, so the dedup shuffle is skipped entirely. The 16
@@ -271,8 +276,7 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be/src/exec/partitioned-aggregation-node.h:45-75). Token array is
     # materialized first — see _trigrams_of for why.
     hashed = (
-        corpus(spark, sf_dir)
-        .withColumn("toks", F.split("text", " "))
+        docs.withColumn("toks", F.split("text", " "))
         .select("doc_id", F.explode(_trigrams_of(F.col("toks"))).alias("sh"))
         .select(
             "doc_id",
@@ -303,6 +307,13 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", F.explode(F.expr(f"array({bands_sql})")).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+
+
+def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bsig) MinHash band signatures over the planted-twin
+    corpus — the persistable LSH index shared by the pair generator and
+    the incremental probe."""
+    return bands_of(corpus(spark, sf_dir))
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
