@@ -407,6 +407,16 @@ def _compiled_java_udf_jar() -> str:
     import pyspark
 
     h = hashlib.md5(_JAVA_UDF_SRC.encode()).hexdigest()[:10]
+    # a pre-built jar for the current source ships in resources/ so the
+    # query works even where no JDK is on PATH; the compile path below
+    # regenerates it whenever the source (and so the hash) changes.
+    packaged = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources",
+        f"mis_java_udf_{h}.jar",
+    )
+    if os.path.exists(packaged):
+        return packaged
     jar = f"{tempfile.gettempdir()}/mis_java_udf_{h}.jar"
     if os.path.exists(jar):
         return jar
