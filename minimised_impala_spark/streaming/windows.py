@@ -49,7 +49,10 @@ def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     for name in expected:
         link = os.path.join(stage, name)
         if not os.path.exists(link):
-            os.symlink(src, link)
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass  # concurrent session staged the same fixture
     from minimised_impala_spark.tables import fix_events_ts
 
     schema = spark.read.parquet(src).schema
@@ -778,7 +781,10 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if name != "documents_0.parquet":
             os.remove(os.path.join(stage, name))
     if not os.path.exists(link):
-        os.symlink(src, link)
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass  # concurrent session staged the same fixture — same target
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).format("parquet").load(stage)
 
