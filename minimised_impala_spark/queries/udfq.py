@@ -504,3 +504,82 @@ def ddl_view_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY a.o_custkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-bodied function DDL (§2.10 CREATE/DROP/SHOW FUNCTION row,
+# fe/.../analysis/CreateFunctionStmt.java — the reference registers
+# functions in its catalog; Spark 4's SQL scalar functions are the
+# catalog-native equivalent without a jar): the query CREATEs a
+# TEMPORARY FUNCTION with a SQL body, applies it executor-side, and the
+# oracle restates the body inline — a green hash proves the catalog
+# round trip (create → resolve → codegen'd evaluation).
+@query(
+    "ddl_sql_function",
+    oracle="""
+SELECT o_orderkey,
+       CAST(floor(o_totalprice / 1000) * 1000 AS DOUBLE) AS price_band,
+       CASE WHEN o_totalprice >= 250000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS tier
+FROM orders WHERE o_orderkey < 400
+ORDER BY o_orderkey
+""",
+)
+def ddl_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sqlfn_src_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mis_price_band(p DOUBLE) "
+        "RETURNS DOUBLE RETURN CAST(floor(p / 1000) * 1000 AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mis_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p >= 250000 THEN 'high' "
+        "WHEN p >= 100000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               mis_price_band(o_totalprice) AS price_band,
+               mis_tier(o_totalprice) AS tier
+        FROM sqlfn_src_orders WHERE o_orderkey < 400
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Dialect plan hints through the Engine entry point (§2 row "Plan hints +
+# STRAIGHT_JOIN", fe/.../analysis/SelectList.java hint parsing): the
+# reference's [broadcast] / [shuffle] hint syntax goes through
+# dialect.translate into Spark hints; running the hinted statement via
+# Engine.sql in a driver-oracled query proves the dialect path executes
+# end to end, not just that translation unit tests pass. The hint
+# changes the physical strategy, never the result — the oracle is the
+# plain join.
+@query(
+    "dialect_broadcast_hint",
+    oracle="""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal) * 100) / 100 AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def dialect_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.engine import Engine
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "nation"))
+    eng = Engine(spark)
+    return eng.sql(
+        """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+               round(sum(c_acctbal) * 100) / 100 AS total_bal
+        FROM customer JOIN [broadcast] nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
