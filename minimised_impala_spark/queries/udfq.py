@@ -583,3 +583,59 @@ def dialect_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# LOAD DATA INPATH through the dialect + engine path (§2 row 78,
+# fe/.../analysis/LoadDataStmt.java): stage a parquet file of high-value
+# orders in a scratch dir, CREATE a managed table, LOAD DATA INPATH it
+# via Engine.sql (dialect-parsed, re-expressed as read + insertInto with
+# schema validation), then aggregate from the LANDED table — the driver
+# hash covers parse → ingest → catalog → read-back end to end.
+@query(
+    "ddl_load_data",
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice) * 100) / 100 AS revenue
+FROM orders
+WHERE o_totalprice > 200000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def ddl_load_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from minimised_impala_spark.engine import Engine
+
+    o = load_table(spark, sf_dir, "orders")
+    staged = f"{tempfile.gettempdir()}/mis_loaddata_{uuid.uuid4().hex[:12]}"
+    (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(staged)
+    )
+    tbl = f"mis_loaded_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True)
+    spark.sql(
+        f"CREATE TABLE {tbl} "
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) "
+        "USING PARQUET"
+    )
+    eng = Engine(spark)
+    eng.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE {tbl}")
+    shutil.rmtree(staged, ignore_errors=True)
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.sum("o_totalprice") * 100) / 100).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
