@@ -59,7 +59,7 @@ _PRIORITY = [
     "text_bigram_lm", "sim_centroid_classify", "streaming_drift_kl",
     "pipeline_corpus_diff", "udf_java_jar", "ddl_view_cte",
     "agg_salted_skew", "streaming_dedup_lsh", "ddl_sql_function",
-    "dialect_broadcast_hint", "ddl_load_data",
+    "dialect_broadcast_hint", "ddl_load_data", "ddl_alter_truncate",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

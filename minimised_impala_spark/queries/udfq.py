@@ -639,3 +639,65 @@ def ddl_load_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# ALTER TABLE + TRUNCATE observable semantics (§2 row "ALTER TABLE/VIEW,
+# TRUNCATE", fe/.../analysis/AlterTableStmt.java / TruncateStmt.java):
+# CREATE a managed table, append a first batch, ALTER TABLE ADD COLUMNS
+# (old rows read NULL for the new column — schema evolution), TRUNCATE
+# (all rows gone, schema kept), land the final batch, and aggregate the
+# read-back. The oracle states only the post-TRUNCATE world; a stale row
+# surviving TRUNCATE or a mis-defaulted ALTER column flips the hash.
+@query(
+    "ddl_alter_truncate",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(batch_tag) AS BIGINT) AS n_tagged,
+       round(sum(o_totalprice) * 100) / 100 AS revenue
+FROM (
+  SELECT o_orderstatus, o_totalprice, 'final' AS batch_tag
+  FROM orders WHERE o_orderkey % 3 = 0
+) t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def ddl_alter_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("alter_src_orders")
+    tbl = f"mis_alter_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True)
+    spark.sql(
+        f"CREATE TABLE {tbl} (o_orderstatus STRING, o_totalprice DOUBLE) "
+        "USING PARQUET"
+    )
+    # first batch under the original schema
+    spark.sql(
+        f"INSERT INTO {tbl} SELECT o_orderstatus, o_totalprice "
+        "FROM alter_src_orders WHERE o_orderkey % 3 = 1"
+    )
+    # schema evolution: old rows must read NULL for the new column
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (batch_tag STRING)")
+    # wipe data, keep schema
+    spark.sql(f"TRUNCATE TABLE {tbl}")
+    spark.sql(
+        f"INSERT INTO {tbl} SELECT o_orderstatus, o_totalprice, 'final' "
+        "FROM alter_src_orders WHERE o_orderkey % 3 = 0"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("batch_tag").cast("bigint").alias("n_tagged"),
+            (F.round(F.sum("o_totalprice") * 100) / 100).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
