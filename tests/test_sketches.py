@@ -146,3 +146,42 @@ def test_kll_sketch_merge_matches_single_pass(spark):
         .collect()[0]["q"]
     )
     assert 4800 <= est <= 5200
+
+
+def test_band_signature_kernel_properties():
+    """Numpy-level properties of the banded-LSH signature kernel
+    (vector_kernels.make_band_sig_udf's inner math, evaluated directly):
+    (a) each band's bucket encodes exactly the sign pattern of its own
+    plane block — recomputed independently per plane; (b) identical
+    vectors share every band; (c) a sign-flipped vector shares none
+    (every plane dot flips, every bucket is the bitwise complement)."""
+    import numpy as np
+
+    from minimised_impala_spark.extensions import vector_kernels as VK
+
+    n_bands, r = 6, 5
+    total = n_bands * r
+    planes = np.array([VK.plane(pl) for pl in range(total)])
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, VK.DIM))
+    # the kernel's vectorized computation
+    bits = (m @ planes.T) > 0
+    sigs = (bits.reshape(len(m), n_bands, r) << np.arange(r)).sum(axis=2)
+    # (a) independent per-plane recomputation
+    for v in range(0, 40, 7):
+        for b in range(n_bands):
+            expect = sum(
+                (1 << j)
+                for j in range(r)
+                if float(m[v] @ planes[b * r + j]) > 0
+            )
+            assert sigs[v, b] == expect
+    # (b) duplicates collide in every band
+    dup = np.vstack([m, m[:3]])
+    bits2 = (dup @ planes.T) > 0
+    sigs2 = (bits2.reshape(len(dup), n_bands, r) << np.arange(r)).sum(axis=2)
+    assert (sigs2[:3] == sigs2[40:43]).all()
+    # (c) sign-flip complements every bucket (no plane dot is exactly 0
+    # for continuous random vectors)
+    flip_bits = ((-m) @ planes.T) > 0
+    assert not (bits & flip_bits).any()
