@@ -96,14 +96,83 @@ def repl(engine: Engine, in_stream=sys.stdin, out=sys.stdout) -> None:
             out.flush()
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a script on ';' terminators (the reference shell's batch
+    splitter, shell/impala_shell.py execute_queries; comments and strings
+    containing ';' are out of scope here as they were there)."""
+    return [s.strip() for s in text.split(";") if s.strip()]
+
+
+def run_batch(
+    engine: Engine,
+    statements: list[str],
+    out,
+    delimited: bool = False,
+    delimiter: str = "\t",
+) -> int:
+    """Non-interactive execution (the reference's ``-q``/``-f`` modes,
+    shell/impala_shell.py option parsing): run each statement, render
+    results as the grid or, with ``delimited`` (the reference's ``-B
+    --output_delimiter``), as machine-readable delimited rows without
+    headers. Returns a process exit code (first failure wins, remaining
+    statements still run — matching ``--ignore_query_failure=false``
+    semantics loosely enough for scripting)."""
+    code = 0
+    for stmt in statements:
+        try:
+            rows = engine.sql(stmt).collect()
+        except Exception as e:  # report and continue, nonzero exit
+            out.write(f"ERROR: {e}\n")
+            code = 1
+            continue
+        if delimited:
+            for r in rows:
+                out.write(
+                    delimiter.join("" if v is None else str(v) for v in r) + "\n"
+                )
+        else:
+            _render_rows(rows, out)
+    return code
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="minimised-impala-spark shell")
     p.add_argument("--sf-dir", default=None, help="fixture dir to pre-register tables from")
     p.add_argument("--cpus", type=int, default=4)
+    p.add_argument("-q", "--query", default=None,
+                   help="execute statement(s) and exit (reference -q)")
+    p.add_argument("-f", "--query-file", default=None,
+                   help="execute statements from a file and exit (reference -f)")
+    p.add_argument("-B", "--delimited", action="store_true",
+                   help="print rows delimited instead of the grid (reference -B)")
+    p.add_argument("--output_delimiter", default="\t",
+                   help="field delimiter for -B (reference --output_delimiter)")
+    p.add_argument("-o", "--output-file", default=None,
+                   help="write results to a file instead of stdout (reference -o)")
     args = p.parse_args(argv)
     engine = Engine.local(cpus=args.cpus)
     if args.sf_dir:
         engine.load_fixture_tables(args.sf_dir)
+    script = None
+    if args.query is not None:
+        script = args.query
+    elif args.query_file is not None:
+        with open(args.query_file) as fh:
+            script = fh.read()
+    if script is not None:
+        out = open(args.output_file, "w") if args.output_file else sys.stdout
+        try:
+            code = run_batch(
+                engine,
+                _split_statements(script),
+                out,
+                delimited=args.delimited,
+                delimiter=args.output_delimiter,
+            )
+        finally:
+            if args.output_file:
+                out.close()
+        raise SystemExit(code)
     repl(engine)
 
 

@@ -112,3 +112,56 @@ def test_shell_ctrl_c_cancels_and_keeps_session(spark, sf_dir, monkeypatch):
     text = out.getvalue()
     assert "Cancelled" in text
     assert "y" in text and "7" in text  # session survived, next stmt ran
+
+
+def test_shell_batch_query_mode(spark, sf_dir):
+    """Reference -q mode: statements in, results out, no REPL."""
+    import io
+
+    from minimised_impala_spark.shell import _split_statements, run_batch
+
+    register_tables(spark, sf_dir, ("nation",))
+    engine = Engine(spark)
+    out = io.StringIO()
+    code = run_batch(
+        engine,
+        _split_statements(
+            "SELECT count(*) AS n FROM nation; SELECT 1 AS one"
+        ),
+        out,
+    )
+    assert code == 0
+    assert "| n " in out.getvalue() and "| one " in out.getvalue()
+
+
+def test_shell_batch_delimited_output(spark, sf_dir):
+    """Reference -B --output_delimiter: machine-readable rows, no grid."""
+    import io
+
+    from minimised_impala_spark.shell import run_batch
+
+    register_tables(spark, sf_dir, ("region",))
+    engine = Engine(spark)
+    out = io.StringIO()
+    code = run_batch(
+        engine,
+        ["SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"],
+        out,
+        delimited=True,
+        delimiter="|",
+    )
+    assert code == 0
+    lines = out.getvalue().strip().splitlines()
+    assert len(lines) == 5 and lines[0].startswith("0|")
+    assert "+" not in out.getvalue()  # no grid furniture
+
+
+def test_shell_batch_error_exit_code(spark):
+    import io
+
+    from minimised_impala_spark.shell import run_batch
+
+    engine = Engine(spark)
+    out = io.StringIO()
+    code = run_batch(engine, ["SELECT * FROM definitely_missing_tbl"], out)
+    assert code == 1 and "ERROR" in out.getvalue()
