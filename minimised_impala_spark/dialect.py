@@ -52,6 +52,10 @@ _STRAIGHT = re.compile(r"\bSELECT\s+STRAIGHT_JOIN\b", re.IGNORECASE)
 _COMPUTE_STATS = re.compile(
     r"^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE
 )
+_SHOW_STATS = re.compile(
+    r"^\s*SHOW\s+(TABLE|COLUMN)\s+STATS\s+([\w.`]+)\s*$", re.IGNORECASE
+)
+_SHOW_FILES = re.compile(r"^\s*SHOW\s+FILES\s+IN\s+([\w.`]+)\s*$", re.IGNORECASE)
 _INVALIDATE = re.compile(r"^\s*INVALIDATE\s+METADATA\s+([\w.`]+)\s*$", re.IGNORECASE)
 _REFRESH = re.compile(r"^\s*REFRESH\s+([\w.`]+)\s*$", re.IGNORECASE)
 _CREATE_LIKE_FILE = re.compile(
@@ -121,6 +125,24 @@ def parse_create_like_file(sql: str) -> dict | None:
         "path": m.group(3),
         "fmt": (m.group(4) or "parquet").lower(),
     }
+
+
+def parse_show_stats(sql: str) -> dict | None:
+    """Parse ``SHOW TABLE STATS t`` / ``SHOW COLUMN STATS t``
+    (fe/.../analysis/ShowStatsStmt.java). Returns None for other
+    statements; Engine.sql builds the stats result from the catalog."""
+    m = _SHOW_STATS.match(sql)
+    if not m:
+        return None
+    return {"kind": m.group(1).lower(), "table": m.group(2).strip("`")}
+
+
+def parse_show_files(sql: str) -> dict | None:
+    """Parse ``SHOW FILES IN t`` (fe/.../analysis/ShowFilesStmt.java)."""
+    m = _SHOW_FILES.match(sql)
+    if not m:
+        return None
+    return {"table": m.group(1).strip("`")}
 
 
 def parse_load_data(sql: str) -> dict | None:

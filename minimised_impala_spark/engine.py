@@ -47,6 +47,14 @@ class Engine:
         load = dialect.parse_load_data(text)
         if load is not None:
             return self._load_data(**load)
+        stats = dialect.parse_show_stats(text)
+        if stats is not None:
+            if stats["kind"] == "table":
+                return self._show_table_stats(stats["table"])
+            return self._show_column_stats(stats["table"])
+        files = dialect.parse_show_files(text)
+        if files is not None:
+            return self._show_files(files["table"])
         like = dialect.parse_create_like_file(text)
         if like is not None:
             return self._create_like_file(**like)
@@ -125,6 +133,80 @@ class Engine:
                 table, overwrite
             )
         return self.spark.sql(f"SELECT 'Loaded {n_files} file(s) into {table}' AS summary")
+
+    def _table_info(self, table: str) -> dict[str, str]:
+        return {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+
+    def _show_table_stats(self, table: str) -> DataFrame:
+        """SHOW TABLE STATS (fe/.../analysis/ShowStatsStmt.java): one row
+        of (num_rows, size_bytes, location). Like the reference, counts
+        are -1 until COMPUTE STATS has populated the catalog."""
+        import re as _re
+
+        info = self._table_info(table)
+        stats = info.get("Statistics", "")
+        m = _re.search(r"(\d+)\s+bytes", stats)
+        size = int(m.group(1)) if m else -1
+        m = _re.search(r"(\d+)\s+rows", stats)
+        rows = int(m.group(1)) if m else -1
+        return self.spark.createDataFrame(
+            [(rows, size, info.get("Location", ""))],
+            "num_rows bigint, size_bytes bigint, location string",
+        )
+
+    def _show_column_stats(self, table: str) -> DataFrame:
+        """SHOW COLUMN STATS: per-column (type, ndv, num_nulls, max_size),
+        -1 where COMPUTE STATS hasn't filled the catalog — the reference's
+        pre-stats display."""
+        rows = []
+        for f in self.spark.table(table).schema.fields:
+            kv = {
+                r["info_name"]: r["info_value"]
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {table} {f.name}"
+                ).collect()
+            }
+
+            def _i(key: str) -> int:
+                v = kv.get(key, "NULL")
+                return int(v) if v is not None and v.lstrip("-").isdigit() else -1
+
+            rows.append(
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    _i("distinct_count"),
+                    _i("num_nulls"),
+                    _i("max_col_len"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "column string, type string, ndv bigint, num_nulls bigint, "
+            "max_size bigint",
+        )
+
+    def _show_files(self, table: str) -> DataFrame:
+        """SHOW FILES IN t (fe/.../analysis/ShowFilesStmt.java): the data
+        files backing the table — (path, size_bytes), driver-side listing
+        of the table location, no data scan."""
+        import os
+
+        loc = self._table_info(table).get("Location", "")
+        root = loc.removeprefix("file:")
+        out = []
+        for dp, _, fs in os.walk(root):
+            for f in sorted(fs):
+                if f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dp, f)
+                out.append((full, os.path.getsize(full)))
+        return self.spark.createDataFrame(
+            sorted(out), "path string, size_bytes bigint"
+        )
 
     def sql_async(self, text: str) -> "QueryHandle":
         """Submit a statement for background execution with a cancellable

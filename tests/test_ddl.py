@@ -268,3 +268,41 @@ def test_alter_table_partition_lifecycle(ddl, tmp_path):
     assert "p=ext" not in parts
     assert ddl.sql("SELECT count(*) n FROM pt").collect()[0]["n"] == 0
     ddl.sql("DROP TABLE pt")
+
+
+def test_show_table_and_column_stats_and_files(spark, tmp_path):
+    """Impala SHOW TABLE STATS / SHOW COLUMN STATS / SHOW FILES IN
+    (fe/.../analysis/ShowStatsStmt.java, ShowFilesStmt.java): -1 before
+    COMPUTE STATS, real numbers after, and a file listing of the table
+    location."""
+    import shutil
+
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.sql("DROP TABLE IF EXISTS show_stats_t")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        f"{warehouse.removeprefix('file:')}/show_stats_t", ignore_errors=True
+    )
+    spark.sql("CREATE TABLE show_stats_t (a INT, b STRING) USING PARQUET")
+    spark.sql("INSERT INTO show_stats_t VALUES (1,'x'),(2,'y'),(2,NULL)")
+
+    before = eng.sql("SHOW TABLE STATS show_stats_t").collect()[0]
+    assert before["num_rows"] == -1  # reference shows -1 pre-stats
+
+    eng.sql("COMPUTE STATS show_stats_t")
+    spark.sql("ANALYZE TABLE show_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    after = eng.sql("SHOW TABLE STATS show_stats_t").collect()[0]
+    assert after["num_rows"] == 3 and after["size_bytes"] > 0
+    assert after["location"].endswith("show_stats_t")
+
+    cols = {r["column"]: r for r in eng.sql("SHOW COLUMN STATS show_stats_t").collect()}
+    assert cols["a"]["ndv"] == 2 and cols["a"]["num_nulls"] == 0
+    assert cols["b"]["num_nulls"] == 1
+
+    files = eng.sql("SHOW FILES IN show_stats_t").collect()
+    assert files and all(r["path"].endswith(".parquet") for r in files)
+    assert all(r["size_bytes"] > 0 for r in files)
+    spark.sql("DROP TABLE show_stats_t")
