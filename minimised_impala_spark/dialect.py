@@ -52,6 +52,17 @@ _STRAIGHT = re.compile(r"\bSELECT\s+STRAIGHT_JOIN\b", re.IGNORECASE)
 _COMPUTE_STATS = re.compile(
     r"^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE
 )
+_CREATE_DATA_SRC = re.compile(
+    r"^\s*CREATE\s+DATA\s+SOURCE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+    r"LOCATION\s+'([^']*)'\s+CLASS\s+'([^']+)'\s+API_VERSION\s+'([^']+)'\s*$",
+    re.IGNORECASE,
+)
+_DROP_DATA_SRC = re.compile(
+    r"^\s*DROP\s+DATA\s+SOURCE\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_DATA_SRCS = re.compile(
+    r"^\s*SHOW\s+DATA\s+SOURCES(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
 _SHOW_STATS = re.compile(
     r"^\s*SHOW\s+(TABLE|COLUMN)\s+STATS\s+([\w.`]+)\s*$", re.IGNORECASE
 )
@@ -125,6 +136,30 @@ def parse_create_like_file(sql: str) -> dict | None:
         "path": m.group(3),
         "fmt": (m.group(4) or "parquet").lower(),
     }
+
+
+def parse_data_source_ddl(sql: str) -> dict | None:
+    """Parse the ext-data-source catalog verbs
+    (fe/.../analysis/CreateDataSrcStmt.java, sql-parser.cup:1183):
+    CREATE DATA SOURCE name LOCATION '...' CLASS '...' API_VERSION '...',
+    DROP DATA SOURCE name, SHOW DATA SOURCES [LIKE 'pat']."""
+    m = _CREATE_DATA_SRC.match(sql)
+    if m:
+        return {
+            "op": "create",
+            "if_not_exists": bool(m.group(1)),
+            "name": m.group(2),
+            "location": m.group(3),
+            "class_name": m.group(4),
+            "api_version": m.group(5),
+        }
+    m = _DROP_DATA_SRC.match(sql)
+    if m:
+        return {"op": "drop", "if_exists": bool(m.group(1)), "name": m.group(2)}
+    m = _SHOW_DATA_SRCS.match(sql)
+    if m:
+        return {"op": "show", "pattern": m.group(1)}
+    return None
 
 
 def parse_show_stats(sql: str) -> dict | None:

@@ -27,6 +27,7 @@ class Engine:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self._data_sources: dict[str, dict] = {}
         register_sql_functions(spark)
 
     @classmethod
@@ -47,6 +48,9 @@ class Engine:
         load = dialect.parse_load_data(text)
         if load is not None:
             return self._load_data(**load)
+        ds = dialect.parse_data_source_ddl(text)
+        if ds is not None:
+            return self._data_source_ddl(ds)
         stats = dialect.parse_show_stats(text)
         if stats is not None:
             if stats["kind"] == "table":
@@ -133,6 +137,65 @@ class Engine:
                 table, overwrite
             )
         return self.spark.sql(f"SELECT 'Loaded {n_files} file(s) into {table}' AS summary")
+
+    def _data_source_ddl(self, ds: dict) -> DataFrame:
+        """ext-data-source catalog verbs (CreateDataSrcStmt.java /
+        DropDataSourceStmt / ShowDataSrcsStmt): the catalog records
+        (name, location, class, api_version); when the class resolves to
+        an importable Spark Python DataSource, CREATE also registers it
+        with the session so ``spark.read.format(name)`` works
+        immediately — the analogue of the reference's executor-side
+        ExternalDataSourceExecutor binding the jar at scan time."""
+        reg = self._data_sources
+        if ds["op"] == "create":
+            if ds["name"] in reg and not ds["if_not_exists"]:
+                raise ValueError(f"data source {ds['name']} already exists")
+            if ds["name"] not in reg:
+                reg[ds["name"]] = {
+                    "location": ds["location"],
+                    "class": ds["class_name"],
+                    "api_version": ds["api_version"],
+                }
+                cls = self._resolve_python_data_source(ds["class_name"])
+                if cls is not None:
+                    self.spark.dataSource.register(cls)
+            return self.spark.sql(
+                f"SELECT 'Data source {ds['name']} created' AS summary"
+            )
+        if ds["op"] == "drop":
+            if ds["name"] not in reg and not ds["if_exists"]:
+                raise ValueError(f"data source {ds['name']} does not exist")
+            reg.pop(ds["name"], None)
+            return self.spark.sql(
+                f"SELECT 'Data source {ds['name']} dropped' AS summary"
+            )
+        rows = [
+            (n, m["location"], m["class"], m["api_version"])
+            for n, m in sorted(reg.items())
+            if ds["pattern"] is None
+            or __import__("fnmatch").fnmatch(n, ds["pattern"])
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "name string, location string, class string, api_version string",
+        )
+
+    @staticmethod
+    def _resolve_python_data_source(class_name: str):
+        """'module.Class' → the class if importable and a Spark Python
+        DataSource subclass, else None (metadata-only registration)."""
+        import importlib
+
+        from pyspark.sql.datasource import DataSource as _DS
+
+        mod, _, cls = class_name.rpartition(".")
+        if not mod:
+            return None
+        try:
+            obj = getattr(importlib.import_module(mod), cls, None)
+        except ImportError:
+            return None
+        return obj if isinstance(obj, type) and issubclass(obj, _DS) else None
 
     def _table_info(self, table: str) -> dict[str, str]:
         return {

@@ -62,3 +62,50 @@ def test_equality_pushdown_single_row(spark):
 def test_empty_range(spark):
     df = _read(spark, rows=100, partitions=4).filter(F.col("id") > 1000)
     assert df.count() == 0
+
+
+def test_data_source_ddl_verbs(spark):
+    """CREATE/SHOW/DROP DATA SOURCE (CreateDataSrcStmt.java,
+    sql-parser.cup:1183): catalog round trip, LIKE filtering, and the
+    importable-class path actually registering the Python DataSource so
+    reads work immediately."""
+    import pytest
+
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(spark)
+    out = eng.sql(
+        "CREATE DATA SOURCE kvsrc LOCATION '/ignored' "
+        "CLASS 'minimised_impala_spark.sources.ext_kv.ExtKVDataSource' "
+        "API_VERSION 'V1'"
+    ).collect()
+    assert "created" in out[0][0]
+    rows = eng.sql("SHOW DATA SOURCES").collect()
+    assert [r["name"] for r in rows] == ["kvsrc"]
+    assert rows[0]["class"].endswith("ExtKVDataSource")
+    # the registered source is immediately readable
+    n = (
+        spark.read.format("ext_kv")
+        .option("rows", "100")
+        .option("partitions", "2")
+        .load()
+        .count()
+    )
+    assert n == 100
+    # LIKE pattern + duplicate/missing handling
+    assert eng.sql("SHOW DATA SOURCES LIKE 'kv*'").count() == 1
+    assert eng.sql("SHOW DATA SOURCES LIKE 'zz*'").count() == 0
+    with pytest.raises(Exception):
+        eng.sql(
+            "CREATE DATA SOURCE kvsrc LOCATION '/x' CLASS 'a.B' API_VERSION 'V1'"
+        )
+    eng.sql(
+        "CREATE DATA SOURCE IF NOT EXISTS kvsrc LOCATION '/x' "
+        "CLASS 'a.B' API_VERSION 'V1'"
+    )  # no-op, keeps original class
+    assert eng.sql("SHOW DATA SOURCES").collect()[0]["class"].endswith("ExtKVDataSource")
+    eng.sql("DROP DATA SOURCE kvsrc")
+    assert eng.sql("SHOW DATA SOURCES").count() == 0
+    with pytest.raises(Exception):
+        eng.sql("DROP DATA SOURCE kvsrc")
+    eng.sql("DROP DATA SOURCE IF EXISTS kvsrc")  # no-op
