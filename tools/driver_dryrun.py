@@ -6,8 +6,8 @@ sf0.01 (the gate scale) with a plain SparkSession, mirroring what
 CORRECTNESS_r{N}.json will record. Use before ending a round:
 
     python tools/driver_dryrun.py           # first 50 (the driver cap)
-    python tools/driver_dryrun.py 0 203     # everything
-    python tools/driver_dryrun.py 50 203    # the tail beyond the cap
+    python tools/driver_dryrun.py 0 999     # everything
+    python tools/driver_dryrun.py 50 999    # the tail beyond the cap
 """
 
 from __future__ import annotations
