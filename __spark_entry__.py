@@ -38,12 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # those 16 so every registered query gets >=1 hard driver row, then
 # scalar_decimal (red r2-r4 — r5 fix casts the six DECIMAL output
 # columns to DOUBLE at the boundary per the judge's diagnosis), then
-# the 15 round-5 additions (slots 18-32), then 18 previously-green
+# the 16 round-5 additions (slots 18-33), then 17 previously-green
 # category representatives rotating regression coverage onto names last
-# verified in r1-r3 (slot 50 = window_range_numeric; the r4 sweep
-# already re-greened the round-4 additions, and the names past the cap
-# all keep earlier green rows). The whole 208-name registry was swept
-# green at sf0.01 via tools/driver_dryrun.py before round end.
+# verified in r1-r3 (slot 50 = window_rows_frame; the r4 sweep already
+# re-greened the round-4 additions, and the names past the cap all keep
+# earlier green rows). The whole 209-name registry was swept green at
+# sf0.01 via tools/driver_dryrun.py before round end.
 _PRIORITY = [
     # never driver-verified through r4 — close the coverage gap first
     "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
@@ -61,7 +61,8 @@ _PRIORITY = [
     "dedup_embedding_lsh", "ddl_insert_partitions", "text_bm25_topk",
     "text_bigram_lm", "sim_centroid_classify", "streaming_drift_kl",
     "pipeline_corpus_diff", "udf_java_jar", "ddl_view_cte",
-    "agg_salted_skew", "streaming_dedup_lsh", "ddl_sql_function",
+    "agg_salted_skew", "join_salted_skew", "streaming_dedup_lsh",
+    "ddl_sql_function",
     "dialect_broadcast_hint", "ddl_load_data", "ddl_alter_truncate",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)

@@ -303,3 +303,55 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values pass through unaggregated, so no rounding shims are needed."""
     register_tables(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigated JOIN as a driver-oracled query (§2 skew row's join half;
+# the groupBy half is agg_salted_skew): a deliberately skewed probe key
+# (~70% of orders collapse onto nation 0) joined to the nation dim
+# through operators.skew.salted_join — probe rows salt uniformly, the
+# build side replicates under every salt, so the hot key spreads over
+# n_salts shuffle partitions instead of one straggler task. The oracle
+# is the plain equi-join: a green hash proves the salting rewrite is
+# semantics-preserving. At 100 TB this is the fallback for hot keys on
+# broadcast-ineligible build sides (AQE skew-join handles the rest).
+@query(
+    "join_salted_skew",
+    oracle="""
+WITH probe AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 7 THEN 0
+              ELSE o_orderkey % 25 END AS n_nationkey,
+         o_totalprice
+  FROM orders
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(p.o_totalprice) * 100) / 100 AS revenue
+FROM probe p JOIN nation n ON n.n_nationkey = p.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    probe = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("o_orderkey") % 25)
+        .cast("long")
+        .alias("n_nationkey"),
+        "o_totalprice",
+    )
+    build = nation.select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    joined = salted_join(probe, build, on="n_nationkey", n_salts=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.round(F.sum("o_totalprice") * 100) / 100).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

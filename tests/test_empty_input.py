@@ -62,6 +62,7 @@ EMPTY_ZERO = [
     "text_bigram_lm",
     "sim_centroid_classify",
     "pipeline_corpus_diff",
+    "join_salted_skew",
 ]
 
 
