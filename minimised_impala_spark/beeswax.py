@@ -530,8 +530,22 @@ class BeeswaxServer:
                 if ft == T_STOP:
                     break
                 r.skip(ft)
+            # ConfigVariable {1: key; 2: value; 3: description} — the
+            # engine's session preset, the closest analogue of the
+            # reference's default query options.
+            from minimised_impala_spark.session import ENGINE_CONF
+
+            items = sorted(ENGINE_CONF.items())
             w.write_field(T_LIST, 0)
-            w.write_list_begin(T_STRUCT, 0)
+            w.write_list_begin(T_STRUCT, len(items))
+            for k, v in items:
+                w.write_field(T_STRING, 1)
+                w.write_string(k)
+                w.write_field(T_STRING, 2)
+                w.write_string(v)
+                w.write_field(T_STRING, 3)
+                w.write_string("engine session preset")
+                w.write_stop()
             w.write_stop()
             return
 
@@ -748,3 +762,30 @@ class BeeswaxClient:
         r = self._call("close", enc)
         ft, _ = self._result_field(r)
         assert ft == T_STOP
+
+    def get_default_configuration(self) -> list[tuple[str, str]]:
+        def enc(w: TBinaryWriter) -> None:
+            w.write_field(T_BOOL, 1)
+            w.write_bool(False)
+            w.write_stop()
+
+        r = self._call("get_default_configuration", enc)
+        ft, fid = self._result_field(r)
+        assert ft == T_LIST and fid == 0
+        r.read_byte()  # element type
+        out = []
+        for _ in range(r.read_i32()):
+            key = val = ""
+            while True:
+                ift, ifid = r.read_field()
+                if ift == T_STOP:
+                    break
+                if ifid == 1 and ift == T_STRING:
+                    key = r.read_string()
+                elif ifid == 2 and ift == T_STRING:
+                    val = r.read_string()
+                else:
+                    r.skip(ift)
+            out.append((key, val))
+        assert r.read_field()[0] == T_STOP
+        return out

@@ -181,3 +181,15 @@ def test_dialect_and_errors_over_the_wire(beeswax):
         assert "nation" in c.explain("SELECT count(*) FROM nation").lower()
     finally:
         c.close()
+
+
+def test_default_configuration_lists_engine_preset(beeswax):
+    from minimised_impala_spark.session import ENGINE_CONF
+
+    c = BeeswaxClient("127.0.0.1", beeswax.port)
+    try:
+        conf = dict(c.get_default_configuration())
+        assert conf.get("spark.sql.adaptive.enabled") == "true"
+        assert set(ENGINE_CONF) <= set(conf)
+    finally:
+        c.close()
