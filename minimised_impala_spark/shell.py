@@ -149,10 +149,26 @@ def main(argv: list[str] | None = None) -> None:
                    help="field delimiter for -B (reference --output_delimiter)")
     p.add_argument("-o", "--output-file", default=None,
                    help="write results to a file instead of stdout (reference -o)")
+    p.add_argument("--serve-beeswax", type=int, default=None, metavar="PORT",
+                   help="serve the Beeswax wire protocol on PORT instead of "
+                        "running the REPL (the reference's impalad shell port)")
     args = p.parse_args(argv)
     engine = Engine.local(cpus=args.cpus)
     if args.sf_dir:
         engine.load_fixture_tables(args.sf_dir)
+    if args.serve_beeswax is not None:
+        from minimised_impala_spark.beeswax import BeeswaxServer
+
+        server = BeeswaxServer(engine, port=args.serve_beeswax).start()
+        print(f"Beeswax server on port {server.port}; Ctrl-C to stop")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
+        return
     script = None
     if args.query is not None:
         script = args.query

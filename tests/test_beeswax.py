@@ -193,3 +193,36 @@ def test_default_configuration_lists_engine_preset(beeswax):
         assert set(ENGINE_CONF) <= set(conf)
     finally:
         c.close()
+
+
+def test_concurrent_clients(beeswax):
+    """ThreadingTCPServer + one engine: four clients issue queries
+    simultaneously; every one gets its own consistent handle/results
+    (the reference served many shells against one coordinator)."""
+    import threading
+
+    results: dict[int, list[str]] = {}
+    errors: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            c = BeeswaxClient("127.0.0.1", beeswax.port)
+            try:
+                h = c.query(
+                    f"SELECT r_regionkey + {i} AS k FROM region ORDER BY k"
+                )
+                results[i] = c.fetch(h)["data"]
+                c.close_query(h)
+            finally:
+                c.close()
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for i in range(4):
+        assert results[i] == [str(k + i) for k in range(5)]
