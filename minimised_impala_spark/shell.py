@@ -96,6 +96,24 @@ def repl(engine: Engine, in_stream=sys.stdin, out=sys.stdout) -> None:
             out.flush()
 
 
+def substitute_vars(text: str, variables: dict[str, str]) -> str:
+    """Reference-shell variable substitution (shell/impala_shell.py:426
+    _replace_variables): ``${VAR:name}`` placeholders resolve from
+    ``--var name=value`` definitions, case-insensitively on the name;
+    an unknown variable is an error, and ``\${...}`` escapes."""
+    import re as _re
+
+    lowered = {k.lower(): v for k, v in variables.items()}
+
+    def repl(m: _re.Match) -> str:
+        name = m.group(1)
+        if name.lower() not in lowered:
+            raise KeyError(f"unknown variable {name!r}; define with --var")
+        return lowered[name.lower()]
+
+    return _re.sub(r"(?<!\\)\$\{[Vv][Aa][Rr]:([^}]+)\}", repl, text)
+
+
 def _split_statements(text: str) -> list[str]:
     """Split a script on ';' terminators (the reference shell's batch
     splitter, shell/impala_shell.py execute_queries; comments and strings
@@ -149,6 +167,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="field delimiter for -B (reference --output_delimiter)")
     p.add_argument("-o", "--output-file", default=None,
                    help="write results to a file instead of stdout (reference -o)")
+    p.add_argument("--var", action="append", default=[], metavar="NAME=VALUE",
+                   help="define a substitution variable for ${VAR:name} "
+                        "placeholders (reference --var; repeatable)")
     p.add_argument("--serve-beeswax", type=int, default=None, metavar="PORT",
                    help="serve the Beeswax wire protocol on PORT instead of "
                         "running the REPL (the reference's impalad shell port)")
@@ -176,6 +197,8 @@ def main(argv: list[str] | None = None) -> None:
         with open(args.query_file) as fh:
             script = fh.read()
     if script is not None:
+        variables = dict(v.split("=", 1) for v in args.var)
+        script = substitute_vars(script, variables)
         out = open(args.output_file, "w") if args.output_file else sys.stdout
         try:
             code = run_batch(

@@ -165,3 +165,19 @@ def test_shell_batch_error_exit_code(spark):
     out = io.StringIO()
     code = run_batch(engine, ["SELECT * FROM definitely_missing_tbl"], out)
     assert code == 1 and "ERROR" in out.getvalue()
+
+
+def test_shell_variable_substitution():
+    """Reference --var / ${VAR:name} substitution
+    (shell/impala_shell.py:426): case-insensitive names, unknown vars
+    error, escaped placeholders pass through."""
+    import pytest
+
+    from minimised_impala_spark.shell import substitute_vars
+
+    out = substitute_vars(
+        "SELECT ${VAR:lo} + ${var:HI} AS s", {"LO": "1", "hi": "2"}
+    )
+    assert out == "SELECT 1 + 2 AS s"
+    with pytest.raises(KeyError):
+        substitute_vars("SELECT ${VAR:nope}", {})
