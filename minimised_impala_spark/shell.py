@@ -97,7 +97,7 @@ def repl(engine: Engine, in_stream=sys.stdin, out=sys.stdout) -> None:
 
 
 def substitute_vars(text: str, variables: dict[str, str]) -> str:
-    """Reference-shell variable substitution (shell/impala_shell.py:426
+    r"""Reference-shell variable substitution (shell/impala_shell.py:426
     _replace_variables): ``${VAR:name}`` placeholders resolve from
     ``--var name=value`` definitions, case-insensitively on the name;
     an unknown variable is an error, and ``\${...}`` escapes."""
