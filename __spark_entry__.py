@@ -38,9 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # those 16 so every registered query gets >=1 hard driver row, then
 # scalar_decimal (red r2-r4 — r5 fix casts the six DECIMAL output
 # columns to DOUBLE at the boundary per the judge's diagnosis), then
-# the 16 round-5 additions (slots 18-33), then 17 previously-green
+# the 19 round-5 additions (slots 18-36), then previously-green
 # category representatives rotating regression coverage onto names last
-# verified in r1-r3 (slot 50 = window_rows_frame; the r4 sweep already
+# verified in r1-r3 (the r4 sweep already
 # re-greened the round-4 additions, and the names past the cap all keep
 # earlier green rows). The whole 209-name registry was swept green at
 # sf0.01 via tools/driver_dryrun.py before round end.
@@ -64,6 +64,9 @@ _PRIORITY = [
     "agg_salted_skew", "join_salted_skew", "streaming_dedup_lsh",
     "ddl_sql_function",
     "dialect_broadcast_hint", "ddl_load_data", "ddl_alter_truncate",
+    # round-5 late additions (iterative k-means, SemDeDup, C4-style
+    # paragraph dedup) — slots 34-36 so they get driver rows this round
+    "sim_kmeans_cluster", "dedup_semdedup", "dedup_paragraph",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

@@ -1116,3 +1116,201 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(cont, 6).alias("containment"))
         .orderBy("d1", "d2")
     )
+
+
+# ------------------------------------------------------------ semdedup --
+# SemDeDup (Abbas et al., 2023, arXiv:2303.09540): k-means-cluster the
+# embedding space, then remove semantic duplicates ONLY within each
+# cluster — the clustering bounds the pairwise work to Σ|cluster|²
+# instead of n², which is the whole point at 100 TB (plus: cap cluster
+# size / raise K as the corpus grows; near-dups land in the same cluster
+# by construction, so recall loss is the distance between SemDeDup and
+# exact all-pairs, accepted by design).
+#
+# Determinism contract (same as sim_kmeans_cluster): centroids are the K
+# lowest-id vectors, assignment argmin on round-6 squared L2 with index
+# tie-break, in-cluster cosine round-6 vs the threshold. All output
+# columns integer/boolean.
+_SEM_K = 8
+_SEM_TAU = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS c, e FROM v WHERE vec_id < {_SEM_K}),
+a AS (
+  SELECT vec_id, e, c FROM (
+    SELECT v.vec_id, v.e, cent.c,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_distance(v.e, cent.e) * list_distance(v.e, cent.e), 6),
+                      cent.c) AS rn
+    FROM v CROSS JOIN cent) t
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM a lo JOIN a hi
+    ON lo.c = hi.c AND lo.vec_id < hi.vec_id
+  WHERE round(list_cosine_similarity(lo.e, hi.e), 6) > {_SEM_TAU}
+)
+SELECT a.vec_id, CAST(a.c AS INT) AS cluster,
+       d.vec_id IS NULL AS kept
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@query("dedup_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings (deterministic single-pass
+    assignment to the K lowest-id seed vectors), then drop any vector
+    with a lower-id in-cluster neighbor above cosine 0.4. The in-cluster
+    self-join shuffles on the cluster id, so compared pairs are
+    Σ|cluster|², not n² — the scale recipe is K ∝ corpus size (the
+    SemDeDup paper uses K=11k for LAION); dedup_embedding_lsh is the
+    sibling for threshold regimes where banded LSH recall is provable,
+    and blocked-exact dedup_embedding the bounded-corpus fallback.
+
+    Output: (vec_id, cluster, kept) for every vector.
+    """
+    from minimised_impala_spark.extensions import vector_kernels as VK
+    from minimised_impala_spark.shipping import ship_module_by_value
+
+    ship_module_by_value("minimised_impala_spark.extensions.vector_kernels")
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centers = [
+        list(r.e)
+        for r in emb.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+    ]
+    assign = emb.select(
+        "vec_id", "e", VK.make_kmeans_assign_udf(centers)("e").alias("cluster")
+    )
+    lo = assign.select(
+        F.col("vec_id").alias("lo_id"), F.col("e").alias("lo_e"), "cluster"
+    )
+    hi = assign.select(
+        F.col("vec_id").alias("hi_id"), F.col("e").alias("hi_e"), "cluster"
+    )
+    dropped = (
+        lo.join(hi, ["cluster"])
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(F.round(VK.cosine_pair("lo_e", "hi_e"), 6) > _SEM_TAU)
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("is_dropped").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------- paragraph --
+# Paragraph-level exact dedup (the C4 / Dolma recipe: dedup at the
+# paragraph/line grain and REASSEMBLE the documents, rather than drop
+# whole docs). The fixture corpus has no newline structure, so the
+# "paragraph" unit is a fixed 12-token chunk — the mechanics (global
+# first-wins on the unit hash, in-order reassembly, empty-doc survival)
+# are identical. Scale: one shuffle on the paragraph key for the
+# first-wins window, one shuffle on doc_id for the reassembly — both
+# keyed hash exchanges; at 100 TB partition the window by md5(paragraph)
+# (uniform) and the reassembly by doc_id (unique), no skew.
+_PARA_W = 12
+
+_PARA_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, i.ci,
+         array_to_string(
+           list_slice(toks, i.ci * {_PARA_W} + 1, i.ci * {_PARA_W} + {_PARA_W}),
+           ' ') AS p
+  FROM w, (SELECT unnest(generate_series(0, 9999)) AS ci) i
+  WHERE i.ci * {_PARA_W} < len(toks)
+),
+r AS (
+  SELECT doc_id, ci, p,
+         row_number() OVER (PARTITION BY p ORDER BY doc_id, ci) AS rn
+  FROM c
+),
+k AS (
+  SELECT doc_id, string_agg(p, ' ' ORDER BY ci) AS clean_text,
+         count(*) AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(t.n_chunks AS INT) AS n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept
+FROM tot t LEFT JOIN k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@query("dedup_paragraph", oracle=_PARA_ORACLE)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup with document reassembly: split each
+    doc into 12-token paragraphs, keep only the globally-FIRST
+    occurrence of each distinct paragraph (order = (doc_id, position)),
+    and rebuild every document from its surviving paragraphs in
+    original order — documents whose every paragraph occurred earlier
+    elsewhere survive as empty strings (they are not silently dropped).
+
+    Output: (doc_id, clean_text, n_chunks, n_kept) for every document.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / _PARA_W).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        "toks",
+    ).select(
+        "doc_id",
+        "ci",
+        F.array_join(
+            F.slice("toks", F.col("ci") * _PARA_W + 1, _PARA_W), " "
+        ).alias("p"),
+    )
+    first_wins = W.partitionBy("p").orderBy("doc_id", "ci")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(first_wins))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("ci", "p"))).getField("p"),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks")
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

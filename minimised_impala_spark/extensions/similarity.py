@@ -945,3 +945,112 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(hits.agg((F.count(F.lit(1)) >= RECALL_FLOOR).alias("recall_ok")))
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic distributed Lloyd's k-means — the iterative-algorithm class
+# (reference analogue: the coarse-quantizer training the IVF path outsources
+# to pyspark.ml, here re-expressed natively so the WHOLE iteration is
+# SQL-expressible and exactly oracled). Init is the K lowest-id vectors
+# (no RNG), every distance is round-6 before argmin (cross-engine parity,
+# see make_kmeans_assign_udf), and the recomputed centroids are round-6
+# per component, so DuckDB replays the identical trajectory.
+#
+# Scale path (100 TB): assignment is a narrow map with closure-captured
+# centroids (no shuffle, no broadcast exchange); the per-iteration reduce
+# is one partial/final hash-agg over (cluster, pos) — K×DIM rows out. The
+# only driver-side materialization is the K×DIM centroid matrix itself
+# (bytes, same bounded pattern as the PQ codebooks). Iterations are
+# sequential jobs — exactly how a production Lloyd's runs on a cluster.
+_KM_K, _KM_ITERS = 4, 2
+
+_KMEANS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+init AS (SELECT vec_id AS c, e FROM v WHERE vec_id < {_KM_K}),
+a1 AS (
+  SELECT vec_id, e, c FROM (
+    SELECT v.vec_id, v.e, i.c,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_distance(v.e, i.e) * list_distance(v.e, i.e), 6),
+                      i.c) AS rn
+    FROM v CROSS JOIN init i) t
+  WHERE rn = 1
+),
+comp AS (
+  SELECT a1.c, p.pos, round(avg(a1.e[p.pos + 1]), 6) AS val
+  FROM a1, (SELECT unnest(range({DIM})) AS pos) p
+  GROUP BY a1.c, p.pos
+),
+cent1 AS (SELECT c, list(val ORDER BY pos) AS e FROM comp GROUP BY c),
+cent AS (
+  SELECT i.c, COALESCE(c1.e, i.e) AS e
+  FROM init i LEFT JOIN cent1 c1 USING (c)
+),
+final AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, ct.c,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_distance(v.e, ct.e) * list_distance(v.e, ct.e), 6),
+                      ct.c) AS rn
+    FROM v CROSS JOIN cent ct) t
+  WHERE rn = 1
+)
+SELECT vec_id, CAST(c AS INT) AS cluster FROM final ORDER BY vec_id
+"""
+
+
+@query("sim_kmeans_cluster", oracle=_KMEANS_ORACLE)
+def sim_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native distributed k-means (Lloyd's), K=4, 2 assignment passes,
+    deterministic init (the K lowest-vec_id vectors) — fully oracled:
+    DuckDB replays the identical trajectory because every distance and
+    every recomputed centroid component is rounded to 6 decimals before
+    use. Empty clusters keep their previous centroid (COALESCE on both
+    sides). Output: final (vec_id, cluster) assignment.
+
+    Reference parity: clustering backs the reference's ANN/rollup
+    extensions the same way the IVF coarse quantizer does
+    (sim_ivf_ann); this entry pins the ITERATIVE training loop itself
+    as a first-class, exactly-tested distributed operator.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    init_rows = (
+        emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    )  # K×DIM — bounded driver-side materialization (PQ-codebook pattern)
+    centers: list[list[float]] = [list(r.e) for r in init_rows]
+
+    for _ in range(_KM_ITERS - 1):
+        assign = emb.select(
+            "vec_id", "e", VK.make_kmeans_assign_udf(centers)("e").alias("c")
+        )
+        # per-(cluster, position) mean, round-6 — one partial/final hash-agg
+        comp = (
+            assign.select("c", F.posexplode("e").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+        )
+        cent_rows = (
+            comp.groupBy("c")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "val")))
+                .getField("val")
+                .alias("cent")
+            )
+            .collect()
+        )  # K rows back to the driver — the next closure's centroid matrix
+        nxt = [list(c) for c in centers]  # empty clusters keep previous
+        for r in cent_rows:
+            nxt[r.c] = [float(x) for x in r.cent]
+        centers = nxt
+
+    return emb.select(
+        "vec_id",
+        VK.make_kmeans_assign_udf(centers)("e").alias("cluster"),
+    ).orderBy("vec_id")

@@ -312,3 +312,38 @@ def make_center_dot_udf(centers: list[list[float]]):
         )
 
     return center_dot
+
+
+def make_kmeans_assign_udf(centers: list[list[float]]):
+    """UDF factory: index of the nearest centroid by squared-L2 distance
+    ROUNDED to 6 decimals, ties broken by centroid index (numpy argmin's
+    first-occurrence rule). The rounding is the oracle-parity contract:
+    the DuckDB side recomputes round(list_distance(e, c)^2, 6) with its
+    own accumulation order and both engines agree after rounding (inputs
+    are unit-norm, so d^2 is in [0, 4] and the 1e-13 cross-engine noise
+    is far below the 1e-6 grid — and mathematically-equal ties, e.g. a
+    vector that IS a centroid duplicated, round identically on both
+    sides and fall through to the index tie-break).
+
+    Centroids are closure-captured (a K x DIM float matrix — bytes, not
+    a DataFrame), so assignment is a narrow map with no shuffle and no
+    broadcast machinery: the Lloyd's-iteration reduce is the only
+    exchange in the k-means plan."""
+    c = np.array(centers)  # K × DIM
+
+    @pandas_udf(T.IntegerType())
+    def assign_cluster(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return _empty("int32")
+        m = _mat(s)
+        # ||e||² − 2e·c + ||c||² — one BLAS matmul instead of an n×K×DIM
+        # intermediate; the association noise vs (e−c)² is absorbed by
+        # the same round-6 grid as the cross-engine noise.
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pd.Series(np.argmin(np.round(d, 6), axis=1).astype("int32"))
+
+    return assign_cluster

@@ -63,6 +63,9 @@ EMPTY_ZERO = [
     "sim_centroid_classify",
     "pipeline_corpus_diff",
     "join_salted_skew",
+    "sim_kmeans_cluster",
+    "dedup_semdedup",
+    "dedup_paragraph",
 ]
 
 

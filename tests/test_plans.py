@@ -354,3 +354,28 @@ def test_bm25_broadcasts_query_terms_and_takeordered(spark, sf_dir):
     plan = _physical(fresh("text_bm25_topk")(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semdedup_pairs_are_cluster_equijoin(spark, sf_dir):
+    """dedup_semdedup's pairwise stage must be an EQUI-join on the
+    cluster id (pairs ∝ Σ|cluster|², the SemDeDup bound) — an all-pairs
+    BroadcastNestedLoopJoin/CartesianProduct would defeat the clustering
+    entirely."""
+    plan = _physical(fresh("dedup_semdedup")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_kmeans_assignment_is_narrow_map(spark, sf_dir):
+    """sim_kmeans_cluster's final assignment must be a narrow map over
+    the embeddings scan (centroids closure-captured) — no join and no
+    aggregate in the returned plan; the Lloyd's reduce runs at
+    plan-build time, the assignment itself never shuffles on data."""
+    plan = _physical(fresh("sim_kmeans_cluster")(spark, sf_dir))
+    for op in ("Join", "CartesianProduct", "HashAggregate"):
+        assert op not in plan, (op, plan)
