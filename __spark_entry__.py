@@ -65,8 +65,10 @@ _PRIORITY = [
     "ddl_sql_function",
     "dialect_broadcast_hint", "ddl_load_data", "ddl_alter_truncate",
     # round-5 late additions (iterative k-means, SemDeDup, C4-style
-    # paragraph dedup) — slots 34-36 so they get driver rows this round
+    # paragraph dedup, model-based quality filter, CCNet perplexity
+    # buckets) — slots 34-38 so they get driver rows this round
     "sim_kmeans_cluster", "dedup_semdedup", "dedup_paragraph",
+    "text_quality_classifier", "text_ccnet_buckets",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

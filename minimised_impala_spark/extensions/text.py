@@ -1804,3 +1804,164 @@ def pipeline_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(state).orderBy("source").localCheckpoint(eager=True)
     shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------- quality classifier --
+# Model-based quality filtering (the DCLM / FineWeb-Edu recipe: a small
+# trained classifier scores every document and a threshold gates the
+# corpus). The production model is a fasttext/linear head shipped to the
+# executors as a constant — which is exactly what this pins: a
+# fixed-weight logistic model over the text_quality feature vector,
+# evaluated as built-in Column arithmetic (no UDF, whole-stage codegen).
+# Both engines build identical IEEE-double feature ratios from integer
+# counts and evaluate the same left-associated polynomial, so z is
+# bit-identical; exp() may differ in the last ulp between libm
+# implementations, so the sigmoid is rounded at 6 decimals (repo
+# convention) before output and thresholding.
+#
+# Scale: narrow map over the documents scan — no shuffle, no UDF; the
+# "model" is 5 doubles in the plan. Swapping in a real trained head
+# changes the constants, not the plan shape.
+_QC_BIAS, _QC_W_NT, _QC_W_ATL, _QC_W_SR, _QC_W_PPT = -1.0, 0.02, -0.2, 8.0, -2.0
+
+_QCLS_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS nt,
+         length(replace(text, ' ', '')) * 1.0
+           / len(string_split(text, ' ')) AS atl,
+         len(list_intersect(string_split(text, ' '),
+             ['the','and','of','to','a','in'])) * 1.0
+           / len(list_distinct(string_split(text, ' '))) AS sr,
+         len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1.0
+           / len(string_split(text, ' ')) AS ppt
+  FROM documents
+),
+z AS (
+  SELECT doc_id,
+         {_QC_BIAS} + {_QC_W_NT} * nt + {_QC_W_ATL} * atl
+           + {_QC_W_SR} * sr + {_QC_W_PPT} * ppt AS z
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS passes
+FROM z
+ORDER BY doc_id
+"""
+
+
+@query("text_quality_classifier", oracle=_QCLS_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier (model-based corpus
+    filtering): score = sigmoid(w·x + b) over (n_tokens, avg token
+    length, stopword ratio, punctuation per token), thresholded at 0.5.
+    Output: (doc_id, score, passes) for every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nt = F.size(toks)
+    atl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / nt
+    stop = F.array([F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    sr = F.size(F.array_intersect(toks, stop)) * 1.0 / F.size(F.array_distinct(toks))
+    ppt = F.regexp_count("text", F.lit(_PUNCT_RE)) * 1.0 / nt
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_NT) * nt
+        + F.lit(_QC_W_ATL) * atl
+        + F.lit(_QC_W_SR) * sr
+        + F.lit(_QC_W_PPT) * ppt
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.5).alias("passes"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ CCNet buckets --
+# CCNet-style perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359):
+# rank the corpus by LM score and split into head/middle/tail thirds —
+# downstream pipelines train on head+middle or reweight by bucket. The
+# LM is text_lm_score's unigram model (round-4 avg NLL, driver-green);
+# the global rank is computed with the two-phase distributed prefix scan
+# (operators/prefix.py), NOT a partition-less window — no single-task
+# sort at 100 TB. The ordering key packs (avg_nll, doc_id) into one
+# BIGINT (avg_nll is round-4 so avg_nll*10000 is integer-valued;
+# doc_id < 10^10 fills the low digits), giving the unique total order
+# the scan requires and DuckDB's row_number replays exactly.
+_CCNET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id, round(sum(-ln(v.c * 1.0 / tot.n)) / count(*), 4) AS avg_nll
+  FROM toks t JOIN vocab v ON v.tok = t.tok, tot
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, avg_nll,
+         row_number() OVER (ORDER BY avg_nll, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, avg_nll,
+       CASE WHEN rnk <= CAST(ceil(n / 3.0) AS BIGINT) THEN 'head'
+            WHEN rnk <= CAST(ceil(2 * n / 3.0) AS BIGINT) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@query("text_ccnet_buckets", oracle=_CCNET_ORACLE)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets: unigram-LM avg NLL per
+    doc (lowest = most fluent = head), global rank via the distributed
+    prefix scan, thirds split at ceil(n/3) / ceil(2n/3). Output:
+    (doc_id, avg_nll, bucket)."""
+    from minimised_impala_spark.operators.prefix import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-F.log(F.col("c") * 1.0 / F.col("n"))) / F.count(F.lit(1)), 4
+            ).alias("avg_nll")
+        )
+    )
+    # pack (avg_nll, doc_id) into one unique BIGINT ordering key:
+    # round-4 NLL is integer-valued ×10000 and bounded (< 9×10^4 here);
+    # doc_id occupies the low 10 digits
+    keyed = scored.withColumn(
+        "__ord",
+        (F.round(F.col("avg_nll") * 10000).cast("bigint") * F.lit(10_000_000_000))
+        + F.col("doc_id"),
+    )
+    ranked = distributed_cumsum(keyed, "__ord", F.lit(1), "rnk")
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "avg_nll",
+            F.when(
+                F.col("rnk") <= F.ceil(F.col("n") / 3.0).cast("bigint"), "head"
+            )
+            .when(
+                F.col("rnk") <= F.ceil(2 * F.col("n") / 3.0).cast("bigint"),
+                "middle",
+            )
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -66,6 +66,8 @@ EMPTY_ZERO = [
     "sim_kmeans_cluster",
     "dedup_semdedup",
     "dedup_paragraph",
+    "text_quality_classifier",
+    "text_ccnet_buckets",
 ]
 
 

@@ -379,3 +379,12 @@ def test_kmeans_assignment_is_narrow_map(spark, sf_dir):
     plan = _physical(fresh("sim_kmeans_cluster")(spark, sf_dir))
     for op in ("Join", "CartesianProduct", "HashAggregate"):
         assert op not in plan, (op, plan)
+
+
+def test_quality_classifier_is_codegen_map(spark, sf_dir):
+    """text_quality_classifier must be pure Column arithmetic — no
+    Python UDF in the plan (the 'model' is constants in codegen'd
+    expressions) and no aggregate/join: a narrow map over the scan."""
+    plan = _physical(fresh("text_quality_classifier")(spark, sf_dir))
+    for op in ("BatchEvalPython", "ArrowEvalPython", "Join", "HashAggregate"):
+        assert op not in plan, (op, plan)
