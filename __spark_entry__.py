@@ -66,9 +66,11 @@ _PRIORITY = [
     "dialect_broadcast_hint", "ddl_load_data", "ddl_alter_truncate",
     # round-5 late additions (iterative k-means, SemDeDup, C4-style
     # paragraph dedup, model-based quality filter, CCNet perplexity
-    # buckets) — slots 34-38 so they get driver rows this round
+    # buckets, MATCH_RECOGNIZE-style sequence patterns) — slots 34-39
+    # so they get driver rows this round
     "sim_kmeans_cluster", "dedup_semdedup", "dedup_paragraph",
     "text_quality_classifier", "text_ccnet_buckets",
+    "events_pattern_match",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

@@ -808,3 +808,67 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style event-sequence pattern detection (the SQL:2016 /
+# Flink CEP operator, compiled to the distributed shape Spark is good
+# at): shuffle once on the partition key, build each user's ordered
+# event-type string (event types map to single chars — first letters
+# are unique in this taxonomy), then run the PATTERN as a regex over
+# the string. `v+cp` = "one or more views, then a click, then a
+# purchase, contiguous" — non-overlapping leftmost matches, identical
+# semantics in Java regex and DuckDB's RE2 for this pattern class.
+#
+# Scale: one hash exchange on user_id; per-user sequences are bounded
+# (sessionize first at 100 TB — events_sessionize feeds this the same
+# way Flink scopes CEP by session window). No UDF: collect_list +
+# array_sort + regexp_count are all JVM-side.
+_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS INT) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'v+cp')) AS INT) AS n_matches
+FROM seq
+WHERE len(regexp_extract_all(s, 'v+cp')) >= 1
+ORDER BY user_id
+"""
+
+
+@query("events_pattern_match", oracle=_PATTERN_ORACLE)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over each user's time-ordered event
+    stream: count non-overlapping occurrences of view+ click purchase
+    (`v+cp` over first-letter event codes). Users with no match are
+    filtered out. Output: (user_id, seq_len, n_matches)."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = (
+        ev.select("user_id", item.alias("it"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("it")).getField("ch"), ""
+            ).alias("s")
+        )
+    )
+    n = F.regexp_count("s", F.lit("v+cp"))
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("int").alias("seq_len"),
+            n.cast("int").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
+        .orderBy("user_id")
+    )

@@ -68,6 +68,7 @@ EMPTY_ZERO = [
     "dedup_paragraph",
     "text_quality_classifier",
     "text_ccnet_buckets",
+    "events_pattern_match",
 ]
 
 
