@@ -621,6 +621,68 @@ def _gen_rollup_query(rng: random.Random) -> str:
 
 N_ROLLUP_QUERIES = 12
 
+
+def _gen_subquery_query(rng: random.Random) -> str:
+    """Subquery branch: correlated EXISTS/NOT EXISTS, [NOT] IN with a
+    filtered subquery, correlated scalar compare, and IN inside a
+    disjunction — the decorrelation/rewrite paths (semi/anti/left-outer
+    conversion) where engines classically disagree. Scalar subqueries
+    use min/max (order-insensitive exact on 2-dec money doubles), never
+    avg/sum, so the comparison threshold is bit-identical. No ORDER BY:
+    canon_rows compares order-insensitively."""
+    kind = rng.random()
+    if kind < 0.3:
+        neg = "NOT " if rng.random() < 0.5 else ""
+        thr = rng.randint(50000, 400000)
+        extra = (
+            f" AND o_orderstatus = '{rng.choice(['F', 'O', 'P'])}'"
+            if rng.random() < 0.4
+            else ""
+        )
+        return (
+            f"SELECT c_mktsegment, count(*) AS n, "
+            f"CAST(min(c_custkey) AS BIGINT) AS mn "
+            f"FROM customer WHERE {neg}EXISTS ("
+            f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            f"AND o_totalprice > {thr}{extra}) "
+            f"GROUP BY c_mktsegment"
+        )
+    if kind < 0.6:
+        neg = "NOT " if rng.random() < 0.5 else ""
+        thr = rng.randint(0, 9000)
+        return (
+            f"SELECT o_orderstatus, count(*) AS n, "
+            f"round(sum(o_totalprice) * 100) / 100 AS s "
+            f"FROM orders WHERE o_custkey {neg}IN ("
+            f"SELECT c_custkey FROM customer WHERE c_acctbal > {thr}) "
+            f"GROUP BY o_orderstatus"
+        )
+    if kind < 0.85:
+        mult = rng.choice(["1.0", "2.0", "0.5"])
+        agg = rng.choice(["max", "min"])
+        return (
+            f"SELECT c_mktsegment, count(*) AS n "
+            f"FROM customer WHERE c_acctbal * {mult} > ("
+            f"SELECT coalesce({agg}(o_totalprice), 0) FROM orders "
+            f"WHERE o_custkey = c_custkey) "
+            f"GROUP BY c_mktsegment"
+        )
+    seg = rng.sample(
+        ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"],
+        rng.randint(1, 2),
+    )
+    quoted = ", ".join(f"'{s}'" for s in seg)
+    st = rng.choice(["F", "O", "P"])
+    return (
+        f"SELECT count(*) AS n, CAST(min(o_orderkey) AS BIGINT) AS mn, "
+        f"CAST(max(o_orderkey) AS BIGINT) AS mx "
+        f"FROM orders WHERE o_orderstatus = '{st}' OR o_custkey IN ("
+        f"SELECT c_custkey FROM customer WHERE c_mktsegment IN ({quoted}))"
+    )
+
+
+N_SUBQ_QUERIES = 12
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -637,6 +699,8 @@ _RRNG = random.Random(20260819)
 QUERIES += [_gen_rollup_query(_RRNG) for _ in range(N_ROLLUP_QUERIES)]
 _FRNG = random.Random(20260820)
 QUERIES += [_gen_frame_query(_FRNG) for _ in range(N_FRAME_QUERIES)]
+_SRNG = random.Random(20260821)
+QUERIES += [_gen_subquery_query(_SRNG) for _ in range(N_SUBQ_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))

@@ -34,6 +34,7 @@ def main() -> int:
         _gen_outer_join_query,
         _gen_query,
         _gen_rollup_query,
+        _gen_subquery_query,
         _gen_window_query,
         to_duck_dialect,
     )
@@ -60,6 +61,7 @@ def main() -> int:
         (_gen_query, 1),
         (_gen_outer_join_query, 1),
         (_gen_rollup_query, 1),
+        (_gen_subquery_query, 2),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
