@@ -544,9 +544,15 @@ import re as _re
 
 def to_duck_dialect(sql: str) -> str:
     """Spark `f(args) IGNORE NULLS OVER` → DuckDB `f(args IGNORE NULLS)
-    OVER`; pure syntax, no semantic change. INTERVAL literals are shared
-    syntax and pass through."""
-    return _re.sub(r"\(([^()]*)\) IGNORE NULLS OVER", r"(\1 IGNORE NULLS) OVER", sql)
+    OVER`; Spark `datediff(end, start)` (day count) → DuckDB
+    `date_diff('day', start, end)` (argument order flips).  Both are pure
+    syntax, no semantic change; the datediff operands the generator emits
+    are comma-free (column casts / literals), which the regex relies on.
+    INTERVAL literals are shared syntax and pass through."""
+    sql = _re.sub(r"\(([^()]*)\) IGNORE NULLS OVER", r"(\1 IGNORE NULLS) OVER", sql)
+    return _re.sub(
+        r"datediff\(([^,]+), ([^()]+?)\)", r"date_diff('day', \2, \1)", sql
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -683,6 +689,117 @@ def _gen_subquery_query(rng: random.Random) -> str:
 
 N_SUBQ_QUERIES = 12
 
+
+def _gen_string_fn_query(rng: random.Random) -> str:
+    """String-library branch (SURVEY §2 row 56): the fuzzer's other
+    branches touch upper/substr/replace only — this one drives the rest
+    of the shared-dialect string surface (lpad/rpad, split_part, instr,
+    translate, reverse, repeat, md5, nested trims, concat_ws).  All are
+    pure functions, so determinism needs only the unique-key ORDER BY.
+    Stays inside the both-engines-identical subset: positive substr
+    offsets, positive split_part indices, single-char translate maps."""
+    kind = rng.random()
+    if kind < 0.3:
+        i, n = rng.randint(1, 10), rng.randint(1, 8)
+        pad = rng.randint(2, 12)
+        needle = rng.choice(["ar", "le", "o", "zz"])
+        return (
+            f"SELECT p_partkey, "
+            f"lpad(p_brand, {pad}, '*') AS lp, "
+            f"rpad(p_brand, {pad}, '.') AS rp, "
+            f"substr(p_name, {i}, {n}) AS sub, "
+            f"instr(p_name, '{needle}') AS pos, "
+            f"reverse(p_type) AS rv "
+            f"FROM part ORDER BY p_partkey LIMIT {rng.randint(20, 300)}"
+        )
+    if kind < 0.55:
+        j = rng.randint(1, 4)
+        w = rng.choice(["the", "data", "table", "row"])
+        return (
+            f"SELECT doc_id, md5(text) AS h, "
+            f"split_part(text, ' ', {j}) AS w{j}, "
+            f"length(rtrim(ltrim(text))) AS ln, "
+            f"CASE WHEN text LIKE '%{w}%' THEN 1 ELSE 0 END AS has_w "
+            f"FROM documents WHERE doc_id < {rng.randint(100, 450)} "
+            f"ORDER BY doc_id LIMIT {rng.randint(20, 300)}"
+        )
+    if kind < 0.8:
+        r = rng.randint(1, 3)
+        return (
+            f"SELECT c_custkey, "
+            f"repeat(substr(c_mktsegment, 1, 2), {r}) AS rp, "
+            f"translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr, "
+            f"concat_ws('-', c_mktsegment, 'X') AS cw, "
+            f"length(c_mktsegment) AS ln "
+            f"FROM customer WHERE c_custkey < {rng.randint(200, 1200)} "
+            f"ORDER BY c_custkey LIMIT {rng.randint(20, 300)}"
+        )
+    n = rng.randint(1, 6)
+    return (
+        f"SELECT substr(p_type, 1, {n}) AS pref, count(*) AS n, "
+        f"count(DISTINCT p_brand) AS nb, "
+        f"min(length(p_name)) AS mn_ln, "
+        f"max(reverse(p_brand)) AS mx_rv "
+        f"FROM part GROUP BY substr(p_type, 1, {n})"
+    )
+
+
+N_STRFN_QUERIES = 12
+
+
+def _gen_date_fn_query(rng: random.Random) -> str:
+    """Timestamp-library branch (SURVEY §2 row 58): extract-style parts
+    (year/month/day/hour/minute), date_trunc buckets, shared INTERVAL
+    arithmetic, DATE/TIMESTAMP literals, and datediff (translated to
+    DuckDB's date_diff('day', ...) by to_duck_dialect).  Excluded as
+    known-divergent: dayofweek (origin differs), week (ISO vs US),
+    epoch extraction (type differs)."""
+    kind = rng.random()
+    if kind < 0.3:
+        iv = rng.choice(["3 DAY", "12 HOUR", "45 MINUTE", "1 MONTH"])
+        return (
+            f"SELECT o_orderkey, "
+            f"year(o_orderdate) AS y, month(o_orderdate) AS m, "
+            f"day(o_orderdate) AS d, "
+            f"CAST(o_orderdate AS DATE) AS dt, "
+            f"o_orderdate + INTERVAL {iv} AS shifted "
+            f"FROM orders WHERE o_orderkey < {rng.randint(500, 5000)} "
+            f"ORDER BY o_orderkey LIMIT {rng.randint(20, 300)}"
+        )
+    if kind < 0.55:
+        # CAST around date_trunc: DuckDB returns DATE for day-or-coarser
+        # units (TIMESTAMP for finer) while Spark always returns
+        # TIMESTAMP — the cast makes both dialects emit TIMESTAMP.
+        unit = rng.choice(["month", "day", "hour", "year"])
+        return (
+            f"SELECT CAST(date_trunc('{unit}', o_orderdate) AS TIMESTAMP) AS bucket, "
+            f"count(*) AS n, "
+            f"round(sum(o_totalprice) * 100) / 100 AS s, "
+            f"CAST(min(o_orderkey) AS BIGINT) AS mn "
+            f"FROM orders GROUP BY date_trunc('{unit}', o_orderdate)"
+        )
+    if kind < 0.8:
+        d = rng.randint(1, 5)
+        h = rng.randint(0, 23)
+        return (
+            f"SELECT hour(ts) AS h, event_type, count(*) AS n, "
+            f"CAST(min(event_id) AS BIGINT) AS mn, "
+            f"min(ts) AS first_ts "
+            f"FROM events WHERE ts < TIMESTAMP '2024-01-0{d} {h:02d}:00:00' "
+            f"GROUP BY hour(ts), event_type"
+        )
+    anchor = f"2024-0{rng.randint(1, 2)}-{rng.randint(1, 28):02d}"
+    return (
+        f"SELECT o_orderkey, "
+        f"datediff(CAST(o_orderdate AS DATE), DATE '{anchor}') AS dd, "
+        f"minute(o_orderdate) AS mi "
+        f"FROM orders WHERE o_orderkey < {rng.randint(500, 5000)} "
+        f"ORDER BY o_orderkey LIMIT {rng.randint(20, 300)}"
+    )
+
+
+N_DATEFN_QUERIES = 12
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -701,6 +818,10 @@ _FRNG = random.Random(20260820)
 QUERIES += [_gen_frame_query(_FRNG) for _ in range(N_FRAME_QUERIES)]
 _SRNG = random.Random(20260821)
 QUERIES += [_gen_subquery_query(_SRNG) for _ in range(N_SUBQ_QUERIES)]
+_SFRNG = random.Random(20260822)
+QUERIES += [_gen_string_fn_query(_SFRNG) for _ in range(N_STRFN_QUERIES)]
+_DFRNG = random.Random(20260823)
+QUERIES += [_gen_date_fn_query(_DFRNG) for _ in range(N_DATEFN_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))

@@ -29,11 +29,13 @@ def main() -> int:
     from minimised_impala_spark.tables import register_tables
     from tests.oracle import canon_rows, duckdb_connect
     from tests.test_random_differential import (
+        _gen_date_fn_query,
         _gen_events_query,
         _gen_frame_query,
         _gen_outer_join_query,
         _gen_query,
         _gen_rollup_query,
+        _gen_string_fn_query,
         _gen_subquery_query,
         _gen_window_query,
         to_duck_dialect,
@@ -62,6 +64,8 @@ def main() -> int:
         (_gen_outer_join_query, 1),
         (_gen_rollup_query, 1),
         (_gen_subquery_query, 2),
+        (_gen_string_fn_query, 2),
+        (_gen_date_fn_query, 2),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
