@@ -71,6 +71,9 @@ _PRIORITY = [
     "sim_kmeans_cluster", "dedup_semdedup", "dedup_paragraph",
     "text_quality_classifier", "text_ccnet_buckets",
     "events_pattern_match",
+    # round-5 session-2 additions (span-grain n-gram dedup, PageRank
+    # over the event-transition graph)
+    "dedup_span_ngram", "events_pagerank_transitions",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

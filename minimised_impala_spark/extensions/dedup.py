@@ -1314,3 +1314,118 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Span-grain exact dedup: which TOKEN POSITIONS inside each document are
+# part of a 5-gram that also occurs verbatim in another document — the
+# n-gram-grained formulation of suffix-array substring dedup (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better": their
+# 50-token exact substrings become 5-token grams at fixture scale).  A
+# true distributed suffix array is unnecessary: a span of L duplicated
+# tokens is exactly a run of L-4 consecutive duplicated 5-grams, so
+# gram-match + gaps-and-islands recovers every maximal span.
+#
+# Scale: explode is linear in corpus tokens; the dup-gram set is one
+# hash aggregation on the 128-bit gram fingerprint (never raw text); the
+# membership probe is a semi-join on the same key; runs/aggregations are
+# keyed on doc_id. No broadcast of anything corpus-sized, no quadratic
+# stage. Docs shorter than the gram width carry no positions and drop out
+# on both sides (Spark: posexplode of an empty array; DuckDB: empty
+# generate_series).
+_SPAN_ORACLE = f"""
+WITH {CORPUS_SQL.strip()},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 4, 0))) AS p
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p:p+4], ' ')) AS gh FROM pos
+),
+dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT g.doc_id, g.p FROM grams g JOIN dupg USING (gh)),
+islands AS (
+  SELECT doc_id,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM marked
+),
+runs AS (SELECT doc_id, grp, count(*) AS run FROM islands GROUP BY doc_id, grp),
+per_doc AS (
+  SELECT doc_id,
+         CAST(max(run) + 4 AS BIGINT) AS max_span_tokens,
+         CAST(sum(run) AS BIGINT) AS n_dup
+  FROM runs GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos FROM grams GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_pos,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+       CAST(floor(CAST(coalesce(p.n_dup, 0) AS DOUBLE) * 1000 / b.n_pos)
+            AS BIGINT) AS dup_per_1k
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@query("dedup_span_ngram", oracle=_SPAN_ORACLE)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile over the planted-twin corpus:
+    (doc_id, n_pos, n_dup, max_span_tokens, dup_per_1k) where n_dup counts
+    5-gram positions whose gram occurs in ≥2 distinct docs and
+    max_span_tokens is the longest maximal duplicated token span
+    (longest consecutive dup-gram run + 4)."""
+    from pyspark.sql import Window as W
+
+    docs = corpus(spark, sf_dir).withColumn("toks", F.split("text", " "))
+    gram_arr = F.when(
+        F.size("toks") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 5))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", F.posexplode(gram_arr).alias("i0", "gh")
+    ).select("doc_id", (F.col("i0") + 1).alias("p"), "gh")
+    dupg = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    marked = grams.join(dupg, "gh", "left_semi").select("doc_id", "p")
+    w = W.partitionBy("doc_id").orderBy("p")
+    runs = (
+        marked.withColumn("grp", F.col("p") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        (F.max("run") + 4).cast("bigint").alias("max_span_tokens"),
+        F.sum("run").cast("bigint").alias("n_dup"),
+    )
+    base = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos")
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+            F.floor(
+                F.coalesce("n_dup", F.lit(0)).cast("double") * 1000
+                / F.col("n_pos")
+            )
+            .cast("bigint")
+            .alias("dup_per_1k"),
+        )
+        .orderBy("doc_id")
+    )

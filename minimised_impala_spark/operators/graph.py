@@ -72,3 +72,73 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count — (node, rank).
+
+    The fixed-K formulation (rather than convergence-tested) keeps the
+    operator a deterministic, oracle-able dataflow: K unrolled rounds of
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/out(u) + dangle/N )
+
+    where ``dangle`` is the rank mass sitting on nodes with no out-edges,
+    redistributed uniformly (the standard dangling-node fix, cf. Page et
+    al. 1999 §2.6 / the MapReduce formulation in Lin & Dyer ch. 5).
+
+    Scale notes: each round is one hash join of ranks onto edges (keyed on
+    src — co-partitioned across rounds since neither side's partitioning
+    changes) plus one groupBy(dst) partial/final aggregation; rank state is
+    8 bytes a node. The dangling term is a scalar aggregate crossJoined
+    back (broadcast of one row), never a driver collect. K is small and
+    fixed, so lineage growth needs no checkpointing.
+    """
+    n_nodes = nodes.select(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    outd = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
+    # Pre-divide each edge once: w/out(u) is loop-invariant.
+    norm_edges = edges.join(outd, src).select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        (F.col(weight) / F.col("outw")).alias("share"),
+    )
+    ranks = nodes.join(n_nodes).select(
+        F.col(node), (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    dangling_nodes = nodes.join(
+        outd.select(F.col(src).alias(node)), node, "left_anti"
+    )
+    for _ in range(n_iter):
+        contrib = (
+            norm_edges.join(ranks, norm_edges.e_src == ranks[node])
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+        )
+        dangle = dangling_nodes.join(ranks, node).select("rank").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangle")
+        )
+        ranks = (
+            nodes.join(contrib, nodes[node] == contrib.e_dst, "left")
+            .join(dangle)
+            .join(n_nodes)
+            .select(
+                F.col(node),
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dangle") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

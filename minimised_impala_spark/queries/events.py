@@ -872,3 +872,88 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") >= 1)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the event-type transition graph: nodes are event types,
+# a directed edge u→v weights how often v follows u in some user's
+# time-ordered stream. The operator (operators/graph.py:pagerank) is the
+# generic distributed dataflow — per round one src-keyed hash join of the
+# rank vector onto the (loop-invariant, pre-normalized) edge list and one
+# dst-keyed partial/final aggregation, with dangling mass redistributed
+# via a one-row crossJoin, never a driver collect. A fixed iteration
+# count (K=5) keeps it a deterministic dataflow both engines can compute
+# bit-compatibly; the oracle unrolls the same five rounds as chained
+# CTEs. Ranks are emitted as floor(r*1e6 + 0.5) so last-ulp summation-
+# order differences between engines cannot flip the hash.
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    head = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+edges AS (
+  SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+nedges AS (SELECT src, dst, w / outw AS share FROM edges JOIN outd USING (src)),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    its = []
+    for k in range(n_iter):
+        its.append(
+            f""",
+r{k + 1} AS (
+  SELECT nodes.node,
+         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * (
+             coalesce(c.contrib, 0)
+             + (SELECT coalesce(sum(p.rank), 0)
+                FROM r{k} p LEFT JOIN outd o ON p.node = o.src
+                WHERE o.src IS NULL) / (SELECT n FROM nn)
+           ) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank * e.share) AS contrib
+    FROM nedges e JOIN r{k} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+)"""
+        )
+    tail = f"""
+SELECT node AS event_type,
+       CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_e6
+FROM r{n_iter}
+ORDER BY event_type"""
+    return head + "".join(its) + tail
+
+
+@query("events_pagerank_transitions", oracle=_pagerank_oracle())
+def events_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, K=5 fixed rounds) over the event-type
+    transition graph; output (event_type, rank_e6)."""
+    from minimised_impala_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
+            F.col("prev").alias("src"), F.col("event_type").alias("dst"), "w"
+        )
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    ranks = pagerank(edges, nodes, damping=0.85, n_iter=5)
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.floor(F.col("rank") * 1000000 + 0.5).cast("bigint").alias("rank_e6"),
+    ).orderBy("event_type")

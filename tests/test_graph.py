@@ -66,3 +66,63 @@ def test_random_graphs_match_union_find(spark):
         expect = _union_find_components(edges)
         got = _cc(spark, edges)
         assert got == expect, f"trial {trial}"
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pagerank_numpy(
+    edges: list[tuple[int, int, float]],
+    nodes: list[int],
+    d: float = 0.85,
+    k: int = 5,
+) -> dict[int, float]:
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = [0.0] * n
+    for s, _t, w in edges:
+        out[idx[s]] += w
+    r = [1.0 / n] * n
+    for _ in range(k):
+        contrib = [0.0] * n
+        for s, t, w in edges:
+            contrib[idx[t]] += r[idx[s]] * (w / out[idx[s]])
+        dangle = sum(r[i] for i in range(n) if out[i] == 0.0)
+        r = [(1 - d) / n + d * (contrib[i] + dangle / n) for i in range(n)]
+    return {nd: r[idx[nd]] for nd in nodes}
+
+
+def test_pagerank_matches_reference(spark):
+    from minimised_impala_spark.operators.graph import pagerank
+
+    rng = random.Random(42)
+    nodes = list(range(12))
+    edges = []
+    seen = set()
+    for _ in range(40):
+        s, t = rng.randrange(12), rng.randrange(12)
+        if s != t and (s, t) not in seen:
+            seen.add((s, t))
+            edges.append((s, t, float(rng.randint(1, 9))))
+    # node 11 dangling: strip its out-edges to exercise the dangling term
+    edges = [e for e in edges if e[0] != 11]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node LONG")
+    got = {r["node"]: r["rank"] for r in pagerank(edf, ndf).collect()}
+    want = _pagerank_numpy(edges, nodes)
+    assert set(got) == set(want)
+    for n in nodes:
+        assert abs(got[n] - want[n]) < 1e-12, (n, got[n], want[n])
+    # rank mass is conserved (sums to 1 up to float error)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from minimised_impala_spark.operators.graph import pagerank
+
+    edges = [(i, (i + 1) % 5, 1.0) for i in range(5)]
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    ndf = spark.createDataFrame([(i,) for i in range(5)], "node LONG")
+    got = {r["node"]: r["rank"] for r in pagerank(edf, ndf).collect()}
+    for v in got.values():
+        assert abs(v - 0.2) < 1e-12
