@@ -1965,3 +1965,72 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Importance-weighted sample WITHOUT replacement — the Efraimidis-Spirakis
+# A-ES scheme ("Weighted random sampling with a reservoir", IPL 2006):
+# draw u_i ~ U(0,1) per item, rank by u_i^(1/w_i), keep the top k. We
+# rank by the monotone-equivalent ln(u_i)/w_i (avoids pow, one fewer
+# libm call to agree on) and derive u_i deterministically from
+# md5(doc_id), so the sample is reproducible, shard-stable, and exactly
+# reproducible by the oracle. Weight = chars+1 (longer docs
+# proportionally likelier — the "token-budget-aware" sampling a training
+# mix uses).
+#
+# Scale: a narrow stateless map computes the key, then ORDER BY+LIMIT is
+# Spark's TakeOrderedAndProject — per-partition top-k heaps + a k-row
+# driver merge, no global sort shuffle. Only integers are emitted (rank,
+# doc_id, weight): float keys stay internal, so last-ulp ln() differences
+# between engines cannot touch the hash unless they actually flip the
+# k-boundary (distinct md5-derived keys make that probability ~2^-30).
+_WSAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(length(text) + 1 AS BIGINT) AS weight,
+         ln((('0x' || substr(md5(doc_id::VARCHAR || ':ws'), 1, 8))::BIGINT + 1)
+            / 4294967297.0)
+           / CAST(length(text) + 1 AS DOUBLE) AS k
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id, weight
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 25
+"""
+
+
+@query("text_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 Efraimidis-Spirakis weighted sample of documents, weight =
+    chars+1; output (rnk, doc_id, weight) — deterministic via md5-derived
+    uniforms."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    wt = (F.length("text") + 1).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        wt.alias("weight"),
+        (F.log(u) / wt.cast("double")).alias("k"),
+    )
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(25)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("k"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rnk"),
+        "doc_id",
+        "weight",
+    )

@@ -69,6 +69,9 @@ EMPTY_ZERO = [
     "text_quality_classifier",
     "text_ccnet_buckets",
     "events_pattern_match",
+    "dedup_span_ngram",
+    "events_pagerank_transitions",
+    "text_weighted_sample",
 ]
 
 
