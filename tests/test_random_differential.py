@@ -800,6 +800,60 @@ def _gen_date_fn_query(rng: random.Random) -> str:
 
 N_DATEFN_QUERIES = 12
 
+
+def _gen_distinct_agg_query(rng: random.Random) -> str:
+    """Multi-DISTINCT aggregate branch: several count(DISTINCT ·) over
+    different columns in one SELECT forces the Expand-based rewrite in
+    Spark (one input row fans out per distinct group) — a rewrite DuckDB
+    does differently, making this a classic disagreement surface.
+    DISTINCT sums stay on integer-valued columns (l_quantity, p_size,
+    keys) so accumulation order cannot move the result; count(*) rides
+    along to pin the non-distinct path through the same Expand."""
+    kind = rng.random()
+    if kind < 0.35:
+        thr = rng.randint(0, 4000)
+        return (
+            f"SELECT l_returnflag, count(*) AS n, "
+            f"count(DISTINCT l_partkey) AS d_part, "
+            f"count(DISTINCT l_suppkey) AS d_supp, "
+            f"CAST(sum(DISTINCT l_quantity) AS BIGINT) AS s_qty "
+            f"FROM lineitem WHERE l_partkey < {thr + 500} "
+            f"GROUP BY l_returnflag"
+        )
+    if kind < 0.6:
+        seg = rng.choice(
+            ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"]
+        )
+        return (
+            f"SELECT o_orderstatus, "
+            f"count(DISTINCT o_custkey) AS d_cust, "
+            f"count(DISTINCT o_orderpriority) AS d_prio, count(*) AS n "
+            f"FROM orders WHERE o_custkey IN "
+            f"(SELECT c_custkey FROM customer WHERE c_mktsegment = '{seg}') "
+            f"GROUP BY o_orderstatus"
+        )
+    if kind < 0.8:
+        # global (ungrouped) multi-distinct incl. a DISTINCT over an
+        # expression
+        m = rng.randint(2, 9)
+        return (
+            f"SELECT count(DISTINCT p_brand) AS d_brand, "
+            f"count(DISTINCT p_size % {m}) AS d_szmod, "
+            f"count(DISTINCT p_type) AS d_type, count(*) AS n "
+            f"FROM part"
+        )
+    # DISTINCT + HAVING over the distinct count itself
+    h = rng.randint(1, 20)
+    return (
+        f"SELECT c_nationkey, count(DISTINCT c_mktsegment) AS d_seg, "
+        f"count(*) AS n, CAST(min(c_custkey) AS BIGINT) AS mn "
+        f"FROM customer GROUP BY c_nationkey "
+        f"HAVING count(DISTINCT c_mktsegment) >= {min(h, 5)}"
+    )
+
+
+N_DISTINCT_QUERIES = 10
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -822,6 +876,8 @@ _SFRNG = random.Random(20260822)
 QUERIES += [_gen_string_fn_query(_SFRNG) for _ in range(N_STRFN_QUERIES)]
 _DFRNG = random.Random(20260823)
 QUERIES += [_gen_date_fn_query(_DFRNG) for _ in range(N_DATEFN_QUERIES)]
+_DARNG = random.Random(20260824)
+QUERIES += [_gen_distinct_agg_query(_DARNG) for _ in range(N_DISTINCT_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))

@@ -30,6 +30,7 @@ def main() -> int:
     from tests.oracle import canon_rows, duckdb_connect
     from tests.test_random_differential import (
         _gen_date_fn_query,
+        _gen_distinct_agg_query,
         _gen_events_query,
         _gen_frame_query,
         _gen_outer_join_query,
@@ -66,6 +67,7 @@ def main() -> int:
         (_gen_subquery_query, 2),
         (_gen_string_fn_query, 2),
         (_gen_date_fn_query, 2),
+        (_gen_distinct_agg_query, 2),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
