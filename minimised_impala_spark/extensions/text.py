@@ -2034,3 +2034,94 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "weight",
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# how much more likely its tokens are under a TARGET domain's unigram
+# distribution than under the full corpus's — score(d) = Σ_occurrences
+# ln( p_target(t) / p_corpus(t) ), Laplace-smoothed. The target here is
+# the source='src0' slice (stand-in for "high-quality domain sample");
+# the downstream resample step is the same machinery as
+# text_temperature_resample, so this query emits the scores.
+#
+# Scale: one token explode (linear), two count aggregations (token key),
+# one token-keyed join of the per-token log-ratio onto occurrences (AQE
+# broadcasts the vocab side when it fits — it is |vocab| rows, not
+# |corpus|), one doc_id-keyed sum. Scalars (totals, vocab size) ride as
+# one-row crossJoins, never driver collects. Output is scaled-BIGINT
+# (floor(x*1e4+0.5)) so cross-engine libm last-ulp noise (~1e-13 after
+# ~150-term sums) stays 5 orders of magnitude below the hash granularity.
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+cc AS (SELECT t, count(*) AS c_corpus FROM tok GROUP BY t),
+tc AS (SELECT t, count(*) AS c_target FROM tok WHERE source = 'src0' GROUP BY t),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n_corpus,
+         (SELECT count(*) FROM tok WHERE source = 'src0') AS n_target,
+         (SELECT count(*) FROM cc) AS vocab
+),
+lr AS (
+  SELECT cc.t,
+         ln( ((coalesce(tc.c_target, 0) + 1.0) / (tot.n_target + tot.vocab))
+           / ((cc.c_corpus + 1.0) / (tot.n_corpus + tot.vocab)) ) AS lr
+  FROM cc LEFT JOIN tc ON cc.t = tc.t CROSS JOIN tot
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(lr.lr) * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM tok JOIN lr ON tok.t = lr.t
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@query("text_dsir_importance", oracle=_DSIR_ORACLE)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score vs the source='src0' target
+    domain: (doc_id, n_tokens, score_e4) with score = Σ ln(p_tgt/p_corpus)
+    over token occurrences, Laplace-smoothed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    cc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_corpus"))
+    tc = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_target"))
+    )
+    n_corpus = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_target = tok.filter(F.col("source") == "src0").agg(
+        F.count(F.lit(1)).alias("n_target")
+    )
+    vocab = cc.agg(F.count(F.lit(1)).alias("vocab"))
+    lr = (
+        cc.join(tc, "t", "left")
+        .join(n_corpus)
+        .join(n_target)
+        .join(vocab)
+        .select(
+            "t",
+            F.log(
+                (
+                    (F.coalesce("c_target", F.lit(0)) + 1.0)
+                    / (F.col("n_target") + F.col("vocab"))
+                )
+                / ((F.col("c_corpus") + 1.0) / (F.col("n_corpus") + F.col("vocab")))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(lr, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.floor(F.sum("lr") * 10000 + 0.5).cast("bigint").alias("score_e4"),
+        )
+        .orderBy("doc_id")
+    )

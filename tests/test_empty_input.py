@@ -72,6 +72,7 @@ EMPTY_ZERO = [
     "dedup_span_ngram",
     "events_pagerank_transitions",
     "text_weighted_sample",
+    "text_dsir_importance",
 ]
 
 
