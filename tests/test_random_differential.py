@@ -854,6 +854,64 @@ def _gen_distinct_agg_query(rng: random.Random) -> str:
 
 N_DISTINCT_QUERIES = 10
 
+
+def _gen_star_join_query(rng: random.Random) -> str:
+    """Three-table star/chain join branch: the join-reordering and
+    filter-pushdown-through-join planner paths (Catalyst reorders by
+    estimated size; DuckDB by its own DP) — results must agree no
+    matter the order picked. Derived-table variant pins the
+    aggregate-below-join shape. Money sums use the round shim."""
+    kind = rng.random()
+    if kind < 0.3:
+        thr = rng.randint(0, 6000)
+        return (
+            f"SELECT c_mktsegment, l_returnflag, count(*) AS n, "
+            f"round(sum(l_extendedprice) * 100) / 100 AS s "
+            f"FROM customer "
+            f"JOIN orders ON o_custkey = c_custkey "
+            f"JOIN lineitem ON l_orderkey = o_orderkey "
+            f"WHERE c_acctbal > {thr} "
+            f"GROUP BY c_mktsegment, l_returnflag"
+        )
+    if kind < 0.55:
+        b = rng.randint(1, 5)
+        st = rng.choice(["F", "O", "P"])
+        return (
+            f"SELECT p_brand, count(*) AS n, "
+            f"CAST(sum(l_quantity) AS BIGINT) AS q, "
+            f"CAST(min(o_orderkey) AS BIGINT) AS mn "
+            f"FROM part "
+            f"JOIN lineitem ON l_partkey = p_partkey "
+            f"JOIN orders ON o_orderkey = l_orderkey "
+            f"WHERE p_brand LIKE 'Brand#{b}%' AND o_orderstatus = '{st}' "
+            f"GROUP BY p_brand"
+        )
+    if kind < 0.8:
+        thr = rng.randint(50000, 300000)
+        return (
+            f"SELECT c_mktsegment, count(*) AS n_all, "
+            f"count(l_orderkey) AS n_li, "
+            f"count(*) - count(l_orderkey) AS n_pad "
+            f"FROM customer "
+            f"JOIN orders ON o_custkey = c_custkey "
+            f"LEFT JOIN lineitem "
+            f"  ON l_orderkey = o_orderkey AND o_totalprice > {thr} "
+            f"GROUP BY c_mktsegment"
+        )
+    lo = rng.randint(1, 5)
+    return (
+        f"SELECT c_mktsegment, count(*) AS n, "
+        f"CAST(min(t.cnt) AS BIGINT) AS mn_orders, "
+        f"CAST(max(t.cnt) AS BIGINT) AS mx_orders "
+        f"FROM customer JOIN ("
+        f"SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey "
+        f"HAVING count(*) >= {lo}) t ON t.o_custkey = c_custkey "
+        f"GROUP BY c_mktsegment"
+    )
+
+
+N_STAR_QUERIES = 10
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -878,6 +936,8 @@ _DFRNG = random.Random(20260823)
 QUERIES += [_gen_date_fn_query(_DFRNG) for _ in range(N_DATEFN_QUERIES)]
 _DARNG = random.Random(20260824)
 QUERIES += [_gen_distinct_agg_query(_DARNG) for _ in range(N_DISTINCT_QUERIES)]
+_STRNG = random.Random(20260825)
+QUERIES += [_gen_star_join_query(_STRNG) for _ in range(N_STAR_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))

@@ -36,6 +36,7 @@ def main() -> int:
         _gen_outer_join_query,
         _gen_query,
         _gen_rollup_query,
+        _gen_star_join_query,
         _gen_string_fn_query,
         _gen_subquery_query,
         _gen_window_query,
@@ -68,6 +69,7 @@ def main() -> int:
         (_gen_string_fn_query, 2),
         (_gen_date_fn_query, 2),
         (_gen_distinct_agg_query, 2),
+        (_gen_star_join_query, 2),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
