@@ -74,7 +74,7 @@ _PRIORITY = [
     # round-5 session-2 additions (span-grain n-gram dedup, PageRank
     # over the event-transition graph)
     "dedup_span_ngram", "events_pagerank_transitions",
-    "text_weighted_sample", "text_dsir_importance",
+    "text_weighted_sample", "text_dsir_importance", "events_time_decay",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

@@ -957,3 +957,58 @@ def events_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.floor(F.col("rank") * 1000000 + 0.5).cast("bigint").alias("rank_e6"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Time-decayed engagement score — the feature-store "exponential decay"
+# aggregate: score(u) = Σ_i value_i · e^((t_i − T_u)/τ) where T_u is the
+# user's LAST event time and τ = 1 day. Anchoring at T_u keeps every
+# exponent ≤ 0, so the classic e^(t/τ) running-sum overflow (exponents
+# grow with absolute time) cannot happen at any corpus age — the form
+# that survives years-long event histories at 100 TB. Two user-keyed
+# hash aggregations (max, then sum after a self-join on user_id — AQE
+# co-partitions both sides on the same key); no windows, no state.
+# Millisecond epochs (unix_millis / epoch_ms) are exact BIGINTs in both
+# engines; the one libm call (exp) lands in a scaled-BIGINT output.
+_TIME_DECAY_ORACLE = """
+WITH last AS (
+  SELECT user_id, max(ts) AS t_last FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(e.value *
+              exp((epoch_ms(e.ts) - epoch_ms(l.t_last)) / 86400000.0))
+            * 1000000 + 0.5) AS BIGINT) AS decay_e6
+FROM events e JOIN last l ON e.user_id = l.user_id
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+@query("events_time_decay", oracle=_TIME_DECAY_ORACLE)
+def events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value sum (τ = 1 day, anchored
+    at the user's last event): (user_id, n_events, decay_e6)."""
+    ev = load_table(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("t_last"))
+    return (
+        ev.join(last, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.floor(
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        (F.unix_millis("ts") - F.unix_millis("t_last"))
+                        / F.lit(86400000.0)
+                    )
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("decay_e6"),
+        )
+        .orderBy("user_id")
+    )

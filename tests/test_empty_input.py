@@ -73,6 +73,7 @@ EMPTY_ZERO = [
     "events_pagerank_transitions",
     "text_weighted_sample",
     "text_dsir_importance",
+    "events_time_decay",
 ]
 
 
