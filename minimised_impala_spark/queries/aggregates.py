@@ -764,3 +764,44 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     return salted_groupby_count(orders, "k", n_salts=8).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide → long) — the inverse of agg_pivot, Spark's native
+# df.unpivot / SQL UNPIVOT (melt). Values must share one type, so the
+# count is cast to DOUBLE alongside the money min/max (all exactly
+# representable). Scale: unpivot is a narrow per-row expansion (k output
+# rows per input row, no shuffle) over an already-aggregated frame.
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS DOUBLE) AS n_cnt,
+         min(o_totalprice) AS mn_price,
+         max(o_totalprice) AS mx_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'n_cnt' AS metric, n_cnt AS val FROM wide
+UNION ALL
+SELECT o_orderstatus, 'mn_price' AS metric, mn_price AS val FROM wide
+UNION ALL
+SELECT o_orderstatus, 'mx_price' AS metric, mx_price AS val FROM wide
+ORDER BY o_orderstatus, metric
+"""
+
+
+@query("agg_unpivot", oracle=_UNPIVOT_ORACLE)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-status aggregates melted to (o_orderstatus, metric, val)
+    via the native unpivot operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_cnt"),
+        F.min("o_totalprice").alias("mn_price"),
+        F.max("o_totalprice").alias("mx_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_cnt", "mn_price", "mx_price"],
+        "metric",
+        "val",
+    ).orderBy("o_orderstatus", "metric")

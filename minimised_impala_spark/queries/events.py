@@ -1012,3 +1012,63 @@ def events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Native recursive CTE (WITH RECURSIVE, Spark 4.x) — bounded-depth
+# reachability over the DISTINCT event-type transition graph from the
+# 'view' node, counting walks per reached node. This is the declarative
+# sibling of the iterative operators (connected_components, pagerank):
+# the engine's own fixpoint execution replaces the driver-side loop.
+# Depth is capped at 3 (well under spark.sql.cteRecursionLevelLimit);
+# UNION ALL multiplicity makes n_walks a real recursion-semantics probe,
+# not just set reachability.
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst
+  FROM seq WHERE prev IS NOT NULL
+),
+reach(node, d) AS (
+  SELECT 'view' AS node, 0 AS d
+  UNION ALL
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < 3
+)
+SELECT node, CAST(min(d) AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_walks
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@query("sql_recursive_reachability", oracle=_RECURSIVE_ORACLE)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE walk enumeration (depth ≤ 3) from 'view' over
+    distinct event-type transitions: (node, dist, n_walks)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("mis_rc_edges")
+    return spark.sql(
+        """
+WITH RECURSIVE reach(node, d) AS (
+  SELECT CAST('view' AS STRING) AS node, 0 AS d
+  UNION ALL
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN mis_rc_edges e ON e.src = r.node
+  WHERE r.d < 3
+)
+SELECT node, CAST(min(d) AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_walks
+FROM reach GROUP BY node ORDER BY node
+"""
+    )

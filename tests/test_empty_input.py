@@ -74,6 +74,7 @@ EMPTY_ZERO = [
     "text_weighted_sample",
     "text_dsir_importance",
     "events_time_decay",
+    "agg_unpivot",
 ]
 
 
