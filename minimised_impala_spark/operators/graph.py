@@ -99,16 +99,27 @@ def pagerank(
     src — co-partitioned across rounds since neither side's partitioning
     changes) plus one groupBy(dst) partial/final aggregation; rank state is
     8 bytes a node. The dangling term is a scalar aggregate crossJoined
-    back (broadcast of one row), never a driver collect. K is small and
-    fixed, so lineage growth needs no checkpointing.
+    back (broadcast of one row), never a driver collect. Each round ends
+    in a ``localCheckpoint`` (same reasoning as ``connected_components``):
+    without it Catalyst re-analyzes a plan tree that grows with every
+    round — measured 7-15 s of pure driver-side analysis for 5 rounds on
+    a 5-node graph — while the checkpoint caps each round's plan at one
+    join + one agg over a materialized rank vector (|nodes| rows).
     """
     n_nodes = nodes.select(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     outd = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
     # Pre-divide each edge once: w/out(u) is loop-invariant.
-    norm_edges = edges.join(outd, src).select(
-        F.col(src).alias("e_src"),
-        F.col(dst).alias("e_dst"),
-        (F.col(weight) / F.col("outw")).alias("share"),
+    # Loop-invariant and re-read by every round's job: materialize once
+    # (lazily — the first round's action computes it) instead of
+    # recomputing the upstream edge derivation K times.
+    norm_edges = (
+        edges.join(outd, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col(weight) / F.col("outw")).alias("share"),
+        )
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.join(n_nodes).select(
         F.col(node), (F.lit(1.0) / F.col("n_nodes")).alias("rank")
@@ -140,5 +151,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks
