@@ -1072,3 +1072,70 @@ SELECT node, CAST(min(d) AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_walks
 FROM reach GROUP BY node ORDER BY node
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD instead of mean/stddev (the
+# events_zscore_anomaly sibling that outliers cannot poison — mean and
+# stddev both move with the contamination they are supposed to flag;
+# the median and MAD have a 50% breakdown point). Two-phase dataflow:
+# per-type median, join back, median of absolute deviations, then flag
+# |v − m| > 3·1.4826·MAD. Exact medians via percentile()/quantile_cont
+# (the agg_percentile_exact parity pattern); reported medians rounded to
+# 4 decimals, the flag compares raw doubles identically on both sides.
+# Scale: two hash aggregations + two broadcastable per-type joins
+# (|event types| rows); no windows, no sort.
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.m, abs(e.value - m.m) AS d
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(d.m), 4) AS median_v,
+       round(min(mad.mad), 4) AS mad_v,
+       CAST(sum(CASE WHEN d.d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("events_mad_anomaly", oracle=_MAD_ORACLE)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier count via median/MAD (3·1.4826·MAD
+    fence): (event_type, n, median_v, mad_v, n_anomalies)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type", "value", "m", F.abs(F.col("value") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("m"), 4).alias("median_v"),
+            F.round(F.min("mad"), 4).alias("mad_v"),
+            F.sum(
+                F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

@@ -75,6 +75,7 @@ EMPTY_ZERO = [
     "text_dsir_importance",
     "events_time_decay",
     "agg_unpivot",
+    "events_mad_anomaly",
 ]
 
 
