@@ -1054,3 +1054,100 @@ def sim_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         VK.make_kmeans_assign_udf(centers)("e").alias("cluster"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style two-stage retrieval (Kusupati et al. 2022, MRL): MRL
+# embeddings keep their semantics under PREFIX truncation, so stage 1
+# shortlists by cosine over only the first 16 of 64 dims (4× less
+# arithmetic and 4× less broadcast traffic per comparison) and stage 2
+# rescores the 20-candidate shortlist with exact full-dim cosine,
+# emitting the top 5. The recall/ cost trade is explicit: shortlist
+# depth 20 » final k 5.
+#
+# Scale: the same broadcast-query shape as sim_cosine_topk, but the
+# corpus-side scan does 16-dim dots; full-dim cosine touches only
+# |queries| × 20 rows. At 100 TB the stage-1 scan is the cost driver —
+# exactly what prefix truncation shrinks.
+@query(
+    "sim_matryoshka_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e[1:16], c.e[1:16])
+           / (sqrt(list_dot_product(q.e[1:16], q.e[1:16]))
+              * sqrt(list_dot_product(c.e[1:16], c.e[1:16]))) AS tcos,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS fcos
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+short AS (
+  SELECT query_id, neighbor_id, fcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tcos DESC, neighbor_id) AS srn
+  FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, fcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fcos DESC, neighbor_id) AS rn
+  FROM short WHERE srn <= 20
+)
+SELECT query_id, neighbor_id, round(fcos, 6) AS cosine, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rn
+""",
+)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage MRL retrieval: 16-dim-prefix cosine shortlist (top 20)
+    → exact 64-dim rescore → top 5 per query (vec_id < 10)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            VK.cosine_pair(
+                F.slice("qe", 1, 16), F.slice("ce", 1, 16)
+            ).alias("tcos"),
+            "qe",
+            "ce",
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("tcos"), F.asc("neighbor_id"))
+    short = (
+        pairs.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= 20)
+        .select(
+            "query_id",
+            "neighbor_id",
+            VK.cosine_pair("qe", "ce").alias("fcos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("fcos"), F.asc("neighbor_id"))
+    return (
+        short.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("fcos", 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )

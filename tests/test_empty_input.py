@@ -76,6 +76,7 @@ EMPTY_ZERO = [
     "events_time_decay",
     "agg_unpivot",
     "events_mad_anomaly",
+    "sim_matryoshka_topk",
 ]
 
 
