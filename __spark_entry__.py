@@ -76,7 +76,7 @@ _PRIORITY = [
     "dedup_span_ngram", "events_pagerank_transitions",
     "text_weighted_sample", "text_dsir_importance", "events_time_decay",
     "agg_unpivot", "sql_recursive_reachability", "events_mad_anomaly",
-    "sim_matryoshka_topk",
+    "sim_matryoshka_topk", "agg_winsorize",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

@@ -805,3 +805,57 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     ).orderBy("o_orderstatus", "metric")
+
+
+# --------------------------------------------------------------------------
+# Winsorized aggregation: clamp each value into its group's [p05, p95]
+# band before averaging — the standard robust-preprocessing step before
+# training-metric aggregation (a 2-pass dataflow: exact percentiles per
+# group via the agg_percentile_exact parity pattern, broadcastable
+# per-group join back, clamped re-aggregation). Reported alongside the
+# raw mean so the trim effect is visible; money doubles use the scaled-
+# round shim (tpch.py module doc).
+_WINSOR_ORACLE = """
+WITH pct AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o.o_totalprice) * 100) / 100 AS sum_raw,
+       round(sum(least(greatest(o.o_totalprice, p.p05), p.p95)) * 100) / 100
+         AS sum_winsor,
+       round(min(p.p05), 4) AS p05,
+       round(min(p.p95), 4) AS p95
+FROM orders o JOIN pct p ON o.o_orderstatus = p.o_orderstatus
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
+@query("agg_winsorize", oracle=_WINSOR_ORACLE)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status winsorized (p05/p95-clamped) vs raw totals:
+    (o_orderstatus, n, sum_raw, sum_winsor, p05, p95)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        orders.join(pct, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.sum("o_totalprice") * 100, 0) / 100).alias("sum_raw"),
+            (F.round(F.sum(clamped) * 100, 0) / 100).alias("sum_winsor"),
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.min("p95"), 4).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )

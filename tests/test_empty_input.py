@@ -77,6 +77,7 @@ EMPTY_ZERO = [
     "agg_unpivot",
     "events_mad_anomaly",
     "sim_matryoshka_topk",
+    "agg_winsorize",
 ]
 
 
