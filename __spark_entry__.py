@@ -77,6 +77,10 @@ _PRIORITY = [
     "text_weighted_sample", "text_dsir_importance", "events_time_decay",
     "agg_unpivot", "sql_recursive_reachability", "events_mad_anomaly",
     "sim_matryoshka_topk", "agg_winsorize",
+    # round-5 session-3 addition (1-bit sign-packed Hamming ANN) —
+    # slot 49, the last slot inside the 50-cap (displaces tpch_q1,
+    # which keeps green rows from r1 and the r4 sweep)
+    "sim_binary_quant_topk",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

@@ -1151,3 +1151,113 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (1-bit) quantization ANN: each 64-dim float vector collapses to a
+# single int64 of sign bits (sign_pack kernel, 32× narrower than the raw
+# floats), stage 1 shortlists by Hamming distance — one XOR + popcount in
+# whole-stage codegen (F.bit_count), no floating point at all — and
+# stage 2 rescores the 32-candidate shortlist with exact full-dim cosine.
+# This is the RaBitQ/binary-embedding recipe every large retrieval stack
+# ships: the code table for a 100 TB corpus fits in ~0.8 TB and the
+# stage-1 scan is memory-bandwidth-bound integer work.
+#
+# Scale: broadcast bounded query codes against the corpus code table
+# (narrow scan, no shuffle), TakeOrdered per query for the shortlist,
+# exact cosine on |queries| × 32 rows only. The oracle reproduces the
+# sign-bit semantics positionally (bit j == e[j] >= 0) without packing.
+@query(
+    "sim_binary_quant_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN (q.e[i] >= 0) <> (c.e[i] >= 0)
+                        THEN 1 ELSE 0 END)) AS INT) AS hamming,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS fcos
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+short AS (
+  SELECT query_id, neighbor_id, hamming, fcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS srn
+  FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming, fcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fcos DESC, neighbor_id) AS rn
+  FROM short WHERE srn <= 32
+)
+SELECT query_id, neighbor_id, hamming, round(fcos, 6) AS cosine,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rn
+""",
+)
+def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit-quantized retrieval: pack sign bits into one int64 code,
+    Hamming (XOR+popcount) shortlist of 32, exact cosine rescore, top 5
+    per query (vec_id < 10)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _vecd("embedding").alias("e"),
+    )
+    coded = emb.select("vec_id", "e", VK.sign_pack("e").alias("code"))
+    q = coded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("code").alias("qcode"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("code").alias("ccode"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode")))
+            .cast("int")
+            .alias("hamming"),
+            "qe",
+            "ce",
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    short = (
+        pairs.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= 32)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            VK.cosine_pair("qe", "ce").alias("fcos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("fcos"), F.asc("neighbor_id"))
+    return (
+        short.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round("fcos", 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
