@@ -2125,3 +2125,138 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1): the standard rule-based
+# document filter every pre-training pipeline runs before model-based
+# scoring. Implemented as pure column expressions (one narrow map, no
+# Python) with per-source failure tallies so the filter's bite is
+# auditable per corpus slice — the operational report a data team reads
+# before committing a 100 TB filter pass. Thresholds are the Gopher
+# paper's, tightened to the fixture's word-count range so the rules
+# discriminate (the semantics under test are the rule shapes, not the
+# constants). mean word length = non-space chars / token count — exact
+# and engine-identical (same trick as text_quality's avg_token_len).
+#
+# Scale: per-row boolean circuit + one hash aggregation on source; no
+# joins, no window, no shuffle beyond the final groupBy.
+_GOPHER_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) * 1.0
+           / len(string_split(text, ' ')) AS mean_wl,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[a-z]'))) * 1.0
+           / len(string_split(text, ' ')) AS alpha_ratio,
+         (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(text, ' '), 'of')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(text, ' '), 'to')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(text, ' '), 'a')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(text, ' '), 'in')  THEN 1 ELSE 0 END)
+           AS n_stop,
+         len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '-%' OR l LIKE '*%')) * 1.0
+           / len(string_split(text, chr(10))) AS bullet_ratio,
+         len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '%...')) * 1.0
+           / len(string_split(text, chr(10))) AS ellipsis_ratio
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_words BETWEEN 15 AND 120 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_nwords,
+       CAST(sum(CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_wordlen,
+       CAST(sum(CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_alpha,
+       CAST(sum(CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stopword,
+       CAST(sum(CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_bullet,
+       CAST(sum(CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_ellipsis,
+       CAST(sum(CASE WHEN n_words BETWEEN 15 AND 120
+                      AND mean_wl >= 3 AND mean_wl <= 10
+                      AND alpha_ratio >= 0.8
+                      AND n_stop >= 2
+                      AND bullet_ratio <= 0.9
+                      AND ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_gopher_rules", oracle=_GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: per-source failure tallies for
+    word-count / mean-word-length / alpha-ratio / stopword / bullet /
+    ellipsis rules plus the all-rules pass count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lines = F.split("text", "\n")
+    n_words = F.size(toks)
+    mean_wl = F.length(F.replace("text", F.lit(" "), F.lit(""))) * 1.0 / n_words
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) * 1.0 / n_words
+    )
+    n_stop = sum(
+        F.when(F.array_contains(toks, w), 1).otherwise(0)
+        for w in ["the", "and", "of", "to", "a", "in"]
+    )
+    bullet_ratio = (
+        F.size(
+            F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
+        )
+        * 1.0
+        / F.size(lines)
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) * 1.0 / F.size(lines)
+    )
+    r_nwords = n_words.between(15, 120)
+    r_wordlen = (mean_wl >= 3) & (mean_wl <= 10)
+    r_alpha = alpha_ratio >= 0.8
+    r_stop = n_stop >= 2
+    r_bullet = bullet_ratio <= 0.9
+    r_ellipsis = ellipsis_ratio <= 0.3
+
+    def fails(rule) -> Column:
+        return F.sum(F.when(rule, 0).otherwise(1)).cast("bigint")
+
+    scored = docs.select(
+        "source",
+        r_nwords.alias("r1"),
+        r_wordlen.alias("r2"),
+        r_alpha.alias("r3"),
+        r_stop.alias("r4"),
+        r_bullet.alias("r5"),
+        r_ellipsis.alias("r6"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            fails(F.col("r1")).alias("fail_nwords"),
+            fails(F.col("r2")).alias("fail_wordlen"),
+            fails(F.col("r3")).alias("fail_alpha"),
+            fails(F.col("r4")).alias("fail_stopword"),
+            fails(F.col("r5")).alias("fail_bullet"),
+            fails(F.col("r6")).alias("fail_ellipsis"),
+            F.sum(
+                F.when(
+                    F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")
+                    & F.col("r5") & F.col("r6"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
