@@ -81,6 +81,10 @@ _PRIORITY = [
     # slot 49, the last slot inside the 50-cap (displaces tpch_q1,
     # which keeps green rows from r1 and the r4 sweep)
     "sim_binary_quant_topk",
+    # round-5 session-3+ additions past the 50-cap — never driver-verified
+    # yet; queued here so they lead the r6 sweep (same protocol as the
+    # r4->r5 tail drain)
+    "agg_filter_clause",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

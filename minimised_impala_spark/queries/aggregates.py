@@ -859,3 +859,37 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# FILTER (WHERE ...) aggregate modifier (SQL:2003 T612) — conditional
+# aggregation without CASE rewrites, including over DISTINCT aggregates
+# (where the CASE rewrite is NOT equivalent unless the else-branch maps
+# to NULL). The reference expresses these as CASE/IF inside the agg
+# (fe FunctionCallExpr); the FILTER form is the declarative surface
+# engines have converged on. One identical SQL text runs on both engines
+# (only the view name differs). Scale: a single partial/final hash agg,
+# the filters evaluated map-side — no extra pass per filtered aggregate.
+_FILTER_CLAUSE_BODY = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bigqty,
+       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) * 100) / 100
+         AS rev_hidisc,
+       CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity < 10) AS BIGINT)
+         AS n_supp_small,
+       sum(l_quantity) FILTER (WHERE l_tax < 0.04) AS qty_lotax
+FROM {tbl}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_filter_clause", oracle=_FILTER_CLAUSE_BODY.format(tbl="lineitem"))
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the FILTER (WHERE ...) modifier:
+    plain, sum (scaled-round shim), and DISTINCT-agg forms."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "mis_fc_lineitem"
+    )
+    return spark.sql(_FILTER_CLAUSE_BODY.format(tbl="mis_fc_lineitem"))
