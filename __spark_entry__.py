@@ -84,7 +84,8 @@ _PRIORITY = [
     # round-5 session-3+ additions past the 50-cap — never driver-verified
     # yet; queued here so they lead the r6 sweep (same protocol as the
     # r4->r5 tail drain)
-    "agg_filter_clause",
+    "agg_filter_clause", "agg_listagg_keyed", "window_count_distinct",
+    "nested_map_funcs", "text_bpe_merge", "dialect_qualify",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

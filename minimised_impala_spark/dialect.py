@@ -203,6 +203,99 @@ def parse_load_data(sql: str) -> dict | None:
     }
 
 
+_QUALIFY = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_FROM = re.compile(r"\bFROM\b", re.IGNORECASE)
+_ORDER_OR_LIMIT = re.compile(r"\b(?:ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+_AS_ALIAS = re.compile(r"\bAS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_BARE_COLUMN = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def _find_depth0(masked: str, regex: re.Pattern, start: int = 0) -> re.Match | None:
+    """First match of ``regex`` in ``masked`` at paren-depth 0 relative to
+    ``start`` (string literals are already masked out, so parens inside
+    literals don't count)."""
+    for m in regex.finditer(masked, start):
+        if masked.count("(", start, m.start()) == masked.count(")", start, m.start()):
+            return m
+    return None
+
+
+def _split_top_commas(text: str) -> list[tuple[int, int]]:
+    """(start, end) spans of top-level comma-separated items of ``text``."""
+    spans, depth, item_start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            spans.append((item_start, i))
+            item_start = i + 1
+    spans.append((item_start, len(text)))
+    return spans
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """Rewrite a single-block ``SELECT ... QUALIFY <pred>`` (Teradata /
+    DuckDB / Snowflake surface; post-window filtering) into ANSI Spark SQL:
+
+        SELECT <aliases> FROM (
+            SELECT <select list>, (<pred with aliases inlined>) AS __qualify__
+            FROM ...) __mis_qualify
+        WHERE __qualify__ [ORDER BY/LIMIT tail]
+
+    Select-list aliases referenced by the predicate are inlined as their
+    defining expressions (Catalyst de-duplicates identical window specs, so
+    the doubled window expr costs nothing), sidestepping Spark's
+    lateral-column-alias restrictions on window expressions. Requires every
+    select item to be a bare column or carry an ``AS`` alias — the
+    registered dialect surface, not an arbitrary-SQL parser."""
+    masked = _mask(sql)
+    qual = _find_depth0(masked, _QUALIFY)
+    if not qual:
+        return sql
+    sel = _find_depth0(masked, _SELECT)
+    if not sel:
+        return sql
+    frm = _find_depth0(masked, _FROM, sel.end())
+    if not frm or frm.start() > qual.start():
+        return sql
+    sel_text = sql[sel.end(): frm.start()]
+    aliases: list[str] = []
+    exprs: dict[str, str] = {}
+    for a, b in _split_top_commas(sel_text):
+        item = sel_text[a:b].strip()
+        m = _AS_ALIAS.search(item)
+        if m:
+            aliases.append(m.group(1))
+            exprs[m.group(1)] = item[: m.start()].strip()
+        elif _BARE_COLUMN.match(item):
+            aliases.append(item.split(".")[-1])
+        else:
+            raise ValueError(
+                "QUALIFY rewrite requires aliased select items: " + item
+            )
+    tail_m = _find_depth0(masked, _ORDER_OR_LIMIT, qual.end())
+    tail_pos = tail_m.start() if tail_m else len(sql)
+    pred = sql[qual.end(): tail_pos].strip()
+    tail = sql[tail_pos:].strip()
+    if exprs:
+        pred = re.sub(
+            r"\b[A-Za-z_]\w*\b",
+            lambda m: f"({exprs[m.group(0)]})" if m.group(0) in exprs else m.group(0),
+            pred,
+        )
+    inner = (
+        f"SELECT {sel_text.strip()}, ({pred}) AS __qualify__ "
+        f"{sql[frm.start(): qual.start()].strip()}"
+    )
+    outer = (
+        f"SELECT {', '.join(aliases)} FROM ({inner}) __mis_qualify "
+        f"WHERE __qualify__"
+    )
+    return f"{outer} {tail}".strip()
+
+
 _AGG_NAMES = {
     "ndv": "approx_count_distinct",
     "distinctpc": "approx_count_distinct",
@@ -228,6 +321,7 @@ def translate(sql: str) -> str:
     if m and m.group(1).upper() not in ("TABLE", "FUNCTION"):
         return f"REFRESH TABLE {m.group(1)}"
 
+    sql = _rewrite_qualify(sql)
     masked = _mask(sql)
 
     # All in-place rewrites below are length-preserving (padded with

@@ -2260,3 +2260,55 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-round pair counting — the distributed core of byte-pair-
+# encoding tokenizer training (Sennrich et al. 2016): count every
+# adjacent symbol pair across the corpus and rank candidates for the
+# next merge. One round is the primitive; full training iterates
+# driver-side, re-tokenizing with the accumulated merge table broadcast
+# to executors each round (the merge table is tiny — vocab-sized — so
+# the loop is K broadcast-map-aggregate passes, never a driver-side data
+# scan). Everything here is JVM-side: split -> explode words ->
+# transform(sequence(...)) adjacent 2-grams -> explode -> hash agg ->
+# TakeOrderedAndProject. Scale: map-side partial counts collapse the
+# pair space (|alphabet|^2-bounded) before the single exchange; top-20
+# is a TakeOrdered, not a global sort.
+@query(
+    "text_bpe_merge",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+""",
+)
+def text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )

@@ -893,3 +893,51 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mis_fc_lineitem"
     )
     return spark.sql(_FILTER_CLAUSE_BODY.format(tbl="mis_fc_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# LISTAGG ... WITHIN GROUP (ORDER BY <other column>) — ordered string
+# aggregation where the sort key is NOT the aggregated expression (the
+# reference's group_concat, be/src/exec/aggregation-node — is
+# insertion-ordered; the keyed-order form is the SQL:2016 LISTAGG
+# surface). agg_group_concat covers the self-ordered case via
+# sort_array; ordering by a different column needs the struct-sort
+# trick: collect (key, value) structs, array_sort on (key, value),
+# project the value field, join. DESC keys are negated (exact for
+# doubles). Scale: one partial/final hash agg; per-group payload is the
+# concatenated string itself, so group sizes must be bounded by design
+# (here: suppliers per nation, ~40 at sf1).
+@query(
+    "agg_listagg_keyed",
+    oracle="""
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_supp,
+       string_agg(s_name, '|' ORDER BY s_acctbal DESC, s_name) AS names_by_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def agg_listagg_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("s_acctbal")).alias("k"),
+                                F.col("s_name").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+                "|",
+            ).alias("names_by_bal"),
+        )
+        .orderBy("s_nationkey")
+    )

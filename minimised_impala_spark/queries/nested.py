@@ -410,3 +410,77 @@ def nested_tpch_double_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Map higher-order functions — map_filter, transform_values, map_keys /
+# map_values, aggregate-over-values, element_at on a missing key.
+# nested_map_access covers construction + lookup (reference MapType,
+# fe/.../catalog/MapType.java); this query covers the lambda surface the
+# reference never had but any Spark user of map columns relies on. The
+# map domain is scaled-integer cents (base charge, 8x fee, 4x fee as
+# exact BIGINTs) so filter thresholds, doubling, and the value-sum are
+# order-independent integer math — no float addition-order hazards
+# inside map_values. DuckDB mirrors each entry with straight-line CASE
+# logic (its map lambda surface differs), making this a true
+# differential test of the HOF rewrites. Scale: pure per-row projection,
+# no shuffle.
+@query(
+    "nested_map_funcs",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS base_e2
+  FROM orders WHERE o_orderkey < 500
+), k AS (
+  SELECT o_orderkey,
+         base_e2        >= 20000000 AS keep_base,
+         base_e2 * 4    >= 20000000 AS keep_disc,
+         base_e2 * 8    >= 20000000 AS keep_fee,
+         base_e2
+  FROM t
+)
+SELECT o_orderkey,
+       concat_ws(',',
+                 CASE WHEN keep_base THEN 'base' END,
+                 CASE WHEN keep_disc THEN 'disc' END,
+                 CASE WHEN keep_fee  THEN 'fee'  END) AS kept_keys,
+       CAST(CAST(keep_base AS INT) + CAST(keep_disc AS INT)
+            + CAST(keep_fee AS INT) AS INT) AS n_kept,
+       CAST(CASE WHEN keep_base THEN base_e2 * 2 ELSE 0 END
+            + CASE WHEN keep_disc THEN base_e2 * 4 * 2 ELSE 0 END
+            + CASE WHEN keep_fee  THEN base_e2 * 8 * 2 ELSE 0 END
+            AS BIGINT) AS doubled_total_e2,
+       CAST(CASE WHEN keep_fee THEN base_e2 * 8 * 2 END AS BIGINT)
+         AS fee_doubled_e2
+FROM k
+ORDER BY o_orderkey
+""",
+)
+def nested_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = F.create_map(
+        F.lit("base"), base,
+        F.lit("disc"), base * 4,
+        F.lit("fee"), base * 8,
+    )
+    kept = F.map_filter(m, lambda k, v: v >= 20000000)
+    doubled = F.transform_values(kept, lambda k, v: v * 2)
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.array_join(F.array_sort(F.map_keys(kept)), ",").alias(
+                "kept_keys"
+            ),
+            F.size(F.map_keys(kept)).alias("n_kept"),
+            F.aggregate(
+                F.map_values(doubled),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("doubled_total_e2"),
+            F.element_at(doubled, F.lit("fee")).alias("fee_doubled_e2"),
+        )
+        .orderBy("o_orderkey")
+    )

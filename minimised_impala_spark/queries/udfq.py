@@ -701,3 +701,34 @@ def ddl_alter_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# QUALIFY clause through the dialect + Engine path — post-window
+# filtering (Teradata/DuckDB/Snowflake surface; the declarative form of
+# the reference-era "top-N per group via inline-view rank filter"
+# idiom). dialect.translate rewrites the block into an ANSI subquery
+# with the predicate's select-aliases inlined (Catalyst de-duplicates
+# the repeated window spec, so the plan carries ONE Window operator);
+# DuckDB runs the identical QUALIFY text natively, so the oracle
+# exercises the real syntax while Spark proves the rewrite. Scale: one
+# hash-partition shuffle on o_custkey + in-partition sort — same shape
+# as window_topk_per_group.
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+WHERE o_custkey < 500
+QUALIFY rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+
+@query("dialect_qualify", oracle=_QUALIFY_SQL)
+def dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.engine import Engine
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return Engine(spark).sql(_QUALIFY_SQL)

@@ -401,3 +401,48 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DISTINCT aggregate over a window — cumulative count of distinct order
+# priorities per customer. The reference's AnalyticEvalNode does not
+# support DISTINCT inside analytic functions (fe/.../analysis/
+# AnalyticExpr.java rejects it); neither does Spark's window aggregate —
+# but collect_set over the same running ROWS frame is semantically
+# count(DISTINCT) and stays JVM-side. DuckDB executes the literal
+# count(DISTINCT ...) OVER form, so the oracle exercises the real SQL
+# surface while the Spark plan proves the set-based rewrite. Scale: one
+# hash-partition shuffle on o_custkey + in-partition sort — the running
+# set is bounded by the distinct-priority cardinality (5), so state per
+# row is O(5), not O(rows).
+@query(
+    "window_count_distinct",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(count(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_prio_seen
+FROM orders
+WHERE o_custkey < 300
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w))
+            .cast("bigint")
+            .alias("n_prio_seen"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

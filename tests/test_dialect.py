@@ -155,3 +155,47 @@ def test_engine_ndv_appx_median_run(spark, sf_dir):
         "FROM dialect_orders"
     ).collect()[0]
     assert row["nd"] > 0 and row["med"] is not None and row["vp"] > 0
+
+
+def test_qualify_rewrites_to_subquery():
+    out = dialect.translate(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn <= 2"
+    )
+    import re
+
+    assert not re.search(r"\bQUALIFY\b", out, re.IGNORECASE)  # _ is \w: the
+    # __qualify__/__mis_qualify identifiers don't match with boundaries
+    assert "__qualify__" in out
+    # alias inlined into the predicate (no lateral-column-alias reliance)
+    assert out.count("row_number() OVER (ORDER BY b)") == 2
+    assert out.strip().startswith("SELECT a, rn FROM (")
+
+
+def test_qualify_tail_clauses_move_outside():
+    out = dialect.translate(
+        "SELECT a, max(b) OVER (PARTITION BY a) AS mb FROM t "
+        "QUALIFY mb > 5 ORDER BY a LIMIT 3"
+    )
+    assert out.endswith("ORDER BY a LIMIT 3")
+    assert "WHERE __qualify__" in out
+
+
+def test_qualify_inside_string_untouched():
+    sql = "SELECT 'no QUALIFY here' AS s FROM t"
+    assert dialect.translate(sql) == sql
+
+
+def test_qualify_raw_window_predicate():
+    out = dialect.translate(
+        "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    )
+    assert "(row_number() OVER (ORDER BY a) = 1) AS __qualify__" in out
+
+
+def test_qualify_order_by_inside_over_not_tail():
+    # the ORDER BY inside OVER(...) must not be mistaken for the statement
+    # tail when it follows QUALIFY textually
+    out = dialect.translate(
+        "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 3"
+    )
+    assert out.endswith("WHERE __qualify__")

@@ -388,3 +388,25 @@ def test_quality_classifier_is_codegen_map(spark, sf_dir):
     plan = _physical(fresh("text_quality_classifier")(spark, sf_dir))
     for op in ("BatchEvalPython", "ArrowEvalPython", "Join", "HashAggregate"):
         assert op not in plan, (op, plan)
+
+
+def test_qualify_single_window_with_group_limit(spark, sf_dir):
+    """The QUALIFY rewrite inlines the rn alias into the predicate, so the
+    plan must carry exactly ONE Window operator (Catalyst de-duplicates
+    the identical window spec) and — because the predicate is rn <= k —
+    Spark's rank-limit pushdown should insert WindowGroupLimit, the
+    optimal top-k-per-group shape (partial limit before the exchange)."""
+    plan = _physical(fresh("dialect_qualify")(spark, sf_dir))
+    window_ops = [
+        ln for ln in plan.splitlines() if "- Window [" in ln or ln.lstrip().startswith("Window [")
+    ]
+    assert len(window_ops) == 1, plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_bpe_merge_is_takeordered_partial_agg(spark, sf_dir):
+    """text_bpe_merge: top-20 must be TakeOrderedAndProject (never a global
+    sort) over a partial/final hash aggregation of pair counts."""
+    plan = _physical(fresh("text_bpe_merge")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
