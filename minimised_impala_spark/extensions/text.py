@@ -11,7 +11,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.serde import pickle_module_by_value
 from minimised_impala_spark.tables import load_table
+
+# mapInPandas kernels below (_wp_encode_batches) must serialize by VALUE:
+# the driver process may not have this package importable on executors'
+# sys.path (the harness driver imports __spark_entry__ from an arbitrary
+# cwd), so by-reference pickling would fail module resolution.
+pickle_module_by_value(__name__)
 
 # token-level stopword sets per language for the n-gram/stopword lang-id
 # heuristic (deterministic, closed sets)
@@ -2311,4 +2318,188 @@ def text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption (Raffel et al. 2020 §3.1.4) — carve one
+# deterministic span (~15% of tokens) out of each document, emit the
+# corrupted input with a sentinel token plus the target span. Span
+# placement uses a Knuth multiplicative integer mix of doc_id instead of
+# an RNG so the transform is reproducible, restart-safe, and identical
+# across engines (production would salt a hash; the mix is the
+# deterministic stand-in with the same distributional role). All
+# array-slice arithmetic is JVM-side; no shuffle — embarrassingly
+# parallel per-row prep, exactly what a 100 TB pretraining-data pass
+# needs.
+@query(
+    "text_span_corruption",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, n,
+         greatest(1, CAST(floor(n / 7.0) AS INT)) AS span_len,
+         1 + CAST((doc_id * 2654435761) %
+                  greatest(n - greatest(1, CAST(floor(n / 7.0) AS INT)), 1)
+                  AS INT) AS span_start
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_tokens,
+       span_start, span_len,
+       array_to_string(toks[span_start : span_start + span_len - 1], ' ')
+         AS target,
+       concat(array_to_string(toks[1 : span_start - 1], ' '),
+              ' <extra_id_0> ',
+              array_to_string(toks[span_start + span_len : n], ' '))
+         AS corrupted
+FROM s
+ORDER BY doc_id
+""",
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    span_len = F.greatest(F.lit(1), F.floor(n / 7.0).cast("int"))
+    span_start = (
+        F.lit(1)
+        + (F.col("doc_id") * F.lit(2654435761).cast("bigint"))
+        % F.greatest(n - span_len, F.lit(1))
+    ).cast("int")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        span_len.alias("span_len"),
+        span_start.alias("span_start"),
+    )
+    toks_c, st, ln, nn = (
+        F.col("toks"), F.col("span_start"), F.col("span_len"), F.col("n")
+    )
+    return (
+        base.select(
+            "doc_id",
+            nn.cast("int").alias("n_tokens"),
+            st.alias("span_start"),
+            ln.alias("span_len"),
+            F.array_join(F.slice(toks_c, st, ln), " ").alias("target"),
+            F.concat(
+                F.array_join(F.slice(toks_c, F.lit(1), st - 1), " "),
+                F.lit(" <extra_id_0> "),
+                F.array_join(
+                    F.slice(toks_c, st + ln, F.greatest(nn - st - ln + 1, F.lit(0))),
+                    " ",
+                ),
+            ).alias("corrupted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# WordPiece-style greedy longest-match encoding (Wu et al. 2016; the
+# application half of tokenizer land — text_bpe_merge is the training
+# half). The vocab is a fixed broadcastable table; encoding is greedy
+# longest-prefix match per position with single-char OOV fallback. The
+# Spark plan dictionary-encodes: distinct words are encoded ONCE in an
+# Arrow-batched mapInPandas (the loop is per unique word, not per
+# occurrence — Zipf makes this orders of magnitude smaller at corpus
+# scale), then broadcast-joined back to occurrences and aggregated per
+# document. The DuckDB oracle replays the same greedy automaton as a
+# recursive CTE over (word, pos) states, so both engines compute the
+# identical tokenization. Scale: explode -> distinct (one shuffle,
+# vocab-bounded) -> broadcast join -> per-doc hash agg.
+_WP_VOCAB = (
+    "bat", "ch", "win", "dow", "spark", "str", "eam", "que", "ry", "ta",
+    "ble", "jo", "in", "er", "or", "an", "the", "val", "ue", "ust", "om",
+)
+_WP_VOCAB_SQL = ",".join(f"('{p}')" for p in _WP_VOCAB)
+
+
+def _wp_encode_batches(batches):
+    import pandas as pd
+
+    by_len: dict[int, set] = {}
+    for p in _WP_VOCAB:
+        by_len.setdefault(len(p), set()).add(p)
+    lens = sorted(by_len, reverse=True)
+    for pdf in batches:
+        out = []
+        for w in pdf["w"]:
+            pos, ntok, noov, L = 0, 0, 0, len(w)
+            while pos < L:
+                step = 1
+                hit = False
+                for ln in lens:
+                    if ln <= L - pos and w[pos : pos + ln] in by_len[ln]:
+                        step, hit = ln, True
+                        break
+                ntok += 1
+                noov += 0 if hit else 1
+                pos += step
+            out.append((w, ntok, noov))
+        yield pd.DataFrame(out, columns=["w", "ntok", "noov"])
+
+
+@query(
+    "text_wordpiece_encode",
+    oracle=f"""
+WITH RECURSIVE vocab(piece) AS (
+  SELECT * FROM (VALUES {_WP_VOCAB_SQL}) v(piece)
+),
+occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+words AS (SELECT DISTINCT w FROM occ),
+step(w, pos, ntok, noov) AS (
+  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM words
+  UNION ALL
+  SELECT s.w,
+         s.pos + coalesce((SELECT max(length(v.piece)) FROM vocab v
+                           WHERE substr(s.w, CAST(s.pos AS INT),
+                                        length(v.piece)) = v.piece), 1),
+         s.ntok + 1,
+         s.noov + CASE WHEN (SELECT max(length(v.piece)) FROM vocab v
+                             WHERE substr(s.w, CAST(s.pos AS INT),
+                                          length(v.piece)) = v.piece)
+                       IS NULL THEN 1 ELSE 0 END
+  FROM step s WHERE s.pos <= length(s.w)
+),
+enc AS (SELECT w, ntok, noov FROM step WHERE pos = length(w) + 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(enc.ntok) AS BIGINT) AS n_wp_tokens,
+       CAST(sum(enc.noov) AS BIGINT) AS n_oov,
+       CAST(floor(sum(length(occ.w)) * 10000.0 / sum(enc.ntok)) AS BIGINT)
+         AS chars_per_tok_e4
+FROM occ JOIN enc USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    enc = occ.select("w").distinct().mapInPandas(
+        _wp_encode_batches, schema="w string, ntok long, noov long"
+    )
+    return (
+        occ.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("n_wp_tokens"),
+            F.sum("noov").alias("n_oov"),
+            F.floor(
+                F.sum(F.length("w")) * 10000.0 / F.sum("ntok")
+            ).cast("bigint").alias("chars_per_tok_e4"),
+        )
+        .orderBy("doc_id")
     )

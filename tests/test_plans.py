@@ -410,3 +410,24 @@ def test_bpe_merge_is_takeordered_partial_agg(spark, sf_dir):
     plan = _physical(fresh("text_bpe_merge")(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_wordpiece_dictionary_encode_broadcasts(spark, sf_dir):
+    """text_wordpiece_encode must encode DISTINCT words in the Arrow UDF
+    (MapInPandas over the deduped word set) and broadcast the tiny
+    encoding table back to occurrences — never a shuffle join on the
+    occurrence stream."""
+    plan = _physical(fresh("text_wordpiece_encode")(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_corruption_is_shuffle_free_map(spark, sf_dir):
+    """text_span_corruption is embarrassingly parallel per-row prep: the
+    only exchange allowed is the final presentation sort's range
+    partitioning — no aggregate, no join."""
+    plan = _physical(fresh("text_span_corruption")(spark, sf_dir))
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
