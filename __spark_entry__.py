@@ -86,7 +86,7 @@ _PRIORITY = [
     # r4->r5 tail drain)
     "agg_filter_clause", "agg_listagg_keyed", "window_count_distinct",
     "nested_map_funcs", "text_bpe_merge", "dialect_qualify",
-    "text_span_corruption", "text_wordpiece_encode",
+    "text_span_corruption", "text_wordpiece_encode", "sim_rrf_hybrid",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

@@ -77,9 +77,10 @@ LIMIT {TOPK}
 """
 
 
-@query("text_bm25_topk", oracle=_BM25_ORACLE)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _bm25_scores(docs: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every doc matching ≥1 query term — the scoring
+    core shared by text_bm25_topk and sim_rrf_hybrid. ``qterms`` must be
+    a bounded (term) relation; it is broadcast against the postings."""
     postings = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -95,9 +96,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    qterms = spark.createDataFrame(
-        [(t,) for t in QUERY_TERMS], "term string"
-    )
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     term_score = (
         F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -112,9 +110,178 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
     )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25")
+    )
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(t,) for t in QUERY_TERMS], "term string"
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        _bm25_scores(docs, qterms)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
+# the standard way production search fuses a lexical arm (BM25) with a
+# dense arm (embedding cosine) without score calibration:
+#   rrf(d) = Σ_arms 1 / (k + rank_arm(d)),  k = 60, absent arm → 0.
+# The query is "more like doc 0": its top-3 terms feed the lexical arm,
+# its embedding the dense arm; doc 0 itself is excluded from both.
+# Ranks are computed on the 6-dp-rounded scores (ties broken by doc_id)
+# so both engines rank identical keys; the fusion ranks are small
+# integers, so the fused score is the identical double expression.
+# Scale: each arm ends in a TakeOrdered top-20; the global row_number
+# windows and the full-outer fuse run on ≤20-row inputs (driver-bounded),
+# never on corpus-sized relations. The dense arm broadcasts the single
+# query vector; the lexical arm broadcasts the 3-term query set.
+RRF_K = 60
+RRF_ARM_K = 20
+
+
+_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+q AS (
+  SELECT term FROM toks WHERE doc_id = 0
+  GROUP BY term ORDER BY count(*) DESC, term LIMIT 3
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM postings GROUP BY term
+),
+lex_scored AS (
+  SELECT p.doc_id,
+         round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * p.tf * ({K1} + 1)
+               / (p.tf + {K1} * (1 - {B} + {B} * d.dl
+                                 / (CAST(s.total_len AS DOUBLE) / s.n_docs)))),
+               6) AS bm25
+  FROM postings p
+  JOIN q ON q.term = p.term
+  JOIN df f ON f.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id <> 0
+  GROUP BY p.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rn
+  FROM lex_scored ORDER BY bm25 DESC, doc_id LIMIT {RRF_ARM_K}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+dense_scored AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM v q JOIN v c ON c.vec_id <> 0
+  WHERE q.vec_id = 0
+),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS dense_rn
+  FROM dense_scored ORDER BY cosine DESC, doc_id LIMIT {RRF_ARM_K}
+)
+SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       CAST(lex.lex_rn AS INT) AS lex_rn,
+       CAST(dense.dense_rn AS INT) AS dense_rn,
+       round(coalesce(1.0 / ({RRF_K} + lex.lex_rn), 0)
+             + coalesce(1.0 / ({RRF_K} + dense.dense_rn), 0), 9) AS rrf
+FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {TOPK}
+"""
+
+
+@query("sim_rrf_hybrid", oracle=_RRF_ORACLE)
+def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from minimised_impala_spark.extensions import vector_kernels as VK
+    from minimised_impala_spark.shipping import ship_module_by_value
+
+    ship_module_by_value("minimised_impala_spark.extensions.vector_kernels")
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    qterms = (
+        toks.filter(F.col("doc_id") == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(3)
+        .select("term")
+    )
+    lex = (
+        _bm25_scores(docs.filter(F.col("doc_id") != 0), qterms)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_ARM_K)
+        .withColumn(
+            "lex_rn",
+            F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "lex_rn")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(VK.cosine_pair("qe", "e"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_ARM_K)
+        .withColumn(
+            "dense_rn",
+            F.row_number().over(W.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "dense_rn")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rn")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("dense_rn")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rn").cast("int").alias("lex_rn"),
+            F.col("dense_rn").cast("int").alias("dense_rn"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(TOPK)
     )
