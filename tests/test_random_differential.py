@@ -912,6 +912,65 @@ def _gen_star_join_query(rng: random.Random) -> str:
 
 N_STAR_QUERIES = 10
 
+
+def _gen_filter_clause_query(rng: random.Random) -> str:
+    """FILTER (WHERE ...) aggregate-modifier branch (SQL:2003 T612):
+    conditional aggregation without CASE rewrites, including over
+    DISTINCT aggregates where the CASE rewrite is NOT equivalent unless
+    the else-branch maps to NULL — both engines parse the same text, so
+    any disagreement is in the filtered-aggregate evaluation itself.
+    Money sums under a filter use the round shim; DISTINCT sums stay on
+    integer-valued columns."""
+    kind = rng.random()
+    if kind < 0.35:
+        q1, q2 = rng.randint(5, 45), rng.randint(1, 9) / 100.0
+        return (
+            f"SELECT l_returnflag, count(*) AS n_all, "
+            f"count(*) FILTER (WHERE l_quantity > {q1}) AS n_hi, "
+            f"round(sum(l_extendedprice) FILTER (WHERE l_discount > {q2}) "
+            f"* 100) / 100 AS rev_f, "
+            f"CAST(min(l_orderkey) FILTER (WHERE l_tax < {q2}) AS BIGINT) "
+            f"AS mn_f "
+            f"FROM lineitem GROUP BY l_returnflag"
+        )
+    if kind < 0.6:
+        st = rng.choice(["F", "O", "P"])
+        thr = rng.randint(50000, 300000)
+        return (
+            f"SELECT o_orderpriority, "
+            f"count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = '{st}') "
+            f"AS d_cust_f, "
+            f"count(*) FILTER (WHERE o_totalprice > {thr}) AS n_big, "
+            f"count(*) AS n "
+            f"FROM orders GROUP BY o_orderpriority"
+        )
+    if kind < 0.8:
+        # ungrouped, multiple filters over different columns
+        sz = rng.randint(5, 45)
+        b = rng.randint(1, 5)
+        return (
+            f"SELECT count(*) AS n, "
+            f"count(*) FILTER (WHERE p_size > {sz}) AS n_szf, "
+            f"count(*) FILTER (WHERE p_brand = 'Brand#{b}{b}') AS n_bf, "
+            f"CAST(sum(p_size) FILTER (WHERE p_size <= {sz}) AS BIGINT) "
+            f"AS s_szf "
+            f"FROM part"
+        )
+    # filtered aggregate + HAVING over a filtered count
+    h = rng.randint(1, 8)
+    bal = rng.randint(0, 5000)
+    return (
+        f"SELECT c_nationkey, count(*) AS n, "
+        f"count(*) FILTER (WHERE c_acctbal > {bal}) AS n_rich, "
+        f"CAST(max(c_custkey) FILTER (WHERE c_acctbal <= {bal}) AS BIGINT) "
+        f"AS mx_poor "
+        f"FROM customer GROUP BY c_nationkey "
+        f"HAVING count(*) FILTER (WHERE c_acctbal > {bal}) >= {h}"
+    )
+
+
+N_FILTER_QUERIES = 10
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -938,6 +997,8 @@ _DARNG = random.Random(20260824)
 QUERIES += [_gen_distinct_agg_query(_DARNG) for _ in range(N_DISTINCT_QUERIES)]
 _STRNG = random.Random(20260825)
 QUERIES += [_gen_star_join_query(_STRNG) for _ in range(N_STAR_QUERIES)]
+_FCRNG = random.Random(20260826)
+QUERIES += [_gen_filter_clause_query(_FCRNG) for _ in range(N_FILTER_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))

@@ -32,6 +32,7 @@ def main() -> int:
         _gen_date_fn_query,
         _gen_distinct_agg_query,
         _gen_events_query,
+        _gen_filter_clause_query,
         _gen_frame_query,
         _gen_outer_join_query,
         _gen_query,
@@ -70,6 +71,7 @@ def main() -> int:
         (_gen_date_fn_query, 2),
         (_gen_distinct_agg_query, 2),
         (_gen_star_join_query, 2),
+        (_gen_filter_clause_query, 2),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
