@@ -732,3 +732,63 @@ def dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("orders",))
     return Engine(spark).sql(_QUALIFY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bucketed-table co-located join — the shuffle-elimination feature a
+# 100 TB deployment leans on hardest (the reference's analogue is
+# partitioned/clustered HDFS layout + the planner's partitioned-join
+# path, fe/.../planner/DistributedPlanner.java). Both sides are written
+# with bucketBy(8, join key) + sortBy into the warehouse; reading them
+# back, the join keys' hash-distribution is already aligned, so the
+# join needs NO Exchange on either side (pinned in
+# tests/test_plans.py::test_bucketed_join_no_shuffle). The driver row
+# hashes the joined aggregate read back THROUGH the bucketed tables, so
+# the whole write→catalog→bucketed-scan→join path is correctness-gated.
+@query(
+    "ddl_bucketed_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_li,
+       CAST(sum(l_quantity) AS BIGINT) AS qty,
+       round(sum(l_extendedprice) * 100) / 100 AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_totalprice > 150000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    names = {}
+    for tname, keys in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"mis_bkt_{tname}_{sfx}"
+        names[tname] = tbl
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(
+                f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True
+            )
+            (
+                load_table(spark, sf_dir, tname)
+                .write.bucketBy(8, keys)
+                .sortBy(keys)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(names["orders"]).filter(F.col("o_totalprice") > 150000)
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+            (F.round(F.sum("l_extendedprice") * 100) / 100).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -916,3 +916,54 @@ def streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out, ignore_errors=True)
     return res
+
+
+@query(
+    "streaming_window_unique_users",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       count(DISTINCT user_id) AS n_unique
+FROM events
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def streaming_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique users per tumbling hour on a stream. Streaming aggregation
+    cannot evaluate count(DISTINCT ·) directly (distinct state is
+    unbounded per group), so the standard two-phase rewrite runs instead:
+    watermarked dedup on (user_id, hour bucket) — state bounded by the
+    watermark horizon via dropDuplicatesWithinWatermark — feeding a
+    plain windowed count. Chained stateful operators (dedup → agg) are
+    the load-bearing part: Spark executes them as two state stores in
+    one query. The fixture arrives in one micro-batch (watermark still
+    at epoch), so no dedup state is evicted mid-run and the result is
+    the exact batch distinct count the oracle computes.
+
+    Scale: dedup state ∝ active (user, hour) pairs inside the horizon,
+    agg state ∝ open windows — both watermark-bounded; shuffle is
+    hash-partitioned on the dedup keys then the window key, the same
+    two-exchange shape as the batch two-phase distinct rewrite."""
+    src = _events_stream(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "wstart"])
+    )
+    agg = deduped.groupBy("wstart").agg(F.count(F.lit(1)).alias("n_unique"))
+    name = f"stream_uniq_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(F.col("wstart").alias("window_start"), "n_unique")
+        .orderBy("window_start")
+    )

@@ -431,3 +431,22 @@ def test_span_corruption_is_shuffle_free_map(spark, sf_dir):
     assert "HashAggregate" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """ddl_bucketed_join: with both sides bucketed by the join key (8
+    buckets each) the SortMergeJoin must consume the bucketed scans
+    directly — zero hash-partitioning Exchanges below the join. The
+    broadcast threshold is disabled for the pin so AQE can't hide the
+    bucket path behind a broadcast."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fresh("ddl_bucketed_join")(spark, sf_dir)
+        plan = _physical(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part, plan
+    assert "SelectedBucketsCount" in plan
