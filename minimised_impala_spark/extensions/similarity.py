@@ -1261,3 +1261,142 @@ def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein 1998) — after a
+# relevance shortlist, greedily select k results trading relevance
+# against redundancy:  mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+# The iterative argmax is inherently sequential, but S is the SHORTLIST
+# (6 candidates here, top-k from the distributed scorer), so every
+# greedy step runs on driver-bounded relations: candidate relevance is a
+# TakeOrdered-6 over the corpus, candidate-pair similarities a 6×6
+# self-join, and the three selection steps are limit-1 DataFrames joined
+# back — no collect, no corpus-sized state past the shortlist. rel and
+# sim are rounded to 6 dp BEFORE the greedy so both engines order
+# bit-identical score expressions (λ = 0.7). The DuckDB oracle unrolls
+# the same three steps as chained CTEs.
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 6
+
+
+_MMR_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scored AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS rel
+  FROM v q JOIN v c ON c.vec_id <> 0
+  WHERE q.vec_id = 0
+),
+cand AS (
+  SELECT doc_id, rel FROM scored
+  ORDER BY rel DESC, doc_id LIMIT {MMR_SHORTLIST}
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         round(list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e))
+                  * sqrt(list_dot_product(vb.e, vb.e))), 6) AS sim
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+  JOIN v va ON va.vec_id = a.doc_id
+  JOIN v vb ON vb.vec_id = b.doc_id
+),
+s1 AS (SELECT doc_id, rel FROM cand ORDER BY rel DESC, doc_id LIMIT 1),
+r2 AS (
+  SELECT c.doc_id, c.rel,
+         {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA:.1f} * p.sim AS score
+  FROM cand c
+  JOIN pairs p ON p.a = c.doc_id AND p.b = (SELECT doc_id FROM s1)
+),
+s2 AS (SELECT doc_id, rel, score FROM r2 ORDER BY score DESC, doc_id LIMIT 1),
+r3 AS (
+  SELECT c.doc_id, c.rel,
+         {MMR_LAMBDA} * c.rel
+           - {1 - MMR_LAMBDA:.1f} * greatest(p1.sim, p2.sim) AS score
+  FROM cand c
+  JOIN pairs p1 ON p1.a = c.doc_id AND p1.b = (SELECT doc_id FROM s1)
+  JOIN pairs p2 ON p2.a = c.doc_id AND p2.b = (SELECT doc_id FROM s2)
+),
+s3 AS (SELECT doc_id, rel, score FROM r3 ORDER BY score DESC, doc_id LIMIT 1)
+SELECT CAST(1 AS INT) AS rank, doc_id, rel, rel AS mmr_score FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), doc_id, rel, round(score, 6) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), doc_id, rel, round(score, 6) FROM s3
+ORDER BY rank
+"""
+
+
+@query("sim_mmr_rerank", oracle=_MMR_ORACLE)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(VK.cosine_pair("qe", "e"), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(MMR_SHORTLIST)
+    )
+    ca = cand.join(emb, cand["doc_id"] == emb["vec_id"]).select(
+        F.col("doc_id").alias("a"), F.col("e").alias("ea")
+    )
+    cb = cand.join(emb, cand["doc_id"] == emb["vec_id"]).select(
+        F.col("doc_id").alias("b"), F.col("e").alias("eb")
+    )
+    pairs = (
+        ca.crossJoin(cb)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(VK.cosine_pair("ea", "eb"), 6).alias("sim"))
+    )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+
+    s1 = cand.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1)
+    r2 = (
+        cand.join(
+            pairs.join(
+                F.broadcast(s1.select(F.col("doc_id").alias("b"))), "b"
+            ).select("a", "sim"),
+            cand["doc_id"] == F.col("a"),
+        )
+        .select("doc_id", "rel", (lam * F.col("rel") - mu * F.col("sim")).alias("score"))
+    )
+    s2 = r2.orderBy(F.desc("score"), F.asc("doc_id")).limit(1)
+    p1 = pairs.join(
+        F.broadcast(s1.select(F.col("doc_id").alias("b"))), "b"
+    ).select(F.col("a").alias("a1"), F.col("sim").alias("sim1"))
+    p2 = pairs.join(
+        F.broadcast(s2.select(F.col("doc_id").alias("b"))), "b"
+    ).select(F.col("a").alias("a2"), F.col("sim").alias("sim2"))
+    r3 = (
+        cand.join(p1, cand["doc_id"] == F.col("a1"))
+        .join(p2, cand["doc_id"] == F.col("a2"))
+        .select(
+            "doc_id",
+            "rel",
+            (lam * F.col("rel") - mu * F.greatest("sim1", "sim2")).alias("score"),
+        )
+    )
+    s3 = r3.orderBy(F.desc("score"), F.asc("doc_id")).limit(1)
+    out = (
+        s1.select(F.lit(1).alias("rank"), "doc_id", "rel", F.col("rel").alias("mmr_score"))
+        .unionAll(
+            s2.select(F.lit(2).alias("rank"), "doc_id", "rel",
+                      F.round("score", 6).alias("mmr_score"))
+        )
+        .unionAll(
+            s3.select(F.lit(3).alias("rank"), "doc_id", "rel",
+                      F.round("score", 6).alias("mmr_score"))
+        )
+    )
+    return out.orderBy("rank")

@@ -2503,3 +2503,72 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum sharding — assign every document to a difficulty decile
+# WITHOUT a global window (the naive ntile()-over-everything serializes
+# to one task at scale). Instead: one exact-percentile aggregation
+# produces the 9 decile boundaries (a single scalar row), which
+# broadcast back against the corpus; shard = #boundaries below the
+# score. The difficulty proxy is n_chars with a doc_id/1e6 epsilon so
+# scores are unique (min score gap 1e-6 >> interpolation ulp — a
+# boundary can never sit within float noise of a score, so the
+# boundary-compare is engine-stable; Spark percentile() and DuckDB
+# quantile_cont() interpolate with the same (n-1)·q rule, verified by
+# agg_percentile_exact). Scale: aggregate → broadcast → per-row map →
+# final per-shard agg; no global sort, no single-task stage.
+@query(
+    "text_curriculum_shards",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         n_chars + doc_id / 1000000.0 AS score
+  FROM documents
+),
+b AS (
+  SELECT quantile_cont(score,
+           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM s
+),
+assigned AS (
+  SELECT s.doc_id, s.n_chars,
+         len(list_filter(b.bs, x -> s.score > x)) AS shard
+  FROM s CROSS JOIN b
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS INT) AS min_chars,
+       CAST(max(n_chars) AS INT) AS max_chars
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") + F.col("doc_id") / 1000000.0).alias("score"),
+    )
+    bounds = s.agg(
+        F.expr(
+            "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    assigned = s.crossJoin(F.broadcast(bounds)).select(
+        "n_chars",
+        F.size(F.filter("bs", lambda x: F.col("score") > x))
+        .cast("int")
+        .alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("int").alias("min_chars"),
+            F.max("n_chars").cast("int").alias("max_chars"),
+        )
+        .orderBy("shard")
+    )
