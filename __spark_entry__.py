@@ -88,7 +88,7 @@ _PRIORITY = [
     "nested_map_funcs", "text_bpe_merge", "dialect_qualify",
     "text_span_corruption", "text_wordpiece_encode", "sim_rrf_hybrid",
     "streaming_window_unique_users", "ddl_bucketed_join", "sim_mmr_rerank",
-    "text_curriculum_shards",
+    "text_curriculum_shards", "sim_ann_recall_report",
     # previously-green category representatives (regression rotation;
     # last driver check r1-r3)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",

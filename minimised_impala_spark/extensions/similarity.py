@@ -1400,3 +1400,168 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation — recall@5 of the 8-plane LSH index against the
+# exact cosine ground truth, per query. "Measure, don't guess" applied
+# to the index itself: a production vector store ships exactly this
+# report (recall/candidate-count per query) before anyone trusts an ANN
+# path, and the computation is a pure composition of the machinery
+# already under test (signature buckets from sim_lsh_ann, exact top-k
+# from sim_cosine_topk, an equi-join to count hits). Outputs are all
+# integers — recall_pct = hits·20 (hits out of 5) — so the report is
+# float-hazard-free. Scale: ground truth restricted to a bounded query
+# panel (vec_id < 20, broadcast against the corpus); the ANN arm is the
+# bucket join, candidates ∝ collisions.
+RECALL_QUERIES = 20
+
+
+_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, i.dim, e[i.dim + 1] AS x
+  FROM v, (SELECT unnest(range({DIM})) AS dim) i
+),
+proj AS (
+  SELECT c.vec_id, j.pl,
+         sum(c.x * {_PLANE_SQL}) AS dot
+  FROM comps c, (SELECT unnest(range({N_PLANES})) AS pl) j
+  GROUP BY c.vec_id, j.pl
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << pl) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+),
+norm AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ne
+  FROM v
+),
+ann_pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_dot_product(na.ne, nb.ne) AS cosine
+  FROM sig a
+  JOIN sig b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+  JOIN norm na ON na.vec_id = a.vec_id
+  JOIN norm nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id < {RECALL_QUERIES}
+),
+ann AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid) AS rn
+    FROM ann_pairs) t WHERE rn <= 5
+),
+exact_pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_dot_product(nq.ne, nc.ne) AS cosine
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  JOIN norm nq ON nq.vec_id = q.vec_id
+  JOIN norm nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < {RECALL_QUERIES}
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid) AS rn
+    FROM exact_pairs) t WHERE rn <= 5
+),
+ann_counts AS (SELECT qid, CAST(count(*) AS INT) AS n_ann FROM ann GROUP BY qid),
+hits AS (
+  SELECT e.qid, CAST(count(a.nid) AS INT) AS n_hit
+  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+  GROUP BY e.qid
+)
+SELECT h.qid AS query_id,
+       coalesce(c.n_ann, 0) AS n_ann,
+       h.n_hit,
+       h.n_hit * 20 AS recall_pct
+FROM hits h LEFT JOIN ann_counts c ON c.qid = h.qid
+ORDER BY query_id
+"""
+
+
+@query("sim_ann_recall_report", oracle=_RECALL_ORACLE)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    ne = emb.select("vec_id", VK.norm_vec("e").alias("ne"))
+    sig = emb.select("vec_id", VK.lsh_bucket("e").alias("bucket"))
+    # materialize the UDF-produced tables once; both are reused on two
+    # join sides each (same reasoning as sim_lsh_ann's localCheckpoint)
+    ne = ne.localCheckpoint(eager=False)
+    sig = sig.localCheckpoint(eager=False)
+
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+
+    ann_pairs = (
+        sig.filter(F.col("vec_id") < RECALL_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qb"))
+        .join(
+            sig.select(F.col("vec_id").alias("nid"), "bucket"),
+            (F.col("bucket") == F.col("qb")) & (F.col("nid") != F.col("qid")),
+        )
+        .join(
+            ne.select(F.col("vec_id").alias("qid2"), F.col("ne").alias("qe")),
+            F.col("qid2") == F.col("qid"),
+        )
+        .join(
+            ne.select(F.col("vec_id").alias("nid2"), F.col("ne").alias("ce")),
+            F.col("nid2") == F.col("nid"),
+        )
+        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("cosine"))
+    )
+    ann = (
+        ann_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid")
+    )
+    q = ne.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qe")
+    )
+    exact_pairs = (
+        F.broadcast(q)
+        .join(
+            ne.select(F.col("vec_id").alias("nid"), F.col("ne").alias("ce")),
+            F.col("nid") != F.col("qid"),
+        )
+        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("cosine"))
+    )
+    exact = (
+        exact_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid")
+    )
+    ann_counts = ann.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ann")
+    )
+    hits = (
+        exact.join(
+            ann.select(F.col("qid").alias("aq"), F.col("nid").alias("an")),
+            (F.col("aq") == F.col("qid")) & (F.col("an") == F.col("nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("an").cast("int").alias("n_hit"))
+    )
+    return (
+        hits.join(ann_counts, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_ann"), F.lit(0)).alias("n_ann"),
+            "n_hit",
+            (F.col("n_hit") * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )

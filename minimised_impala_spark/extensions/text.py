@@ -2572,3 +2572,107 @@ def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Contamination MATRIX — the release-gate view of text_contamination:
+# instead of the raw (train, bench) pair list, roll leakage up to
+# (train source × eval suite): which ingestion source leaks into which
+# benchmark family, how many train docs and eval items are implicated.
+# Suites partition the bench set deterministically ((bench_id/17) % 3 —
+# the fixture's bench docs are doc_id % 17 = 0). Same shingle-posting
+# join as the pair query (cost ∝ Σ bench-shingle df, never |train|²);
+# the rollup is a second small aggregation over the matched pairs only.
+_CONTAM_MATRIX_ORACLE = """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+),
+bench AS (
+  SELECT doc_id AS bench_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 17 = 0
+),
+btoks AS (
+  SELECT bench_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM bench
+),
+bshingles AS (
+  SELECT DISTINCT a.bench_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM btoks a
+  JOIN btoks b ON b.bench_id = a.bench_id AND b.p = a.p + 1
+  JOIN btoks c ON c.bench_id = a.bench_id AND c.p = a.p + 2
+),
+bsizes AS (SELECT bench_id, count(*) AS bsz FROM bshingles GROUP BY bench_id),
+inter AS (
+  SELECT s.doc_id AS train_id, b.bench_id, count(*) AS c
+  FROM shingles s JOIN bshingles b ON s.sh = b.sh
+  GROUP BY s.doc_id, b.bench_id
+),
+contaminated AS (
+  SELECT i.train_id, i.bench_id
+  FROM inter i JOIN bsizes z ON z.bench_id = i.bench_id
+  WHERE i.c * 1.0 / z.bsz >= 0.5
+)
+SELECT d.source,
+       CAST((c.bench_id // 17) % 3 AS INT) AS suite,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT c.train_id) AS BIGINT) AS n_train_docs,
+       CAST(count(DISTINCT c.bench_id) AS BIGINT) AS n_eval_items
+FROM contaminated c JOIN documents d ON d.doc_id = c.train_id
+GROUP BY d.source, suite
+ORDER BY d.source, suite
+"""
+
+
+@query("text_contamination_matrix", oracle=_CONTAM_MATRIX_ORACLE)
+def text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions.dedup import _trigrams_of
+
+    grams = F.array_distinct(_trigrams_of(F.col("toks")))
+    docs = load_table(spark, sf_dir, "documents")
+    train_sh = docs.withColumn("toks", F.split("text", " ")).select(
+        F.col("doc_id").alias("train_id"), F.explode(grams).alias("sh")
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
+        "bench_id", F.explode(grams).alias("sh")
+    )
+    bsizes = bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    inter = (
+        train_sh.join(
+            F.broadcast(bench_sh.withColumnRenamed("sh", "bsh")),
+            F.col("sh") == F.col("bsh"),
+        )
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    contaminated = (
+        inter.join(F.broadcast(bsizes), "bench_id")
+        .filter(F.col("c") * 1.0 / F.col("bsz") >= 0.5)
+        .select("train_id", "bench_id")
+    )
+    src = docs.select(F.col("doc_id").alias("train_id"), "source")
+    return (
+        contaminated.join(src, "train_id")
+        .withColumn("suite", F.expr("CAST((bench_id div 17) % 3 AS INT)"))
+        .groupBy("source", "suite")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+            F.countDistinct("bench_id").alias("n_eval_items"),
+        )
+        .orderBy("source", "suite")
+    )

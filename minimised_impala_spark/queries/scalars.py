@@ -725,3 +725,65 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Parquet schema evolution through the scan path — the reference resolves
+# schema drift per file at scan time (HdfsParquetScanner column
+# resolution, be/src/exec/parquet/hdfs-parquet-scanner.cc; Avro
+# resolution is its own §2 row): two batches of the same dataset are
+# written with DIFFERENT schemas (v2 adds a column), read back merged
+# (mergeSchema), and aggregated — v1 rows surface NULL for the added
+# column. The oracle recomputes the identical aggregate from the source
+# table with the v1/v2 split expressed as CASE, so the driver hash
+# covers write → heterogeneous-footer scan → merge → NULL semantics.
+@query(
+    "source_schema_evolution",
+    oracle="""
+SELECT CASE WHEN doc_id < 200 THEN '<pre-evolution>' ELSE lang END AS lang_slot,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < 400
+GROUP BY lang_slot
+ORDER BY lang_slot
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        f"{tempfile.gettempdir()}/mis_evolve_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+        .write.parquet(f"{base}/batch=1")
+    )
+    (
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+        .select("doc_id", "n_chars", "lang")
+        .write.parquet(f"{base}/batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("lang"), F.lit("<pre-evolution>")).alias(
+                "lang_slot"
+            ),
+            "n_chars",
+        )
+        .groupBy("lang_slot")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang_slot")
+    )
