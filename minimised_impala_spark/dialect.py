@@ -260,15 +260,21 @@ def _rewrite_qualify(sql: str) -> str:
     frm = _find_depth0(masked, _FROM, sel.end())
     if not frm or frm.start() > qual.start():
         return sql
+    # All span math below runs on the masked text (same _mask discipline
+    # as the rest of translate) and slices replacement text out of the raw
+    # string by position — so parens/commas/AS inside string literals never
+    # derail item splitting, and alias tokens inside literals are never
+    # rewritten. Identifiers are unmasked, so masked spans == raw spans.
     sel_text = sql[sel.end(): frm.start()]
+    masked_sel = masked[sel.end(): frm.start()]
     aliases: list[str] = []
     exprs: dict[str, str] = {}
-    for a, b in _split_top_commas(sel_text):
+    for a, b in _split_top_commas(masked_sel):
         item = sel_text[a:b].strip()
-        m = _AS_ALIAS.search(item)
+        m = _AS_ALIAS.search(masked_sel[a:b].rstrip())
         if m:
             aliases.append(m.group(1))
-            exprs[m.group(1)] = item[: m.start()].strip()
+            exprs[m.group(1)] = sel_text[a:b][: m.start()].strip()
         elif _BARE_COLUMN.match(item):
             aliases.append(item.split(".")[-1])
         else:
@@ -280,11 +286,28 @@ def _rewrite_qualify(sql: str) -> str:
     pred = sql[qual.end(): tail_pos].strip()
     tail = sql[tail_pos:].strip()
     if exprs:
-        pred = re.sub(
-            r"\b[A-Za-z_]\w*\b",
-            lambda m: f"({exprs[m.group(0)]})" if m.group(0) in exprs else m.group(0),
-            pred,
-        )
+        masked_pred = masked[qual.end(): tail_pos]
+        raw_pred = sql[qual.end(): tail_pos]
+        parts: list[str] = []
+        last = 0
+        for m in re.finditer(r"\b[A-Za-z_]\w*\b", masked_pred):
+            name = m.group(0)
+            if name not in exprs:
+                continue
+            # Skip the column part of qualified refs (t.rn), alias-as-
+            # qualifier (rn.x), and function-name collisions (rn(...)).
+            before = masked_pred[m.start() - 1] if m.start() > 0 else ""
+            j = m.end()
+            while j < len(masked_pred) and masked_pred[j].isspace():
+                j += 1
+            after = masked_pred[j] if j < len(masked_pred) else ""
+            if before == "." or after in ".(":
+                continue
+            parts.append(raw_pred[last: m.start()])
+            parts.append(f"({exprs[name]})")
+            last = m.end()
+        parts.append(raw_pred[last:])
+        pred = "".join(parts).strip()
     inner = (
         f"SELECT {sel_text.strip()}, ({pred}) AS __qualify__ "
         f"{sql[frm.start(): qual.start()].strip()}"

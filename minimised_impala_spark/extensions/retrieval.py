@@ -77,10 +77,18 @@ LIMIT {TOPK}
 """
 
 
-def _bm25_scores(docs: DataFrame, qterms: DataFrame) -> DataFrame:
+def _bm25_scores(
+    docs: DataFrame, qterms: DataFrame, exclude_doc: int | None = None
+) -> DataFrame:
     """(doc_id, bm25) for every doc matching ≥1 query term — the scoring
     core shared by text_bm25_topk and sim_rrf_hybrid. ``qterms`` must be
-    a bounded (term) relation; it is broadcast against the postings."""
+    a bounded (term) relation; it is broadcast against the postings.
+
+    ``exclude_doc`` drops that doc from the *scored output only* — the
+    corpus statistics (n_docs, avgdl, df) always cover the full ``docs``
+    relation, so a query-by-example caller that excludes its probe doc
+    from the results still scores against the same BM25 function as an
+    oracle that filters after scoring."""
     postings = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -103,8 +111,11 @@ def _bm25_scores(docs: DataFrame, qterms: DataFrame) -> DataFrame:
         * (K1 + 1)
         / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl))
     )
+    matched = postings.join(F.broadcast(qterms), "term")
+    if exclude_doc is not None:
+        matched = matched.filter(F.col("doc_id") != exclude_doc)
     scored = (
-        postings.join(F.broadcast(qterms), "term")
+        matched
         .join(F.broadcast(dfreq.join(F.broadcast(qterms), "term")), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -241,7 +252,7 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     lex = (
-        _bm25_scores(docs.filter(F.col("doc_id") != 0), qterms)
+        _bm25_scores(docs, qterms, exclude_doc=0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(RRF_ARM_K)
         .withColumn(

@@ -191,7 +191,7 @@ norm AS (
 ),
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
-         list_dot_product(na.ne, nb.ne) AS cosine
+         round(list_dot_product(na.ne, nb.ne), 6) AS cosine
   FROM sig a
   JOIN sig b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
   JOIN norm na ON na.vec_id = a.vec_id
@@ -238,10 +238,13 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("qid") != F.col("nid")))
-        .select("qid", "nid", VK.dot_pair("qe", "ne").alias("cosine"))
+        # rank on the 6dp-rounded cosine (MMR/RRF convention) so
+        # summation-order ulp noise can never flip a near-tie rank
+        # between the numpy kernel and the oracle's list_dot_product
+        .select("qid", "nid", F.round(VK.dot_pair("qe", "ne"), 6).alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("qid", "nid", F.round("cosine", 6).alias("cosine"))
+        .select("qid", "nid", "cosine")
         .orderBy("qid", "nid")
     )
 
@@ -1078,12 +1081,12 @@ WITH v AS (
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.e[1:16], c.e[1:16])
+         round(list_dot_product(q.e[1:16], c.e[1:16])
            / (sqrt(list_dot_product(q.e[1:16], q.e[1:16]))
-              * sqrt(list_dot_product(c.e[1:16], c.e[1:16]))) AS tcos,
-         list_dot_product(q.e, c.e)
+              * sqrt(list_dot_product(c.e[1:16], c.e[1:16]))), 6) AS tcos,
+         round(list_dot_product(q.e, c.e)
            / (sqrt(list_dot_product(q.e, q.e))
-              * sqrt(list_dot_product(c.e, c.e))) AS fcos
+              * sqrt(list_dot_product(c.e, c.e))), 6) AS fcos
   FROM v q JOIN v c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 10
 ),
@@ -1099,7 +1102,7 @@ ranked AS (
                             ORDER BY fcos DESC, neighbor_id) AS rn
   FROM short WHERE srn <= 20
 )
-SELECT query_id, neighbor_id, round(fcos, 6) AS cosine, CAST(rn AS INT) AS rn
+SELECT query_id, neighbor_id, fcos AS cosine, CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, rn
 """,
@@ -1122,8 +1125,11 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            VK.cosine_pair(
-                F.slice("qe", 1, 16), F.slice("ce", 1, 16)
+            # 6dp-round BEFORE both ranking windows (MMR/RRF convention)
+            # so ulp noise between the numpy kernel and the oracle's
+            # list_dot_product can never flip a near-tie rank
+            F.round(
+                VK.cosine_pair(F.slice("qe", 1, 16), F.slice("ce", 1, 16)), 6
             ).alias("tcos"),
             "qe",
             "ce",
@@ -1136,7 +1142,7 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            VK.cosine_pair("qe", "ce").alias("fcos"),
+            F.round(VK.cosine_pair("qe", "ce"), 6).alias("fcos"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("fcos"), F.asc("neighbor_id"))
@@ -1146,7 +1152,7 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("fcos", 6).alias("cosine"),
+            F.col("fcos").alias("cosine"),
             F.col("rn").cast("int").alias("rn"),
         )
         .orderBy("query_id", "rn")
@@ -1179,9 +1185,9 @@ pairs AS (
          CAST(list_sum(list_transform(range(1, 65),
               i -> CASE WHEN (q.e[i] >= 0) <> (c.e[i] >= 0)
                         THEN 1 ELSE 0 END)) AS INT) AS hamming,
-         list_dot_product(q.e, c.e)
+         round(list_dot_product(q.e, c.e)
            / (sqrt(list_dot_product(q.e, q.e))
-              * sqrt(list_dot_product(c.e, c.e))) AS fcos
+              * sqrt(list_dot_product(c.e, c.e))), 6) AS fcos
   FROM v q JOIN v c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 10
 ),
@@ -1197,7 +1203,7 @@ ranked AS (
                             ORDER BY fcos DESC, neighbor_id) AS rn
   FROM short WHERE srn <= 32
 )
-SELECT query_id, neighbor_id, hamming, round(fcos, 6) AS cosine,
+SELECT query_id, neighbor_id, hamming, fcos AS cosine,
        CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, rn
@@ -1245,7 +1251,7 @@ def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "hamming",
-            VK.cosine_pair("qe", "ce").alias("fcos"),
+            F.round(VK.cosine_pair("qe", "ce"), 6).alias("fcos"),
         )
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("fcos"), F.asc("neighbor_id"))
@@ -1256,7 +1262,7 @@ def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "hamming",
-            F.round("fcos", 6).alias("cosine"),
+            F.col("fcos").alias("cosine"),
             F.col("rn").cast("int").alias("rn"),
         )
         .orderBy("query_id", "rn")
@@ -1445,7 +1451,7 @@ norm AS (
 ),
 ann_pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
-         list_dot_product(na.ne, nb.ne) AS cosine
+         round(list_dot_product(na.ne, nb.ne), 6) AS cosine
   FROM sig a
   JOIN sig b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
   JOIN norm na ON na.vec_id = a.vec_id
@@ -1461,7 +1467,7 @@ ann AS (
 ),
 exact_pairs AS (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
-         list_dot_product(nq.ne, nc.ne) AS cosine
+         round(list_dot_product(nq.ne, nc.ne), 6) AS cosine
   FROM v q JOIN v c ON c.vec_id <> q.vec_id
   JOIN norm nq ON nq.vec_id = q.vec_id
   JOIN norm nc ON nc.vec_id = c.vec_id
@@ -1520,7 +1526,9 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ne.select(F.col("vec_id").alias("nid2"), F.col("ne").alias("ce")),
             F.col("nid2") == F.col("nid"),
         )
-        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("cosine"))
+        .select(
+            "qid", "nid", F.round(VK.dot_pair("qe", "ce"), 6).alias("cosine")
+        )
     )
     ann = (
         ann_pairs.withColumn("rn", F.row_number().over(w))
@@ -1536,7 +1544,9 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ne.select(F.col("vec_id").alias("nid"), F.col("ne").alias("ce")),
             F.col("nid") != F.col("qid"),
         )
-        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("cosine"))
+        .select(
+            "qid", "nid", F.round(VK.dot_pair("qe", "ce"), 6).alias("cosine")
+        )
     )
     exact = (
         exact_pairs.withColumn("rn", F.row_number().over(w))

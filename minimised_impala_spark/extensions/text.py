@@ -2511,19 +2511,24 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to one task at scale). Instead: one exact-percentile aggregation
 # produces the 9 decile boundaries (a single scalar row), which
 # broadcast back against the corpus; shard = #boundaries below the
-# score. The difficulty proxy is n_chars with a doc_id/1e6 epsilon so
-# scores are unique (min score gap 1e-6 >> interpolation ulp — a
-# boundary can never sit within float noise of a score, so the
-# boundary-compare is engine-stable; Spark percentile() and DuckDB
+# score. The difficulty proxy is the exact-integer composite
+# n_chars·1e6 + doc_id%1e6 (doc_id-tiebroken, corpus-size-independent —
+# a fractional doc_id/1e6 epsilon would stop being an epsilon once
+# doc_id ≥ 1e6). Integer scores are exactly representable in doubles up
+# to 2^53 (n_chars < 9e9), distinct scores differ by ≥ 1 while the
+# engines' interpolation noise is ≤ ulp(score) ≈ 1e-4, and a boundary
+# landing ON a score is computed identically by both engines (frac = 0
+# ⇒ boundary == v_i exactly), so the boundary-compare is engine-stable
+# even for the rare doc_id≡(mod 1e6) tie; Spark percentile() and DuckDB
 # quantile_cont() interpolate with the same (n-1)·q rule, verified by
-# agg_percentile_exact). Scale: aggregate → broadcast → per-row map →
+# agg_percentile_exact. Scale: aggregate → broadcast → per-row map →
 # final per-shard agg; no global sort, no single-task stage.
 @query(
     "text_curriculum_shards",
     oracle="""
 WITH s AS (
   SELECT doc_id, n_chars,
-         n_chars + doc_id / 1000000.0 AS score
+         n_chars * 1000000.0 + doc_id % 1000000 AS score
   FROM documents
 ),
 b AS (
@@ -2550,7 +2555,9 @@ def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select(
         "doc_id",
         "n_chars",
-        (F.col("n_chars") + F.col("doc_id") / 1000000.0).alias("score"),
+        (F.col("n_chars") * 1000000.0 + F.col("doc_id") % 1000000).alias(
+            "score"
+        ),
     )
     bounds = s.agg(
         F.expr(

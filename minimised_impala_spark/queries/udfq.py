@@ -760,13 +760,30 @@ ORDER BY o_orderpriority
 )
 def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import shutil
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Key the cached bucketed copies on a content fingerprint of the
+    # source parquet (path + file names/sizes/mtimes), not just the path:
+    # regenerated fixture data gets a fresh suffix and a rebuild instead
+    # of silently joining stale buckets.
+    def _fingerprint(tname: str) -> str:
+        h = hashlib.md5(sf_dir.encode())
+        target = os.path.join(sf_dir, f"{tname}.parquet")
+        paths = [target]
+        if os.path.isdir(target):
+            paths = sorted(
+                os.path.join(target, p) for p in os.listdir(target)
+            )
+        for p in paths:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+        return h.hexdigest()[:10]
+
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     names = {}
     for tname, keys in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"mis_bkt_{tname}_{sfx}"
+        tbl = f"mis_bkt_{tname}_{_fingerprint(tname)}"
         names[tname] = tbl
         if not spark.catalog.tableExists(tbl):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")

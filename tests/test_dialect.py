@@ -199,3 +199,46 @@ def test_qualify_order_by_inside_over_not_tail():
         "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 3"
     )
     assert out.endswith("WHERE __qualify__")
+
+
+def test_qualify_alias_inside_string_literal_not_inlined():
+    # ADVICE r5: alias tokens inside string literals must not be rewritten
+    out = dialect.translate(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t "
+        "QUALIFY rn <= 2 AND a <> 'rn'"
+    )
+    assert "'rn'" in out  # the literal survives verbatim
+    assert "'(row_number()" not in out
+
+
+def test_qualify_qualified_ref_column_part_not_inlined():
+    # t.rn refers to a base column of t, not the select alias
+    out = dialect.translate(
+        "SELECT t.a, row_number() OVER (ORDER BY t.b) AS rn FROM t "
+        "QUALIFY rn <= 2 AND t.rn > 0"
+    )
+    assert "t.rn > 0" in out
+    assert "t.(row_number()" not in out
+
+
+def test_qualify_function_name_collision_not_inlined():
+    # a function spelled like an alias must stay a function call
+    out = dialect.translate(
+        "SELECT a, max(b) OVER (PARTITION BY a) AS abs FROM t "
+        "QUALIFY abs > abs(-1)"
+    )
+    assert "abs(-1)" in out
+    assert "(max(b) OVER (PARTITION BY a))(-1)" not in out
+    # while the bare alias use IS inlined
+    assert "(max(b) OVER (PARTITION BY a)) > abs(-1)" in out
+
+
+def test_qualify_select_item_literal_with_parens_and_commas():
+    # parens/commas inside a string-literal select item must not derail
+    # top-level item splitting (ADVICE r5: _split_top_commas on the mask)
+    out = dialect.translate(
+        "SELECT '(' AS p, 'a,b' AS q, row_number() OVER (ORDER BY b) AS rn "
+        "FROM t QUALIFY rn = 1"
+    )
+    assert out.strip().startswith("SELECT p, q, rn FROM (")
+    assert "'('" in out and "'a,b'" in out
