@@ -32,82 +32,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first 50 registry entries per round.
-# r1 ∪ r2 ∪ r3 ∪ r4 drove 178 distinct queries (177 green at latest
-# check); after r4 exactly 16 names had never been driver-verified (the
-# 50-cap ended at dedup_edit_distance, slot 50). Round 5 leads with
-# those 16 so every registered query gets >=1 hard driver row, then
-# scalar_decimal (red r2-r4 — r5 fix casts the six DECIMAL output
-# columns to DOUBLE at the boundary per the judge's diagnosis), then
-# the 19 round-5 additions (slots 18-36), then previously-green
-# category representatives rotating regression coverage onto names last
-# verified in r1-r3 (the r4 sweep already
-# re-greened the round-4 additions, and the names past the cap all keep
-# earlier green rows). The whole 209-name registry was swept green at
-# sf0.01 via tools/driver_dryrun.py before round end.
+# Cumulatively r1∪r2∪r3∪r4∪r5 drove 226 distinct queries, all green at
+# their latest check; exactly 17 registered names have never had a
+# driver row (the r5 50-cap ended before reaching them). Round 6 leads
+# with those 17 (including the 3 the old list omitted entirely:
+# source_schema_evolution, text_gopher_rules, text_contamination_matrix),
+# then the round-6 additions, then the queries whose SEMANTICS changed
+# in the r6 advice fixes (pre-rank 6dp rounding) so their green rows
+# refresh, then regression rotation onto the OLDEST green rows — names
+# whose last driver row is r1 (TPC-H/TPC-DS bulk, join modes, agg
+# basics). Names past the cap keep their earlier green rows; the rest
+# of the r1/r2-era names queue behind for the r7 rotation.
 _PRIORITY = [
-    # never driver-verified through r4 — close the coverage gap first
-    "sim_ivfpq_ann", "dedup_containment", "pipeline_data_quality",
-    "events_scd2_intervals", "multimodal_pair_clip_filter",
-    "streaming_upsert_sink", "events_concurrency_curve",
-    "text_token_budget_mix", "join_lateral", "agg_boolean_suite",
-    "pipeline_dataset_card", "events_session_window_native",
-    "pipeline_incremental_stats", "udtf_sentence_split",
-    "udtf_longest_streak",
-    # prefix-sum operator bug-fixed r4; re-verify the user-facing query
-    "text_pack_sequences",
-    # red r2-r4, fixed r5 (DECIMAL->DOUBLE at the comparison boundary)
-    "scalar_decimal",
-    # new in round 5
-    "dedup_embedding_lsh", "ddl_insert_partitions", "text_bm25_topk",
-    "text_bigram_lm", "sim_centroid_classify", "streaming_drift_kl",
-    "pipeline_corpus_diff", "udf_java_jar", "ddl_view_cte",
-    "agg_salted_skew", "join_salted_skew", "streaming_dedup_lsh",
-    "ddl_sql_function",
-    "dialect_broadcast_hint", "ddl_load_data", "ddl_alter_truncate",
-    # round-5 late additions (iterative k-means, SemDeDup, C4-style
-    # paragraph dedup, model-based quality filter, CCNet perplexity
-    # buckets, MATCH_RECOGNIZE-style sequence patterns) — slots 34-39
-    # so they get driver rows this round
-    "sim_kmeans_cluster", "dedup_semdedup", "dedup_paragraph",
-    "text_quality_classifier", "text_ccnet_buckets",
-    "events_pattern_match",
-    # round-5 session-2 additions (span-grain n-gram dedup, PageRank
-    # over the event-transition graph)
-    "dedup_span_ngram", "events_pagerank_transitions",
-    "text_weighted_sample", "text_dsir_importance", "events_time_decay",
-    "agg_unpivot", "sql_recursive_reachability", "events_mad_anomaly",
-    "sim_matryoshka_topk", "agg_winsorize",
-    # round-5 session-3 addition (1-bit sign-packed Hamming ANN) —
-    # slot 49, the last slot inside the 50-cap (displaces tpch_q1,
-    # which keeps green rows from r1 and the r4 sweep)
-    "sim_binary_quant_topk",
-    # round-5 session-3+ additions past the 50-cap — never driver-verified
-    # yet; queued here so they lead the r6 sweep (same protocol as the
-    # r4->r5 tail drain)
+    # --- never driver-verified (17) — close the coverage gap first ---
     "agg_filter_clause", "agg_listagg_keyed", "window_count_distinct",
-    "nested_map_funcs", "text_bpe_merge", "dialect_qualify",
-    "text_span_corruption", "text_wordpiece_encode", "sim_rrf_hybrid",
-    "streaming_window_unique_users", "ddl_bucketed_join", "sim_mmr_rerank",
-    "text_curriculum_shards", "sim_ann_recall_report",
-    # previously-green category representatives (regression rotation;
-    # last driver check r1-r3)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
-    "source_text_scan", "source_avro_scan", "source_ext_kv_scan",
-    "select_values", "join_full_outer", "join_null_aware_anti",
-    "agg_distinct_multi", "agg_ndv_sketches", "agg_rollup",
-    "window_rank_suite", "window_rows_frame", "window_range_numeric",
-    "window_topk_per_group", "sort_nulls_limit_offset",
-    "scalar_math", "scalar_string", "scalar_datetime", "scalar_cast",
-    "scalar_parity_fns", "subq_not_in_null_semantics",
-    "subq_exists_correlated", "nested_explode_outer", "nested_tpch_q18",
-    "events_sessionize", "events_asof_join", "events_range_join",
-    "streaming_window_counts", "streaming_dedup_exact",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_cluster_cc", "dedup_keep_best",
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann",
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "pipeline_corpus_curation", "multimodal_binary_meta",
-    "multimodal_audio_chunks", "agg_cube_grouping", "events_funnel",
+    "source_schema_evolution", "nested_map_funcs", "dialect_qualify",
+    "ddl_bucketed_join", "sim_rrf_hybrid", "sim_mmr_rerank",
+    "sim_ann_recall_report", "text_gopher_rules", "text_bpe_merge",
+    "text_span_corruption", "text_wordpiece_encode",
+    "text_curriculum_shards", "text_contamination_matrix",
+    "streaming_window_unique_users",
+    # --- new in round 6 ---
+    "ddl_compute_stats_roundtrip",
+    # --- semantics touched by the r6 advice fixes (pre-rank rounding,
+    # scale-safe curriculum epsilon already above) — refresh green rows
+    "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",
+    # --- regression rotation: oldest green rows (last driver row r1) ---
+    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpcds_q3_star", "tpcds_q47_monthly_lag", "tpcds_q53_deviation",
+    "tpcds_q59_dow_ratio", "tpcds_q61_promo_ratio",
+    "tpcds_q65_brand_share", "tpcds_q73_order_counts",
+    "tpcds_q88_band_counts", "tpcds_q98_class_share",
+    # ^ slot 50 lands here; the names below queue for r7
+    "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
+    "tpcds_q51_cumulative_compare", "tpcds_q6_price_above_type_avg",
+    "tpcds_q8_intersect_gate",
+    "join_right_outer", "join_right_semi", "join_left_anti",
+    "join_cross", "join_theta", "agg_stats", "agg_group_concat",
+    "agg_percentile_exact", "agg_having",
+    # r2-era greens queue next
+    "tpch_q1", "tpch_q3", "join_full_outer", "join_null_aware_anti",
+    "join_null_safe_eq", "agg_distinct_multi", "agg_ndv_sketches",
+    "source_text_scan", "source_ext_kv_scan", "select_values",
+    "agg_rollup", "agg_pivot", "agg_sketch_suite", "window_rank_suite",
+    "window_rows_frame", "window_lag_lead", "window_topk_per_group",
+    "sort_nulls_limit_offset", "set_union", "set_intersect_except",
+    "scalar_string", "scalar_datetime", "scalar_conditional",
+    "scalar_cast", "scalar_parity_fns", "scalar_char_varchar",
+    "subq_scalar_correlated", "subq_not_in_null_semantics",
+    "nested_explode_tokens", "nested_struct_roundtrip",
+    "nested_map_access", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_cluster_cc", "sim_cosine_topk", "sim_ivf_ann",
+    "text_quality", "multimodal_binary_meta", "multimodal_audio_chunks",
     # remaining greens follow in registration order via _ordered_names
 ]
 

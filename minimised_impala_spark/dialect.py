@@ -10,7 +10,8 @@ runs unchanged on Spark SQL. This module rewrites the residue:
   caller should disable ``spark.sql.cbo.joinReorder.enabled`` for the
   statement (Engine.sql does);
 - catalog verbs: ``COMPUTE [INCREMENTAL] STATS t`` →
-  ``ANALYZE TABLE t COMPUTE STATISTICS``; ``INVALIDATE METADATA t`` /
+  ``ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS``;
+  ``INVALIDATE METADATA t`` /
   ``REFRESH t`` → ``REFRESH TABLE t`` (statestored propagation is a no-op
   in Spark — SURVEY §1.4);
 - SCALAR dialect function names are NOT rewritten here — they are registered
@@ -336,7 +337,12 @@ def translate(sql: str) -> str:
     """Rewrite an Impala-dialect statement into Spark SQL text."""
     m = _COMPUTE_STATS.match(sql)
     if m:
-        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS"
+        # The reference's COMPUTE STATS fills table-level row counts AND
+        # per-column stats in one verb (ComputeStatsStmt.java runs a
+        # count(*) query plus a per-column NDV query); Spark's FOR ALL
+        # COLUMNS form does the same (AnalyzeColumnCommand also updates
+        # table sizeInBytes/rowCount).
+        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS FOR ALL COLUMNS"
     m = _INVALIDATE.match(sql)
     if m:
         return f"REFRESH TABLE {m.group(1)}"

@@ -809,3 +809,59 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# COMPUTE STATS round trip — the stats VERB path end-to-end (§2 row 77,
+# fe/.../analysis/ComputeStatsStmt.java): the reference's COMPUTE STATS
+# runs a count(*) child query plus a per-column NDV/nulls query and
+# writes the results into the catalog, observable via SHOW TABLE STATS /
+# SHOW COLUMN STATS (ShowStatsStmt.java). Here the whole loop runs
+# through the dialect + Engine path: CTAS a filtered copy of orders →
+# Engine.sql("COMPUTE STATS t") (→ ANALYZE TABLE ... FOR ALL COLUMNS) →
+# read num_rows back from SHOW TABLE STATS and the exact per-column
+# null count from SHOW COLUMN STATS. The oracle recomputes both numbers
+# from the data, so a stats verb that silently no-ops (num_rows -1, the
+# reference's pre-stats display) flips the hash. Row counts and null
+# counts are exact in both engines; NDV is approximate and deliberately
+# NOT compared (same reason the reference's own stats tests pin counts,
+# not NDVs).
+@query(
+    "ddl_compute_stats_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS num_rows,
+       CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nulls_priority,
+       TRUE AS stats_known
+FROM orders WHERE o_totalprice > 150000
+""",
+)
+def ddl_compute_stats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from minimised_impala_spark.engine import Engine
+
+    o = load_table(spark, sf_dir, "orders")
+    tbl = f"mis_stats_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True)
+    (
+        o.filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.format("parquet")
+        .saveAsTable(tbl)
+    )
+    eng = Engine(spark)
+    eng.sql(f"COMPUTE STATS {tbl}")
+    tstats = eng.sql(f"SHOW TABLE STATS {tbl}").select(
+        "num_rows", (F.col("size_bytes") > 0).alias("stats_known")
+    )
+    cstats = (
+        eng.sql(f"SHOW COLUMN STATS {tbl}")
+        .filter(F.col("column") == "o_orderpriority")
+        .select(F.col("num_nulls").cast("bigint").alias("nulls_priority"))
+    )
+    return tstats.crossJoin(cstats).select(
+        "num_rows", "nulls_priority", "stats_known"
+    )

@@ -38,10 +38,10 @@ def test_straight_join_stripped():
 
 def test_catalog_verb_mapping():
     assert dialect.translate("COMPUTE STATS lineitem") == (
-        "ANALYZE TABLE lineitem COMPUTE STATISTICS"
+        "ANALYZE TABLE lineitem COMPUTE STATISTICS FOR ALL COLUMNS"
     )
     assert dialect.translate("COMPUTE INCREMENTAL STATS db.t") == (
-        "ANALYZE TABLE db.t COMPUTE STATISTICS"
+        "ANALYZE TABLE db.t COMPUTE STATISTICS FOR ALL COLUMNS"
     )
     assert dialect.translate("INVALIDATE METADATA lineitem") == "REFRESH TABLE lineitem"
     assert dialect.translate("REFRESH lineitem") == "REFRESH TABLE lineitem"

@@ -1,0 +1,55 @@
+"""Registry invariants — one authoritative count, asserted loudly.
+
+VERDICT r5 found three disagreeing registry counts in the docs (209 /
+208 / actual 243). This test is the single source of truth: update
+EXPECTED_QUERY_COUNT when adding queries, and keep any prose counts
+pointing here instead of restating the number.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXPECTED_QUERY_COUNT = 244  # r6
+
+
+def test_registry_count_is_authoritative():
+    from minimised_impala_spark.queries import load_all
+    from minimised_impala_spark.queries.registry import ORACLES, QUERIES
+
+    load_all()
+    assert len(QUERIES) == EXPECTED_QUERY_COUNT, (
+        f"registry holds {len(QUERIES)} queries; update "
+        f"EXPECTED_QUERY_COUNT (and any prose counts) to match"
+    )
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_priority_names_all_registered():
+    # a typo'd name in _PRIORITY would silently burn a driver slot
+    import __spark_entry__ as entrymod
+    from minimised_impala_spark.queries.registry import QUERIES
+
+    missing = [n for n in entrymod._PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(set(entrymod._PRIORITY)) == len(entrymod._PRIORITY), "dupes"
+
+
+def test_priority_covers_never_verified_first():
+    # the first 50 driver slots must include every name with no driver
+    # row through r5 (the r6 coverage goal) — guards against queue
+    # re-ordering regressions
+    import __spark_entry__ as entrymod
+
+    never = {
+        "agg_filter_clause", "agg_listagg_keyed", "window_count_distinct",
+        "source_schema_evolution", "nested_map_funcs", "dialect_qualify",
+        "ddl_bucketed_join", "sim_rrf_hybrid", "sim_mmr_rerank",
+        "sim_ann_recall_report", "text_gopher_rules", "text_bpe_merge",
+        "text_span_corruption", "text_wordpiece_encode",
+        "text_curriculum_shards", "text_contamination_matrix",
+        "streaming_window_unique_users",
+    }
+    first50 = set(list(entrymod.queries())[:50])
+    assert never <= first50, f"missing from cap: {never - first50}"
