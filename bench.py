@@ -69,12 +69,18 @@ def main() -> None:
         },
     )
 
-    # warm the JVM + parquet footers once (not counted)
+    # warm the JVM + parquet footers once (not counted). q6 warms the
+    # selective-scan shape; q1 additionally warms the WIDE-agg codegen
+    # shape — it runs first in the suite, so without this its 5 measured
+    # draws all pay whatever the cold window costs (BENCH_r05 showed q1
+    # exec_s 0.79 driver vs 0.38 quiet with identical code — VERDICT r5
+    # item 4).
     from minimised_impala_spark.tables import ALL_TABLES, load_table
 
     for t in ALL_TABLES:
         load_table(spark, sf_dir, t)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
+    QUERIES["tpch_q1"](spark, sf_dir).collect()
 
     # best-of-5 per query: first pass pays JVM JIT/codegen compilation,
     # later passes measure steady state — the regime a long-running engine
