@@ -560,6 +560,10 @@ class BeeswaxServer:
                 key = r.read_string()
             assert r.read_field()[0] == T_STOP
             with self._lock:
+                if name == "close" and key not in self._queries:
+                    # beeswax.thrift declares close throws
+                    # QueryNotFoundException; clean(log_context) is void
+                    raise _QueryNotFound(key)
                 self._queries.pop(key, None)
             w.write_stop()  # void result
             return
@@ -638,6 +642,42 @@ class BeeswaxClient:
         h = _read_handle(r)
         assert r.read_field()[0] == T_STOP
         return h
+
+    def execute_and_wait(self, sql: str, log_context: str = "") -> dict:
+        """The legacy shell's submit path (executeAndWait(Query,
+        LogContextId)): unlike ``query`` it carries a caller-chosen log
+        context id as a second argument. This server executes
+        synchronously, so the returned handle is already FINISHED —
+        the same observable behavior the blocking legacy call gives."""
+
+        def enc(w: TBinaryWriter) -> None:
+            w.write_field(T_STRUCT, 1)
+            w.write_field(T_STRING, 1)
+            w.write_string(sql)
+            w.write_stop()
+            w.write_field(T_STRING, 2)
+            w.write_string(log_context)
+            w.write_stop()
+
+        r = self._call("executeAndWait", enc)
+        ft, fid = self._result_field(r)
+        assert ft == T_STRUCT and fid == 0
+        h = _read_handle(r)
+        assert r.read_field()[0] == T_STOP
+        return h
+
+    def get_log(self, log_context: str) -> str:
+        def enc(w: TBinaryWriter) -> None:
+            w.write_field(T_STRING, 1)
+            w.write_string(log_context)
+            w.write_stop()
+
+        r = self._call("get_log", enc)
+        ft, fid = self._result_field(r)
+        assert ft == T_STRING and fid == 0
+        out = r.read_string()
+        assert r.read_field()[0] == T_STOP
+        return out
 
     def explain(self, sql: str) -> str:
         r = self._call("explain", self._enc_query(sql))

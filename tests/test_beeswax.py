@@ -226,3 +226,72 @@ def test_concurrent_clients(beeswax):
     assert not errors, errors
     for i in range(4):
         assert results[i] == [str(k + i) for k in range(5)]
+
+
+def test_legacy_shell_interaction_sequence(beeswax, spark):
+    """The legacy client's full per-query protocol flow, from the
+    public Beeswax/impalad interaction contract (executeAndWait with a
+    caller-chosen LogContextId → get_state poll loop → metadata →
+    batched fetch loop until has_more=false → get_log → close), driven
+    against the server end-to-end. This is behavior parity with
+    shell/impala_client.py's execute loop — re-derived from the
+    protocol, not ported code."""
+    c = BeeswaxClient("127.0.0.1", beeswax.port)
+    try:
+        sql = (
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        h = c.execute_and_wait(sql, log_context="shell-ctx-1")
+        # poll loop: the legacy shell spins on get_state until the query
+        # leaves the running states; this server executes synchronously,
+        # so the loop must observe FINISHED on the first iteration and
+        # the guard below (max 10 polls) never trips on a correct server
+        state = None
+        for _ in range(10):
+            state = c.get_state(h)
+            if state in (4, 5):  # FINISHED / EXCEPTION
+                break
+        assert state == 4
+        meta = c.get_results_metadata(h)
+        assert [f[0] for f in meta["fields"]] == ["o_orderstatus", "n"]
+        # batched fetch loop, size 1 — the shell pages with fetch_size
+        rows: list[str] = []
+        while True:
+            res = c.fetch(h, fetch_size=1)
+            rows.extend(res["data"])
+            if not res["has_more"]:
+                break
+        direct = [
+            "\t".join(str(v) for v in row) for row in spark.sql(sql).collect()
+        ]
+        assert rows == direct
+        # get_log uses the handle's log_context (server echoes per-query
+        # log); must be non-raising and a string even when empty
+        assert isinstance(c.get_log(h["log_context"]), str)
+        c.close_query(h)
+        # the closed handle is gone server-side, like the legacy close
+        with pytest.raises(RuntimeError):
+            c.get_state(h)
+    finally:
+        c.close()
+
+
+def test_execute_and_wait_error_paths(beeswax):
+    """Error surface of the legacy flow: a bad statement raises the
+    declared BeeswaxException at submit; get_log on an unknown context
+    raises QueryNotFound; a second close is QueryNotFound too."""
+    c = BeeswaxClient("127.0.0.1", beeswax.port)
+    try:
+        with pytest.raises(RuntimeError):
+            c.execute_and_wait("SELECT * FROM missing_tbl_beeswax", "ctx")
+        with pytest.raises(RuntimeError):
+            c.get_log("no-such-context")
+        h = c.execute_and_wait("SELECT 1 AS one", "ctx2")
+        res = c.fetch(h)
+        assert res["data"] == ["1"]
+        c.close_query(h)
+        with pytest.raises(RuntimeError):
+            c.close_query(h)
+    finally:
+        c.close()
