@@ -34,6 +34,7 @@ def main() -> int:
         _gen_events_query,
         _gen_filter_clause_query,
         _gen_frame_query,
+        _gen_nested_query,
         _gen_outer_join_query,
         _gen_query,
         _gen_rollup_query,
@@ -72,6 +73,7 @@ def main() -> int:
         (_gen_distinct_agg_query, 2),
         (_gen_star_join_query, 2),
         (_gen_filter_clause_query, 2),
+        (_gen_nested_query, 3),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
