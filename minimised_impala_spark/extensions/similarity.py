@@ -1575,3 +1575,186 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-FILTERED vector search — the production "filtered ANN"
+# problem (every vector store's hardest API: cosine top-k restricted to
+# rows passing a metadata predicate). Two regimes exist at scale:
+# post-filter (probe the unfiltered index, drop non-matching — under-
+# fills k when the filter is selective) and pre-filter (restrict the
+# candidate set FIRST, then score — exact, and cheaper whenever the
+# predicate is selective enough that |filtered| × |queries| dots beat
+# index probing + refill loops). This implements the pre-filter regime:
+# the label predicate is applied at the SCAN (pushed to parquet row
+# groups — labels are a column, so PushedFilters prunes before any
+# vector math), the bounded query panel broadcasts against the filtered
+# corpus, and per-query top-5 is a WindowGroupLimit rank. At 100 TB the
+# filtered scan is the cost driver and it parallelizes per-split; no
+# shuffle until the (tiny) rank stage. Ranks use the 6dp-rounded cosine
+# (repo convention) so near-tie order is engine-stable.
+FILTER_LABELS = (2, 5, 7)
+
+
+@query(
+    "sim_filtered_ann",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         round(list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM v q JOIN v c
+    ON c.vec_id <> q.vec_id AND c.label IN {FILTER_LABELS}
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(label AS INT) AS label, cosine,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rn
+""",
+)
+def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filter cosine top-5 over rows with label IN (2,5,7), query
+    panel vec_id < 10. The metadata predicate lands in PushedFilters on
+    the embeddings scan — no vector is deserialized, let alone scored,
+    unless it passes the filter."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vecd("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.filter(F.col("label").isin(*FILTER_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("ce")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(VK.cosine_pair("qe", "ce"), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").cast("int").alias("label"),
+            "cosine",
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-stratified representative sampling — pick the most CENTRAL
+# members of every cluster (per-cluster medoid set), the selection
+# primitive behind diversity-aware training-set construction (one
+# representative per semantic region instead of density-weighted
+# duplicates; the sampling half of the SemDeDup/DiverseSelect recipe).
+# Clusters here are the fixture's label partition; centroids are the
+# per-label mean vector. Everything is SQL-expressible: posexplode to
+# (label, dim) components, one keyed mean for centroids (|labels|·64
+# rows), a component join back, and one grouped aggregate producing
+# each member's centroid-cosine in a single pass (Σx·c, Σx², with the
+# centroid norm carried per label). At 100 TB: two shuffles on bounded
+# keys (label·dim, then vec_id), centroid table broadcasts, and the
+# per-label top-3 is a WindowGroupLimit — no n² anywhere.
+@query(
+    "sim_diverse_sample",
+    oracle="""
+WITH comps AS (
+  SELECT vec_id, label, x.e AS x, x.dim
+  FROM embeddings,
+       LATERAL (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+                       generate_subscripts(embedding, 1) AS dim) x
+),
+cent AS (
+  SELECT label, dim, avg(x) AS cx FROM comps GROUP BY label, dim
+),
+cnorm AS (
+  SELECT label, sqrt(sum(cx * cx)) AS cn FROM cent GROUP BY label
+),
+member AS (
+  SELECT m.vec_id, m.label,
+         sum(m.x * c.cx) AS dot_c,
+         sqrt(sum(m.x * m.x)) AS mn
+  FROM comps m JOIN cent c ON c.label = m.label AND c.dim = m.dim
+  GROUP BY m.vec_id, m.label
+),
+scored AS (
+  SELECT m.vec_id, m.label,
+         round(m.dot_c / (m.mn * n.cn), 6) AS centrality
+  FROM member m JOIN cnorm n ON n.label = m.label
+),
+ranked AS (
+  SELECT label, vec_id, centrality,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY centrality DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT CAST(label AS INT) AS label, vec_id, centrality, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+ORDER BY label, rn
+""",
+)
+def sim_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-central members per label cluster (centroid cosine,
+    6dp-rounded before ranking)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vecd("embedding").alias("e")
+    )
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("e").alias("dim0", "x")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = comps.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn")
+    )
+    member = (
+        comps.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("cx")).alias("dot_c"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("mn"),
+        )
+    )
+    scored = member.join(F.broadcast(cnorm), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("dot_c") / (F.col("mn") * F.col("cn")), 6).alias(
+            "centrality"
+        ),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("centrality"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "vec_id",
+            "centrality",
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("label", "rn")
+    )

@@ -2683,3 +2683,79 @@ def text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "suite")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source document capping — the RefinedWeb/Dolma "domain cap"
+# dedup-adjacent control: no single source may contribute more than CAP
+# documents, and the kept set is the source's BEST docs (longest, here;
+# in production a quality score), not a random prefix. The rank <= CAP
+# predicate over a per-source window is recognized by Spark as a
+# WindowGroupLimit: each map task keeps only its local top-CAP per
+# source BEFORE the shuffle, so a hot domain (the case that motivates
+# capping!) ships at most CAP rows per input split instead of its whole
+# skewed partition — the skew mitigation falls out of the plan shape.
+# The report aggregates kept/dropped/char tallies per source.
+DOMAIN_CAP = 8
+
+
+@query(
+    "text_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE rn <= {DOMAIN_CAP}) AS BIGINT) AS n_kept,
+       CAST(count(*) - count(*) FILTER (WHERE rn <= {DOMAIN_CAP}) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(n_chars) FILTER (WHERE rn <= {DOMAIN_CAP}) AS BIGINT)
+         AS chars_kept
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at its DOMAIN_CAP longest docs; per-source report of
+    total/kept/dropped counts and kept chars.
+
+    Shape matters here: a single window over ALL docs (counting kept
+    and dropped in one pass) cannot use WindowGroupLimit — every row
+    must survive the window, so the full corpus shuffles by source and
+    a hot domain ships whole. Instead the kept side filters rank <=
+    CAP directly above the window (Spark infers the group limit: each
+    map task emits at most CAP rows per source), and the totals side is
+    an ordinary partial-aggregated count — two cheap branches instead
+    of one skew-prone shuffle."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(F.broadcast(kept), "source")
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+            "chars_kept",
+        )
+        .orderBy("source")
+    )

@@ -450,3 +450,32 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in join_part, plan
     assert "SelectedBucketsCount" in plan
+
+
+def test_filtered_ann_pushes_label_predicate(spark, sf_dir):
+    """sim_filtered_ann is the PRE-filter regime: the label predicate
+    must reach the parquet scan (PushedFilters In(label, ...)) so
+    non-matching vectors are pruned before any vector math, and the
+    bounded query panel must broadcast."""
+    plan = _physical(fresh("sim_filtered_ann")(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")
+    assert any("label" in p[:400] for p in pushed[1:]), plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """text_domain_cap's rank <= CAP predicate must be recognized as a
+    WindowGroupLimit (map-side partial top-CAP per source before the
+    shuffle) — the plan property that makes capping a hot domain cheap
+    instead of shipping the whole skewed partition."""
+    plan = _physical(fresh("text_domain_cap")(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_diverse_sample_broadcasts_centroids(spark, sf_dir):
+    """sim_diverse_sample's centroid and centroid-norm relations are
+    |labels|-bounded — both joins back to the component/member tables
+    must broadcast, never shuffle the corpus against a 640-row dim."""
+    plan = _physical(fresh("sim_diverse_sample")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan  # per-label top-3 partial limit
