@@ -55,6 +55,7 @@ _PRIORITY = [
     # --- new in round 6 ---
     "ddl_compute_stats_roundtrip", "sim_filtered_ann",
     "sim_diverse_sample", "text_domain_cap",
+    "events_triangle_count", "text_tfidf_keywords",
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",
@@ -65,10 +66,10 @@ _PRIORITY = [
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "tpcds_q3_star", "tpcds_q47_monthly_lag", "tpcds_q53_deviation",
     "tpcds_q59_dow_ratio", "tpcds_q61_promo_ratio",
-    "tpcds_q65_brand_share",
-    # ^ slot 50 lands here; the names below queue for r7
-    "tpcds_q73_order_counts",
+    "tpcds_q65_brand_share", "tpcds_q73_order_counts",
     "tpcds_q88_band_counts", "tpcds_q98_class_share",
+    # NOTE: the 50-cap cut-off moves as round-6 additions land above;
+    # everything from here keeps earlier green rows and queues for r7.
     "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
     "tpcds_q51_cumulative_compare", "tpcds_q6_price_above_type_avg",
     "tpcds_q8_intersect_gate",

@@ -2759,3 +2759,93 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction — the corpus-statistics
+# primitive behind tagging, topic labeling, and search snippeting (the
+# document-side dual of text_bm25_topk's query-side scoring). One
+# explode + one (doc, term) count builds the postings; document
+# frequencies are a |vocab|-bounded aggregate broadcast back; the
+# per-doc top-3 is a rank <= k predicate the planner turns into a
+# WindowGroupLimit (map-side partial top-k per doc). Score is the
+# plain tf · ln(N/df) form on integer inputs, rounded 6dp before
+# ranking (repo convention) so near-tie keyword order is
+# engine-stable. At 100 TB: cost ∝ corpus token count for the
+# postings, |vocab| for the df join — no quadratic stage, no
+# corpus-wide window (the window partitions by doc_id).
+TFIDF_TOPK = 3
+TFIDF_DOC_LIMIT = 200
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM postings),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf * ln(CAST(s.n AS DOUBLE) / f.df), 6) AS tfidf
+  FROM postings p
+  JOIN df f ON f.term = p.term
+  CROSS JOIN stats s
+  WHERE p.doc_id < {TFIDF_DOC_LIMIT}
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {TFIDF_TOPK}
+ORDER BY doc_id, rn
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (doc_id < 200)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n")
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        postings.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+        .orderBy("doc_id", "rn")
+    )

@@ -1139,3 +1139,130 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient over the user
+# co-occurrence graph (users sharing an (event_type, hour) cell) — the
+# classic distributed-graph benchmark, implemented with the
+# DEGREE-ORDERED edge orientation (Schank/Wagner; the node-iterator
+# with low-degree orientation): every undirected edge points from the
+# (degree, id)-smaller endpoint to the larger, so each wedge is
+# enumerated exactly once from its smallest-rank apex and the wedge
+# join's fan-out per node is bounded by its ORIENTED out-degree — at
+# most O(sqrt(E)) after orientation — instead of the raw degree. At
+# 100 TB: edge building is one distinct over co-occurrence cells
+# (shuffle on the cell key), degrees one keyed agg, the wedge join and
+# closing semi-join are equi-joins on node keys; the hub-node blowup
+# that kills naive triangle joins is exactly what the orientation
+# removes. (Impala-era analogue: this is the shape an analyst would
+# hand-write as three self-joins; the orientation is what makes it
+# survive a power-law graph.)
+_TRIANGLE_ORACLE = """
+WITH cells AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+edges_raw AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM cells a JOIN cells b
+    ON b.event_type = a.event_type AND b.h = a.h AND b.user_id > a.user_id
+),
+deg AS (
+  SELECT u AS node, count(*) AS d FROM (
+    SELECT u FROM edges_raw UNION ALL SELECT v FROM edges_raw
+  ) t(u) GROUP BY u
+),
+okeys AS (SELECT node, d * 1000 + node AS ok FROM deg),
+oriented AS (
+  SELECT least(ka.ok, kb.ok) AS s, greatest(ka.ok, kb.ok) AS t
+  FROM edges_raw e
+  JOIN okeys ka ON ka.node = e.u
+  JOIN okeys kb ON kb.node = e.v
+),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM oriented x
+  JOIN oriented y ON y.s = x.s AND y.t > x.t
+  JOIN oriented z ON z.s = x.t AND z.t = y.t
+),
+wedge AS (SELECT sum(d * (d - 1) / 2) AS n_wedge FROM deg)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges_raw) AS BIGINT) AS n_edges,
+       CAST(w.n_wedge AS BIGINT) AS n_wedges,
+       CAST(t.n_tri AS BIGINT) AS n_triangles,
+       round(3.0 * t.n_tri / w.n_wedge, 6) AS global_cc
+FROM tri t CROSS JOIN wedge w
+"""
+
+
+@query("events_triangle_count", oracle=_TRIANGLE_ORACLE)
+def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a = cells.select("event_type", "h", F.col("user_id").alias("u"))
+    b = cells.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"),
+        F.col("user_id").alias("v"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("h2") == F.col("h"))
+            & (F.col("v") > F.col("u")),
+        )
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    okeys = deg.select(
+        "node", (F.col("d") * 1000 + F.col("node")).alias("ok")
+    )
+    oriented = (
+        edges.join(
+            F.broadcast(okeys.select(F.col("node").alias("u"), F.col("ok").alias("ka"))),
+            "u",
+        )
+        .join(
+            F.broadcast(okeys.select(F.col("node").alias("v"), F.col("ok").alias("kb"))),
+            "v",
+        )
+        .select(
+            F.least("ka", "kb").alias("s"), F.greatest("ka", "kb").alias("t")
+        )
+    )
+    x = oriented.select(F.col("s").alias("xs"), F.col("t").alias("xt"))
+    y = oriented.select(F.col("s").alias("ys"), F.col("t").alias("yt"))
+    z = oriented.select(F.col("s").alias("zs"), F.col("t").alias("zt"))
+    tri = (
+        x.join(y, (F.col("ys") == F.col("xs")) & (F.col("yt") > F.col("xt")))
+        .join(z, (F.col("zs") == F.col("xt")) & (F.col("zt") == F.col("yt")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedge")
+    )
+    counts = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_wedge").cast("bigint").alias("n_wedges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedge"), 6).alias(
+                "global_cc"
+            ),
+        )
+    )
