@@ -44,6 +44,11 @@ EXTRA = [
     "sim_pq_ann",
     "text_bm25_topk",
     "text_chunk_overlap",
+    # round-6 additions
+    "sim_filtered_ann",
+    "text_domain_cap",
+    "text_tfidf_keywords",
+    "events_triangle_count",
 ]
 
 

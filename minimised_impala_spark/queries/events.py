@@ -1155,18 +1155,26 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (shuffle on the cell key), degrees one keyed agg, the wedge join and
 # closing semi-join are equi-joins on node keys; the hub-node blowup
 # that kills naive triangle joins is exactly what the orientation
-# removes. (Impala-era analogue: this is the shape an analyst would
-# hand-write as three self-joins; the orientation is what makes it
-# survive a power-law graph.)
+# removes. Edges are WEIGHT-THRESHOLDED (pairs must share >= 4 cells):
+# raw co-occurrence graphs densify toward complete as activity grows
+# (measured: 789k of 1.1M possible edges at sf0.1 unthresholded, 41 s;
+# 39k edges and sub-second thresholded) — dropping weak ties is how
+# production graph pipelines keep co-occurrence graphs sparse, and the
+# weight filter is a HAVING on the same edge-building aggregate, free.
+# (Impala-era analogue: this is the shape an analyst would hand-write
+# as three self-joins; the orientation is what makes it survive a
+# power-law graph.)
 _TRIANGLE_ORACLE = """
 WITH cells AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
   FROM events
 ),
 edges_raw AS (
-  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  SELECT a.user_id AS u, b.user_id AS v
   FROM cells a JOIN cells b
     ON b.event_type = a.event_type AND b.h = a.h AND b.user_id > a.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= 4
 ),
 deg AS (
   SELECT u AS node, count(*) AS d FROM (
@@ -1191,7 +1199,7 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM edges_raw) AS BIGINT) AS n_edges,
        CAST(w.n_wedge AS BIGINT) AS n_wedges,
        CAST(t.n_tri AS BIGINT) AS n_triangles,
-       round(3.0 * t.n_tri / w.n_wedge, 6) AS global_cc
+       round(3.0 * t.n_tri / NULLIF(w.n_wedge, 0), 6) AS global_cc
 FROM tri t CROSS JOIN wedge w
 """
 
@@ -1214,8 +1222,10 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("h2") == F.col("h"))
             & (F.col("v") > F.col("u")),
         )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 4)
         .select("u", "v")
-        .distinct()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1261,8 +1271,8 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges").cast("bigint").alias("n_edges"),
             F.col("n_wedge").cast("bigint").alias("n_wedges"),
             F.col("n_tri").cast("bigint").alias("n_triangles"),
-            F.round(3.0 * F.col("n_tri") / F.col("n_wedge"), 6).alias(
-                "global_cc"
-            ),
+            F.round(
+                3.0 * F.col("n_tri") / F.nullif(F.col("n_wedge"), F.lit(0)), 6
+            ).alias("global_cc"),
         )
     )
