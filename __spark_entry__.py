@@ -56,6 +56,7 @@ _PRIORITY = [
     "ddl_compute_stats_roundtrip", "sim_filtered_ann",
     "sim_diverse_sample", "text_domain_cap",
     "events_triangle_count", "text_tfidf_keywords",
+    "dedup_minhash_accuracy_report", "text_ngram_novelty",
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",

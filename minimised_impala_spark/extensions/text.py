@@ -2849,3 +2849,76 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
         .orderBy("doc_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source n-gram novelty — "how much NEW content does each source
+# add", in ingestion order (doc_id): a doc's novelty is the fraction of
+# its distinct trigrams whose FIRST corpus occurrence is the doc
+# itself. The Dolma-style source-profiling metric that ranks sources
+# by marginal contribution (a mirror source scores ~0, a fresh crawl
+# ~1) and the dedup-adjacent diagnostic for "which source should we
+# ingest next". Shapes: one distinct-shingle explode, one min(doc_id)
+# aggregate on the shingle key (the only corpus-sized shuffle), a
+# shingle-keyed join back, then doc- and source-keyed aggregates —
+# no pairwise stage at all, unlike Jaccard-based source comparison.
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+),
+first_seen AS (SELECT sh, min(doc_id) AS fd FROM shingles GROUP BY sh),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM shingles s JOIN first_seen f ON f.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+       round(avg(p.n_novel * 1.0 / p.n_sh), 6) AS avg_novelty
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions.dedup import shingles_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_of(docs.select("doc_id", "text"))
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.avg(F.col("n_novel") * 1.0 / F.col("n_sh")), 6).alias(
+                "avg_novelty"
+            ),
+        )
+        .orderBy("source")
+    )
