@@ -60,6 +60,7 @@ _PRIORITY = [
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",
+    "sim_cosine_topk", "sim_lsh_multiprobe", "sim_knn_classify",
     # --- regression rotation: oldest green rows (last driver row r1) ---
     "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
@@ -89,7 +90,7 @@ _PRIORITY = [
     "subq_scalar_correlated", "subq_not_in_null_semantics",
     "nested_explode_tokens", "nested_struct_roundtrip",
     "nested_map_access", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_cluster_cc", "sim_cosine_topk", "sim_ivf_ann",
+    "dedup_cluster_cc", "sim_ivf_ann",
     "text_quality", "multimodal_binary_meta", "multimodal_audio_chunks",
     # remaining greens follow in registration order via _ordered_names
 ]

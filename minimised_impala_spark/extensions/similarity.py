@@ -61,9 +61,9 @@ WITH v AS (
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.e, c.e)
-           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
-           AS cosine
+         round(list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+           6) AS cosine
   FROM v q JOIN v c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 10
 ),
@@ -91,7 +91,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", VK.cosine_pair("qe", "ce").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # 6dp-round BEFORE ranking (repo convention) so kernel-vs-
+            # list_dot_product ulp noise cannot flip near-tie ranks
+            F.round(VK.cosine_pair("qe", "ce"), 6).alias("cosine"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
@@ -293,7 +299,7 @@ norm AS (
   FROM v
 ),
 scored AS (
-  SELECT c.qid, c.nid, list_dot_product(na.ne, nb.ne) AS cosine
+  SELECT c.qid, c.nid, round(list_dot_product(na.ne, nb.ne), 6) AS cosine
   FROM cand c
   JOIN norm na ON na.vec_id = c.qid
   JOIN norm nb ON nb.vec_id = c.nid
@@ -338,10 +344,12 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["qid", "nid"])
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        cand.select("qid", "nid", VK.dot_pair("qe", "ce").alias("cosine"))
+        cand.select(
+            "qid", "nid", F.round(VK.dot_pair("qe", "ce"), 6).alias("cosine")
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("qid", "nid", F.round("cosine", 6).alias("cosine"))
+        .select("qid", "nid", "cosine")
         .orderBy("qid", "nid")
     )
 
@@ -534,9 +542,9 @@ WITH v AS (
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
-         list_dot_product(q.e, c.e)
-           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
-           AS cosine
+         round(list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+           6) AS cosine
   FROM v q JOIN v c ON c.vec_id <> q.vec_id
   WHERE q.vec_id % 25 = 0
 ),
@@ -586,7 +594,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id", "nlabel",
-            VK.cosine_pair("qe", "ce").alias("cosine"),
+            F.round(VK.cosine_pair("qe", "ce"), 6).alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(wknn))
         .filter(F.col("rn") <= 5)
