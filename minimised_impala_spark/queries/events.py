@@ -1276,3 +1276,82 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast baseline — the error report every time-series
+# anomaly/capacity system starts from: per (event_type, hour) counts,
+# forecast each hour as (a) the same hour yesterday (seasonal lag 24)
+# and (b) the previous hour (persistence lag 1), and report per-type
+# MAE for both. A learned model has to beat THESE numbers to justify
+# itself — publishing the baseline is the "measure, don't guess"
+# artifact for the forecasting wing. Shapes: one hourly count
+# aggregate, two lag windows over the per-type hourly series (each
+# series is |hours| rows — window state bounded by type count, never
+# corpus-sized), one final per-type aggregate. Counts are integers, so
+# the MAEs are exact-integer sums divided once — engine-stable.
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+lagged AS (
+  SELECT event_type, h, n,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS n_daily,
+         lag(n, 1)  OVER (PARTITION BY event_type ORDER BY h) AS n_prev
+  FROM hourly
+)
+SELECT event_type,
+       CAST(count(n_daily) AS BIGINT) AS n_scored,
+       round(CAST(sum(abs(n - n_daily)) AS DOUBLE) / count(n_daily), 6)
+         AS mae_seasonal,
+       round(CAST(sum(abs(n - n_prev))
+                  FILTER (WHERE n_daily IS NOT NULL) AS DOUBLE)
+             / count(n_daily), 6) AS mae_persistence
+FROM lagged
+GROUP BY event_type
+HAVING count(n_daily) > 0
+ORDER BY event_type
+"""
+
+
+@query("events_seasonal_baseline", oracle=_SEASONAL_ORACLE)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "n",
+        F.lag("n", 24).over(w).alias("n_daily"),
+        F.lag("n", 1).over(w).alias("n_prev"),
+    )
+    scored = F.count("n_daily")
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            scored.cast("bigint").alias("n_scored"),
+            F.round(
+                F.sum(F.abs(F.col("n") - F.col("n_daily"))).cast("double")
+                / scored,
+                6,
+            ).alias("mae_seasonal"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_daily").isNotNull(),
+                        F.abs(F.col("n") - F.col("n_prev")),
+                    )
+                ).cast("double")
+                / scored,
+                6,
+            ).alias("mae_persistence"),
+        )
+        .filter(F.col("n_scored") > 0)
+        .orderBy("event_type")
+    )
