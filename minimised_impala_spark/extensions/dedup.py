@@ -1439,9 +1439,12 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding decision implicitly trusts) against the EXACT shingle
 # Jaccard, and aggregate the error profile. A real deployment runs
 # exactly this on a sample before picking (bands, rows) for a corpus.
-# The exact side recomputes full shingle intersections — the bounded
-# ground-truth harness of an audit query, not the production dedup path
-# (dedup_minhash_lsh rescores candidates only).
+# The exact side intersects shingles ONLY for candidate pairs (the
+# same pair-join rescore shape dedup_minhash_lsh ships) — cost is
+# |candidates| x shingles/doc, never the full shingle self-join's
+# sum-of-df-squared, which explodes on low-entropy corpora (the first
+# cut timed out at sf0.1 on exactly that; the candidate population is
+# also the decision-relevant one for banding parameters).
 _MINHASH_ACC_EST = " + ".join(
     f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(N_HASH)
 )
@@ -1463,10 +1466,11 @@ est AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
-  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS c
-  FROM shingles s1 JOIN shingles s2
-    ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
-  GROUP BY s1.doc_id, s2.doc_id
+  SELECT c.d1, c.d2, count(*) AS c
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.d1
+  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2
 ),
 err AS (
   SELECT e.est_j,
@@ -1520,7 +1524,9 @@ def dedup_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame
     s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = (
-        s1.join(s2, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(F.col("sh2") == F.col("sh"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
