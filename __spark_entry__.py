@@ -57,7 +57,7 @@ _PRIORITY = [
     "sim_diverse_sample", "text_domain_cap",
     "events_triangle_count", "text_tfidf_keywords",
     "dedup_minhash_accuracy_report", "text_ngram_novelty",
-    "events_seasonal_baseline",
+    "events_seasonal_baseline", "streaming_quantile_sketch",
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",

@@ -26,9 +26,12 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -147,3 +150,168 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketch in streaming state: per-key bottom-k (KMV) uniform
+# sample + exact moments, the streaming-quantile recipe when the value
+# stream is unbounded but state must stay O(k). Priorities are
+# md5-derived from event_id, so the bottom-k set is a deterministic
+# uniform sample AND order-independent — folding events in any batch
+# split yields the identical sketch (the mergeability property
+# t:test_streaming_sketch.py pins by replaying the fixture as 1 and 2
+# batches). Each trigger emits the running summary; the final row per
+# key (largest n) is the answer. The p50 estimate is the sample's
+# lower-median element — no interpolation, so both engines pick the
+# identical value. State per key: 2 arrays of K longs + 3 scalars,
+# regardless of stream length — the bound that makes this shape safe
+# at 100 TB/day ingest.
+SKETCH_K = 64
+
+_SK_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("sample_n", LongType()),
+        StructField("est_p50_cents", LongType()),
+        StructField("min_cents", LongType()),
+        StructField("max_cents", LongType()),
+    ]
+)
+_SK_STATE = StructType(
+    [
+        StructField("prios", ArrayType(LongType())),
+        StructField("vals", ArrayType(LongType())),
+        StructField("n", LongType()),
+        StructField("min_c", LongType()),
+        StructField("max_c", LongType()),
+    ]
+)
+
+
+def _sketch_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    pairs: list[tuple[int, int]] = []
+    mn = mx = None
+    n_new = 0
+    for pdf in pdfs:
+        for p, v in zip(pdf["prio"], pdf["vc"]):
+            p, v = int(p), int(v)
+            pairs.append((p, v))
+            n_new += 1
+            mn = v if mn is None or v < mn else mn
+            mx = v if mx is None or v > mx else mx
+    if state.exists:
+        prios, vals, n, smin, smax = state.get
+        pairs.extend(zip((int(p) for p in prios), (int(v) for v in vals)))
+        n += n_new
+        mn = smin if mn is None or smin < mn else mn
+        mx = smax if mx is None or smax > mx else mx
+    else:
+        n = n_new
+    pairs.sort()  # (prio, val) asc — deterministic, order-independent
+    kept = pairs[:SKETCH_K]
+    state.update(([p for p, _ in kept], [v for _, v in kept], n, mn, mx))
+    sample_vals = sorted(v for _, v in kept)
+    est = sample_vals[(len(sample_vals) - 1) // 2] if sample_vals else None
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n": [n],
+            "sample_n": [len(sample_vals)],
+            "est_p50_cents": [est],
+            "min_cents": [mn],
+            "max_cents": [mx],
+        }
+    )
+
+
+_SKETCH_ORACLE = f"""
+WITH src AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS prio
+  FROM events
+),
+sampled AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY prio, vc) AS rn
+  FROM src
+),
+samp AS (SELECT event_type, vc FROM sampled WHERE rn <= {SKETCH_K}),
+sstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n
+          FROM samp GROUP BY event_type),
+ordered AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc) AS vr
+  FROM samp
+),
+med AS (
+  SELECT o.event_type, o.vc AS est_p50_cents
+  FROM ordered o JOIN sstat t ON t.event_type = o.event_type
+  WHERE o.vr = (t.sample_n + 1) // 2
+),
+moments AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         min(vc) AS min_cents, max(vc) AS max_cents
+  FROM src GROUP BY event_type
+)
+SELECT m.event_type, m.n, t.sample_n, d.est_p50_cents,
+       m.min_cents, m.max_cents
+FROM moments m
+JOIN sstat t ON t.event_type = m.event_type
+JOIN med d ON d.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+def _sketch_stream(events: DataFrame) -> DataFrame:
+    """event stream → (event_type, vc, prio) for the sketch fold."""
+    return events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("prio"),
+    )
+
+
+def run_quantile_sketch(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
+    """Drive the sketch over the bounded events stream; return the final
+    (largest-n) summary row per event_type."""
+    from pyspark.sql import Window as W
+
+    events = _sketch_stream(_events_stream(spark, sf_dir))
+    del copies  # single-stage replay; the merge test folds state manually
+    sk = events.groupBy("event_type").applyInPandasWithState(
+        _sketch_group,
+        outputStructType=_SK_OUT,
+        stateStructType=_SK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sketch_out_{uuid.uuid4().hex[:8]}"
+    q = sk.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = W.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+        .orderBy("event_type")
+    )
+
+
+@query("streaming_quantile_sketch", oracle=_SKETCH_ORACLE)
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_quantile_sketch(spark, sf_dir)
