@@ -280,15 +280,12 @@ def _sketch_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_quantile_sketch(
-    spark: SparkSession, sf_dir: str, copies: int = 1
-) -> DataFrame:
+def run_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the sketch over the bounded events stream; return the final
     (largest-n) summary row per event_type."""
     from pyspark.sql import Window as W
 
     events = _sketch_stream(_events_stream(spark, sf_dir))
-    del copies  # single-stage replay; the merge test folds state manually
     sk = events.groupBy("event_type").applyInPandasWithState(
         _sketch_group,
         outputStructType=_SK_OUT,
