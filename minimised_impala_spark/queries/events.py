@@ -1155,19 +1155,31 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (shuffle on the cell key), degrees one keyed agg, the wedge join and
 # closing semi-join are equi-joins on node keys; the hub-node blowup
 # that kills naive triangle joins is exactly what the orientation
-# removes. Edges are WEIGHT-THRESHOLDED (pairs must share >= 4 cells):
-# raw co-occurrence graphs densify toward complete as activity grows
-# (measured: 789k of 1.1M possible edges at sf0.1 unthresholded, 41 s;
-# 39k edges and sub-second thresholded) — dropping weak ties is how
-# production graph pipelines keep co-occurrence graphs sparse, and the
-# weight filter is a HAVING on the same edge-building aggregate, free.
+# removes. Two density controls make edge BUILDING scale-safe, both
+# standard in production co-occurrence pipelines: (1) hot cells are
+# SAMPLED — each (type, hour) cell contributes only its 16 lowest
+# user_ids (the stop-cell/cap-and-sample trick, same logic as dropping
+# stopword postings in similarity joins: a cell everyone shares carries
+# no pairwise signal but Θ(occupancy²) cost — measured 135 s at sf1
+# uncapped, where avg occupancy reaches ~280, vs seconds capped); and
+# (2) edges are WEIGHT-THRESHOLDED (pairs must share >= 4 cells;
+# measured 789k of 1.1M possible edges at sf0.1 unthresholded → 39k
+# thresholded). The cap is a per-cell WindowGroupLimit rank, the weight
+# filter a HAVING on the edge-building aggregate — both free.
 # (Impala-era analogue: this is the shape an analyst would hand-write
 # as three self-joins; the orientation is what makes it survive a
 # power-law graph.)
 _TRIANGLE_ORACLE = """
-WITH cells AS (
+WITH cells_all AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
   FROM events
+),
+cells AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT event_type, h, user_id,
+           row_number() OVER (PARTITION BY event_type, h
+                              ORDER BY user_id) AS rn
+    FROM cells_all) t WHERE rn <= 16
 ),
 edges_raw AS (
   SELECT a.user_id AS u, b.user_id AS v
@@ -1207,9 +1219,17 @@ FROM tri t CROSS JOIN wedge w
 @query("events_triangle_count", oracle=_TRIANGLE_ORACLE)
 def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.select(
+    from pyspark.sql import Window as W
+
+    cells_all = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
     ).distinct()
+    wcell = W.partitionBy("event_type", "h").orderBy("user_id")
+    cells = (
+        cells_all.withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= 16)
+        .drop("rn")
+    )
     a = cells.select("event_type", "h", F.col("user_id").alias("u"))
     b = cells.select(
         F.col("event_type").alias("et2"), F.col("h").alias("h2"),
