@@ -787,3 +787,57 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_slot")
     )
+
+
+# --------------------------------------------------------------------------
+# XML scan (beyond ref — its scanner set stops at text/seq/rc/avro/
+# parquet/orc; Spark 4 ships a native xml source, so the engine covers
+# the one remaining text-structured interchange format): nation
+# round-trips through row-tagged XML with an explicit schema
+# (schema-on-read, like the JSON scan) and is aggregated from the
+# scan; the oracle aggregates the original parquet. Integer/string
+# columns only — XML is a text format, so float round-trips would
+# hinge on repr conventions rather than scanner correctness.
+_XML_SCAN_ORACLE = """
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+       min(n_name) AS first_name,
+       CAST(max(n_nationkey) AS BIGINT) AS max_key,
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@query("source_xml_scan", oracle=_XML_SCAN_ORACLE)
+def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from minimised_impala_spark.tables import load_table
+
+    src = os.path.realpath(f"{sf_dir}/nation.parquet")
+    stage = f"/tmp/mis_xmlscan_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    (
+        load_table(spark, sf_dir, "nation")
+        .write.format("xml")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(stage)
+    )
+    xml = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(stage)
+    )
+    return (
+        xml.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_nationkey").alias("max_key"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -479,3 +479,22 @@ def test_diverse_sample_broadcasts_centroids(spark, sf_dir):
     plan = _physical(fresh("sim_diverse_sample")(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "WindowGroupLimit" in plan  # per-label top-3 partial limit
+
+
+def test_tfidf_keywords_group_limit_and_broadcast_df(spark, sf_dir):
+    """text_tfidf_keywords: the |vocab|-bounded document-frequency table
+    must broadcast against the postings, and the per-doc top-3 must be a
+    WindowGroupLimit (map-side partial top-k per doc)."""
+    plan = _physical(fresh("text_tfidf_keywords")(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_triangle_count_cell_cap_is_group_limit(spark, sf_dir):
+    """events_triangle_count's per-cell occupancy cap (rank <= 16 within
+    (type, hour)) must be a WindowGroupLimit — the density control that
+    keeps edge-building out of the Σ occupancy² regime — and the
+    |nodes|-bounded okey table must broadcast onto the edge list."""
+    plan = _physical(fresh("events_triangle_count")(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
