@@ -58,7 +58,7 @@ _PRIORITY = [
     "events_triangle_count", "text_tfidf_keywords",
     "dedup_minhash_accuracy_report", "text_ngram_novelty",
     "events_seasonal_baseline", "streaming_quantile_sketch",
-    "source_xml_scan",
+    "source_xml_scan", "agg_regression_suite",
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",

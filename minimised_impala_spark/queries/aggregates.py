@@ -941,3 +941,52 @@ def agg_listagg_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL:2003 linear-regression aggregate family (regr_slope/intercept/r2/
+# count/avgx/avgy) — the next rung above agg_corr_covar: per-group
+# one-variable OLS entirely inside the aggregate layer (the
+# feature-stats pass a model pipeline runs before training; beyond the
+# reference, whose registry stops at stddev/corr). Same scaled-BIGINT
+# emission discipline as agg_corr_covar: slopes/intercepts are ratios
+# of co-moment sums whose accumulation order differs between engines,
+# so each statistic ships as round(x·10^k) with tie distance ≫
+# accumulation noise; counts and means of exact inputs stay exact.
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)  AS n_xy,
+       CAST(round(regr_slope(l_extendedprice, l_quantity) * 100)
+            AS BIGINT)                                          AS slope_e2,
+       CAST(round(regr_intercept(l_extendedprice, l_quantity) * 100)
+            AS BIGINT)                                          AS icept_e2,
+       CAST(round(regr_r2(l_extendedprice, l_quantity) * 10000)
+            AS BIGINT)                                          AS r2_e4,
+       CAST(round(regr_avgx(l_extendedprice, l_quantity) * 100)
+            AS BIGINT)                                          AS avgx_e2,
+       CAST(round(regr_avgy(l_extendedprice, l_quantity) * 100)
+            AS BIGINT)                                          AS avgy_e2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_regression_suite", oracle=_REGR_ORACLE)
+def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n_xy"),
+            F.round(F.regr_slope(y, x) * 100, 0).cast("bigint").alias("slope_e2"),
+            F.round(F.regr_intercept(y, x) * 100, 0)
+            .cast("bigint")
+            .alias("icept_e2"),
+            F.round(F.regr_r2(y, x) * 10000, 0).cast("bigint").alias("r2_e4"),
+            F.round(F.regr_avgx(y, x) * 100, 0).cast("bigint").alias("avgx_e2"),
+            F.round(F.regr_avgy(y, x) * 100, 0).cast("bigint").alias("avgy_e2"),
+        )
+        .orderBy("l_returnflag")
+    )
