@@ -96,6 +96,13 @@ def _bm25_scores(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # Build the posting index ONCE: dl, corpus stats, df, and the scored
+    # join all derive from this lineage, and without materialization each
+    # consumer re-runs the explode+agg stage (no ReusedExchange across
+    # differently-keyed aggregates). Same seam as sim_lsh_ann's signature
+    # table; measured 1.05 s → 0.79 s at sf0.1. On a persistent deployment
+    # this is exactly the posting index you'd write once and probe.
+    postings = postings.localCheckpoint(eager=False)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
