@@ -990,3 +990,97 @@ def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count estimate vs exact — the batch sibling
+# of streaming_quantile_sketch's state sketch and the third entry in
+# the sketch-audit family (ANN recall, MinHash accuracy, now NDV):
+# with U(0,1) priorities, E[p_(k)] = k/(D+1), so D̂ = (k-1)/p_(k) is
+# the classic KMV estimator (Bar-Yossef et al. 2002). Priorities are
+# md5-derived (deterministic, identical in both engines), the k-th
+# smallest is one WindowGroupLimit rank per key, and the report pins
+# estimate, exact, and signed relative error ‰ — the number you check
+# before trusting approx_count_distinct-style sketches on a new key
+# distribution. All-integer inputs; the estimate is rounded to a
+# BIGINT so the comparison is exact.
+_KMV_K = 32
+_KMV_ORACLE = f"""
+WITH src AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+pri AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS p
+  FROM src
+),
+ranked AS (
+  SELECT event_type, p,
+         row_number() OVER (PARTITION BY event_type ORDER BY p, user_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS exact_d
+  FROM pri
+),
+est AS (
+  SELECT event_type, exact_d,
+         CASE WHEN exact_d <= {_KMV_K} THEN exact_d
+              ELSE CAST(round(({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE)
+                              / p) AS BIGINT)
+         END AS est_d
+  FROM ranked WHERE rn = {_KMV_K} OR (exact_d < {_KMV_K} AND rn = exact_d)
+)
+SELECT event_type,
+       CAST(exact_d AS BIGINT) AS exact_d,
+       est_d,
+       CAST(round((est_d - exact_d) * 1000.0 / exact_d) AS BIGINT)
+         AS rel_err_permille
+FROM est
+ORDER BY event_type
+"""
+
+
+@query("agg_kmv_distinct_report", oracle=_KMV_ORACLE)
+def agg_kmv_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact vs KMV-estimated distinct users (k=32,
+    md5 priorities over a 52-bit space (13 hex chars); 2^52 = 4503599627370496)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select("event_type", "user_id").distinct()
+    pri = src.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("p"),
+    )
+    w = W.partitionBy("event_type").orderBy("p", "user_id")
+    wcnt = W.partitionBy("event_type")
+    ranked = pri.select(
+        "event_type",
+        "p",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("exact_d"),
+    )
+    est_d = F.when(F.col("exact_d") <= _KMV_K, F.col("exact_d")).otherwise(
+        F.round((_KMV_K - 1) * 4503599627370496.0 / F.col("p"), 0).cast(
+            "bigint"
+        )
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == _KMV_K)
+            | ((F.col("exact_d") < _KMV_K) & (F.col("rn") == F.col("exact_d")))
+        )
+        .select(
+            "event_type",
+            F.col("exact_d").cast("bigint").alias("exact_d"),
+            est_d.alias("est_d"),
+            F.round(
+                (est_d - F.col("exact_d")) * 1000.0 / F.col("exact_d"), 0
+            )
+            .cast("bigint")
+            .alias("rel_err_permille"),
+        )
+        .orderBy("event_type")
+    )
