@@ -59,7 +59,8 @@ _PRIORITY = [
     "dedup_minhash_accuracy_report", "text_ngram_novelty",
     "events_seasonal_baseline", "streaming_quantile_sketch",
     "source_xml_scan", "agg_regression_suite",
-    "agg_kmv_distinct_report",
+    "agg_kmv_distinct_report", "window_named_clause",
+    "nested_lateral_view",
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",

@@ -484,3 +484,37 @@ def nested_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# HiveQL LATERAL VIEW explode (the syntax every Hive-era migration
+# carries; Spark parses it natively — dialect surface the reference's
+# users coming FROM Hive expect, complementing the ANSI unnest forms
+# above). OUTER variant included so empty arrays keep their parent row.
+# The DuckDB oracle re-expresses both with unnest + a LEFT JOIN for the
+# OUTER leg.
+_LATERAL_VIEW_SQL = """
+SELECT doc_id, tok, CAST(pos AS INT) AS pos
+FROM documents
+LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+WHERE doc_id < 40
+ORDER BY doc_id, pos
+"""
+
+_LATERAL_VIEW_ORACLE = """
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS tok,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT)
+         AS pos
+FROM documents
+WHERE doc_id < 40
+ORDER BY doc_id, pos
+"""
+
+
+@query("nested_lateral_view", oracle=_LATERAL_VIEW_ORACLE)
+def nested_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_LATERAL_VIEW_SQL)

@@ -446,3 +446,32 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Named WINDOW clause (SQL:2003 <window clause>; sql-parser.cup's
+# analytic grammar stops at inline OVER, so the named form is dialect
+# breadth beyond the reference): one window definition shared by four
+# analytic functions — the planner must recognize the shared spec and
+# compute ONE Window operator, which also makes this a plan-economy
+# statement, not just parser surface. DuckDB supports the identical
+# clause, so the oracle is the same text modulo nothing.
+_NAMED_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rk,
+       CAST(count(*) OVER w AS BIGINT) AS n_seen,
+       round(sum(o_totalprice) OVER w * 100) / 100 AS run_total
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+@query("window_named_clause", oracle=_NAMED_WINDOW_SQL)
+def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_NAMED_WINDOW_SQL)
