@@ -22,6 +22,10 @@ Shapes covered (reference file in parentheses):
 - per-key cumulative channel compare via partitioned running sums (q51)
 - correlated scalar-avg subquery threshold + HAVING (tpcds-q6.test)
 - INTERSECT gate semi-joined into the star agg (tpcds-q8.test)
+- year-over-year cross-channel growth-ratio: one aggregate CTE consumed
+  4× through self-joins (tpcds-q4.test)
+- frequent-items + best-customers filter CTEs semi-joined into the fact
+  aggregation, scalar max-spend threshold (tpcds-q23.test)
 
 Determinism: same rules as tpch.py — every double aggregate that feeds a
 comparison or output is the scaled-round of an exact fixed-point rational
@@ -716,4 +720,148 @@ def tpcds_q8_intersect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("rev"),
         )
         .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q4-shape (tpcds-q4.test): year-over-year growth-ratio comparison
+# across channels — the canonical "customers who grew faster in channel
+# B than channel A" query: one per-(customer, year, channel) aggregate
+# CTE consumed FOUR times (two channels × two years) through
+# self-joins, with a guarded ratio compare. Channels are emulated by
+# the order-priority class (URGENT/HIGH vs the rest — the fixture has
+# one sales table); years come from o_orderdate. The four consumers of
+# the one aggregate are exactly the CTE-reuse planner surface q4
+# exists to exercise. Ratios divide the scaled-exact dsum doubles, so
+# both engines divide identical doubles.
+_Q4_ORACLE = """
+WITH yr AS (
+  SELECT o_custkey AS c, CAST(year(o_orderdate) AS INT) AS y,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'fast' ELSE 'slow' END AS ch,
+         round(sum(o_totalprice) * 100) / 100 AS t
+  FROM orders
+  GROUP BY o_custkey, year(o_orderdate),
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'fast' ELSE 'slow' END
+)
+SELECT f1.c AS o_custkey,
+       round(f2.t / f1.t, 6) AS fast_growth,
+       round(s2.t / s1.t, 6) AS slow_growth
+FROM yr f1
+JOIN yr f2 ON f2.c = f1.c AND f2.ch = 'fast' AND f2.y = f1.y + 1
+JOIN yr s1 ON s1.c = f1.c AND s1.ch = 'slow' AND s1.y = f1.y
+JOIN yr s2 ON s2.c = f1.c AND s2.ch = 'slow' AND s2.y = f1.y + 1
+WHERE f1.ch = 'fast' AND f1.t > 0 AND s1.t > 0
+  AND f2.t / f1.t > s2.t / s1.t
+ORDER BY o_custkey, fast_growth
+"""
+
+
+@query("tpcds_q4_growth_ratio", oracle=_Q4_ORACLE)
+def tpcds_q4_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ch = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "fast"
+    ).otherwise("slow")
+    yr = (
+        o.groupBy(
+            F.col("o_custkey").alias("c"),
+            F.year("o_orderdate").cast("int").alias("y"),
+            ch.alias("ch"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("t"))
+    )
+    f1 = yr.filter(F.col("ch") == "fast").select(
+        F.col("c"), F.col("y").alias("y1"), F.col("t").alias("t_f1")
+    )
+    f2 = yr.filter(F.col("ch") == "fast").select(
+        F.col("c").alias("c2"), F.col("y").alias("y2"), F.col("t").alias("t_f2")
+    )
+    s1 = yr.filter(F.col("ch") == "slow").select(
+        F.col("c").alias("c3"), F.col("y").alias("y3"), F.col("t").alias("t_s1")
+    )
+    s2 = yr.filter(F.col("ch") == "slow").select(
+        F.col("c").alias("c4"), F.col("y").alias("y4"), F.col("t").alias("t_s2")
+    )
+    j = (
+        f1.join(f2, (F.col("c2") == F.col("c")) & (F.col("y2") == F.col("y1") + 1))
+        .join(s1, (F.col("c3") == F.col("c")) & (F.col("y3") == F.col("y1")))
+        .join(s2, (F.col("c4") == F.col("c")) & (F.col("y4") == F.col("y1") + 1))
+        .filter(
+            (F.col("t_f1") > 0)
+            & (F.col("t_s1") > 0)
+            & (F.col("t_f2") / F.col("t_f1") > F.col("t_s2") / F.col("t_s1"))
+        )
+    )
+    return j.select(
+        F.col("c").alias("o_custkey"),
+        F.round(F.col("t_f2") / F.col("t_f1"), 6).alias("fast_growth"),
+        F.round(F.col("t_s2") / F.col("t_s1"), 6).alias("slow_growth"),
+    ).orderBy("o_custkey", "fast_growth")
+
+
+# --------------------------------------------------------------------------
+# q23-shape (tpcds-q23.test): the "frequent items bought by best
+# customers" pattern — two filter CTEs (frequent parts: parts in many
+# distinct orders; best customers: top spenders above a scalar
+# threshold derived from ANOTHER aggregate) both semi-joined into the
+# final fact aggregation. The scalar threshold (50% of the max
+# customer spend) reproduces q23's tpcds_cmax subquery. Semi-joins
+# keep the plan measurable: no fact row is ever joined wide, only
+# filtered.
+_Q23_ORACLE = """
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 4
+),
+spend AS (
+  SELECT o_custkey, round(sum(o_totalprice) * 100) / 100 AS s
+  FROM orders GROUP BY o_custkey
+),
+cmax AS (SELECT max(s) AS mx FROM spend),
+best AS (
+  SELECT o_custkey FROM spend CROSS JOIN cmax WHERE s > 0.5 * mx
+)
+SELECT CAST(count(*) AS BIGINT) AS n_li,
+       round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
+         AS revenue
+FROM lineitem li
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+WHERE li.l_partkey IN (SELECT l_partkey FROM freq)
+  AND o.o_custkey IN (SELECT o_custkey FROM best)
+"""
+
+
+@query("tpcds_q23_frequent_best", oracle=_Q23_ORACLE)
+def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("no"))
+        .filter(F.col("no") >= 4)
+        .select("l_partkey")
+    )
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice", 2).alias("s"))
+    cmax = spend.agg(F.max("s").alias("mx"))
+    best = (
+        spend.crossJoin(F.broadcast(cmax))
+        .filter(F.col("s") > 0.5 * F.col("mx"))
+        .select("o_custkey")
+    )
+    return (
+        li.join(F.broadcast(freq), "l_partkey", "left_semi")
+        .join(
+            o.join(F.broadcast(best), "o_custkey", "left_semi").select(
+                "o_orderkey"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_li"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
     )
