@@ -559,8 +559,13 @@ def to_duck_dialect(sql: str) -> str:
     # name-for-name maps — argument order and 1-based indexing agree.
     for spark_fn, duck_fn in _NESTED_FN_MAP:
         sql = _re.sub(r"\b" + spark_fn + r"\(", duck_fn + "(", sql)
+    # Spark get_json_object(col, '$.k') → DuckDB json_extract_string —
+    # same path syntax, same NULL-on-missing; a pure name map.
+    sql = _re.sub(r"\bget_json_object\(", "json_extract_string(", sql)
     return sql
 
+
+_JSON_FN_RE = None  # get_json_object handled below (argument reshape)
 
 _NESTED_FN_MAP = [
     ("split", "string_split"),
@@ -1053,6 +1058,44 @@ def _gen_nested_query(rng: random.Random) -> str:
 
 N_NESTED_QUERIES = 16
 
+
+def _gen_json_query(rng: random.Random) -> str:
+    """JSON-function branch over events.props ('{"k": <int>}'): path
+    extraction (get_json_object → json_extract_string), cast-to-int
+    arithmetic, grouping on extracted values, and NULL-on-missing-path
+    semantics — both engines return NULL for absent paths."""
+    kind = rng.random()
+    m = rng.choice([7, 10, 13])
+    if kind < 0.4:
+        return (
+            f"SELECT CAST(get_json_object(props, '$.k') AS INT) % {m} AS kb, "
+            f"count(*) AS n, "
+            f"CAST(min(event_id) AS BIGINT) AS mn, "
+            f"CAST(max(CAST(get_json_object(props, '$.k') AS INT)) AS INT) "
+            f"AS mx "
+            f"FROM events GROUP BY CAST(get_json_object(props, '$.k') AS INT) % {m}"
+        )
+    if kind < 0.7:
+        lo = rng.randint(5, 80)
+        return (
+            f"SELECT event_id, event_type, "
+            f"get_json_object(props, '$.k') AS raw_k, "
+            f"get_json_object(props, '$.missing') AS absent, "
+            f"CAST(get_json_object(props, '$.k') AS INT) + {lo} AS shifted "
+            f"FROM events WHERE event_id < {rng.randint(200, 900)} "
+            f"ORDER BY event_id LIMIT {rng.randint(20, 300)}"
+        )
+    thr = rng.randint(10, 90)
+    return (
+        f"SELECT event_type, count(*) AS n, "
+        f"count(CASE WHEN CAST(get_json_object(props, '$.k') AS INT) > {thr} "
+        f"THEN 1 END) AS n_hi "
+        f"FROM events GROUP BY event_type"
+    )
+
+
+N_JSON_QUERIES = 10
+
 _RNG = random.Random(20260813)
 QUERIES = [_gen_query(_RNG) for _ in range(N_QUERIES)]
 _ERNG = random.Random(20260814)
@@ -1083,6 +1126,8 @@ _FCRNG = random.Random(20260826)
 QUERIES += [_gen_filter_clause_query(_FCRNG) for _ in range(N_FILTER_QUERIES)]
 _NRNG = random.Random(20260827)
 QUERIES += [_gen_nested_query(_NRNG) for _ in range(N_NESTED_QUERIES)]
+_JRNG = random.Random(20260828)
+QUERIES += [_gen_json_query(_JRNG) for _ in range(N_JSON_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(len(QUERIES)))

@@ -34,6 +34,7 @@ def main() -> int:
         _gen_events_query,
         _gen_filter_clause_query,
         _gen_frame_query,
+        _gen_json_query,
         _gen_nested_query,
         _gen_outer_join_query,
         _gen_query,
@@ -74,6 +75,7 @@ def main() -> int:
         (_gen_star_join_query, 2),
         (_gen_filter_clause_query, 2),
         (_gen_nested_query, 3),
+        (_gen_json_query, 2),
     ]
     pool = [g for g, w in gens for _ in range(w)]
 
