@@ -2927,3 +2927,78 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the classifier-audit sibling of the
+# sketch audits (ANN recall, MinHash accuracy, KMV NDV): the fixture
+# carries ground-truth `lang`, so the stopword-overlap heuristic of
+# text_langid gets a real evaluation — (true, predicted) counts plus
+# per-true-language accuracy. The number you check before trusting a
+# cheap language filter to gate a corpus; at 100 TB this is one
+# codegen'd CASE per row + a 25-cell aggregate.
+_LANGID_CONF_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS true_lang,
+         CASE
+           WHEN {_langid_score_sql('en')} >= {_langid_score_sql('de')}
+            AND {_langid_score_sql('en')} >= {_langid_score_sql('es')}
+            AND {_langid_score_sql('en')} >= {_langid_score_sql('fr')}
+            AND {_langid_score_sql('en')} > 0 THEN 'en'
+           WHEN {_langid_score_sql('de')} >= {_langid_score_sql('es')}
+            AND {_langid_score_sql('de')} >= {_langid_score_sql('fr')}
+            AND {_langid_score_sql('de')} > 0 THEN 'de'
+           WHEN {_langid_score_sql('es')} >= {_langid_score_sql('fr')}
+            AND {_langid_score_sql('es')} > 0 THEN 'es'
+           WHEN {_langid_score_sql('fr')} > 0 THEN 'fr'
+           ELSE 'unknown'
+         END AS pred_lang
+  FROM documents
+)
+SELECT true_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(count(*) * 1000.0
+                  / sum(count(*)) OVER (PARTITION BY true_lang))
+            AS BIGINT) AS row_share_permille
+FROM pred
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@query("text_langid_confusion", oracle=_LANGID_CONF_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(lang: str) -> Column:
+        return F.size(
+            F.array_intersect(
+                toks, F.array([F.lit(w) for w in _LANG_STOPWORDS[lang]])
+            )
+        )
+
+    en, de, es, fr = (score(lang) for lang in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    conf = (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1000.0 / F.sum("n").over(w), 0)
+        .cast("bigint")
+        .alias("row_share_permille"),
+    ).orderBy("true_lang", "pred_lang")
