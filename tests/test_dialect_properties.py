@@ -15,6 +15,23 @@ from hypothesis import strategies as st
 from minimised_impala_spark import dialect
 
 _ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+
+# Aliases used in the QUALIFY templates below must not collide with the
+# template's own column names (a, b, t) or with unquoted SQL keywords:
+# QUALIFY resolves a colliding alias first (alias shadows the base
+# column), so `a <> '...'` with alias=a legitimately inlines BOTH
+# predicate refs — correct behavior that the count-based assertions
+# here can't distinguish from corruption. Keyword "aliases" are simply
+# invalid unquoted SQL. hypothesis found the alias='a' case on a fresh
+# DB run (2026-08-15).
+_TEMPLATE_WORDS = frozenset(
+    w.lower()
+    for w in (
+        "select row_number rank over order by as from t qualify and "
+        "a b where not"
+    ).split()
+)
+_alias = _ident.filter(lambda s: s.lower() not in _TEMPLATE_WORDS)
 _lit = st.text(
     alphabet=st.characters(
         whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" ,()"
@@ -45,7 +62,7 @@ def test_split_top_commas_ignores_literal_commas_and_parens(names, lit):
     assert [sel[a:b].strip() for a, b in spans] == items
 
 
-@given(_ident, _lit, st.integers(min_value=1, max_value=9))
+@given(_alias, _lit, st.integers(min_value=1, max_value=9))
 @settings(max_examples=200)
 def test_rewrite_qualify_never_corrupts_literals(alias, lit, k):
     lit = lit.replace("'", "")
@@ -61,7 +78,7 @@ def test_rewrite_qualify_never_corrupts_literals(alias, lit, k):
     assert out.count("row_number() OVER (ORDER BY b)") == 2
 
 
-@given(_ident, st.integers(min_value=1, max_value=9))
+@given(_alias, st.integers(min_value=1, max_value=9))
 @settings(max_examples=200)
 def test_rewrite_qualify_keeps_qualified_refs(alias, k):
     sql = (
