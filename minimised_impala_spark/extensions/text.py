@@ -3002,3 +3002,97 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("row_share_permille"),
     ).orderBy("true_lang", "pred_lang")
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality filter — the Shannon-entropy boilerplate
+# signal (low char-entropy ⇒ repeated/templated/spam text; a standard
+# CCNet/Gopher-family gate). The 100 TB shape is the point: per-doc
+# entropy is ONE codegen'd higher-order-function expression (sequence →
+# substring chars → sorted distinct → counts → fold), zero shuffles and
+# zero Python until the final per-source aggregate tree. O(d·n) per row
+# with d bounded by the alphabet (~100), i.e. an embarrassingly
+# parallel scan. Determinism contract: the fold runs over the SORTED
+# distinct-char list in both engines (identical summation order), and
+# per-doc entropy is rounded to 6dp before any aggregate, per the
+# repo-wide pre-rank/pre-agg rounding convention.
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, source,
+         list_transform(range(1, length(text) + 1),
+                        i -> substr(text, i, 1)) AS cs,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) > 0
+), ent AS (
+  SELECT source,
+         round(log2(n)
+               - list_sum(list_transform(
+                   list_sort(list_distinct(cs)),
+                   c -> len(list_filter(cs, x -> x = c))
+                        * log2(len(list_filter(cs, x -> x = c)))))
+                 / n, 6) AS ent
+  FROM chars
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       round(avg(ent), 5)            AS avg_entropy,
+       round(min(ent), 6)            AS min_entropy,
+       round(max(ent), 6)            AS max_entropy,
+       CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                                     AS n_low_entropy
+FROM ent
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_char_entropy", oracle=_CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy profile with a low-entropy
+    (boilerplate) gate count.
+
+    Reference parity: the reference exposes only scalar string/math
+    builtins (be/src/exprs/string-functions.cc, math-functions.cc);
+    this composes them into the corpus-quality signal its users build
+    in SQL. Entropy per doc: H = log2(n) - (Σ c·log2(c))/n over the
+    per-character counts c — computed as a single whole-stage-codegen
+    HOF expression, no explode, no shuffle, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chars = "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    ent = (
+        docs.withColumn("cs", F.expr(chars))
+        .withColumn(
+            "ent",
+            F.expr(
+                """
+                round(log2(size(cs))
+                      - aggregate(
+                          transform(
+                            array_sort(array_distinct(cs)),
+                            c -> cast(size(filter(cs, x -> x = c)) as double)
+                          ),
+                          cast(0.0 as double),
+                          (acc, c) -> acc + c * log2(c)
+                        ) / size(cs), 6)
+                """
+            ),
+        )
+        .select("source", "ent")
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ent"), 5).alias("avg_entropy"),
+            F.round(F.min("ent"), 6).alias("min_entropy"),
+            F.round(F.max("ent"), 6).alias("max_entropy"),
+            F.sum(F.when(F.col("ent") < 3.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )
