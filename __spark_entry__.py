@@ -62,7 +62,7 @@ _PRIORITY = [
     "agg_kmv_distinct_report", "window_named_clause",
     "nested_lateral_view", "tpcds_q4_growth_ratio",
     "tpcds_q23_frequent_best", "text_langid_confusion",
-    "text_char_entropy",
+    "text_char_entropy", "text_html_strip", "dedup_url",
     # --- semantics touched by the r6 advice fixes (pre-rank rounding,
     # scale-safe curriculum epsilon already above) — refresh green rows
     "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",

@@ -1556,3 +1556,178 @@ def dedup_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame
             "max_abs_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup — the crawl-frontier dedup every web corpus
+# runs BEFORE content dedup (CommonCrawl/C4 keep one fetch per canonical
+# URL). The fixture has no URL column, so both engines derive the same
+# raw URL per document (scheme/host-case, www., default-port, trailing-
+# slash, tracking-param and fragment variation keyed on doc_id mods) and
+# the op under test is the normalizer: lowercase scheme+host, strip
+# 'www.' and default ports, drop the fragment, strip trailing slashes,
+# drop utm_*/fbclid params, sort the survivors. Keep-best picks the
+# longest document (tie → lowest doc_id) per canonical URL.
+# 100 TB shape: the normalizer is a per-row codegen'd regexp/array
+# chain (no UDF, no explode); dedup is ONE hash-agg shuffle on the
+# canonical key — the same cost as dedup_exact. No pair joins anywhere.
+# Reference parity: composes the reference's scalar regexp/string
+# builtins (be/src/exprs/string-functions.cc) plus its
+# parse_url(url, 'HOST'|...) builtin (string-functions.cc ParseUrl,
+# be/src/util/url-parser.h) into the canonical-URL dedup its users
+# write; expressed structurally so DuckDB (no parse_url) runs the
+# identical extraction regexes.
+_URL_DEDUP_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+         '.News.Example.COM' ||
+         (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+         '/Articles/item-' || CAST(doc_id % 5 AS VARCHAR) ||
+         (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 2 = 0
+               THEN '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+                    || '&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+               ELSE '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&ref=r'
+                    || CAST(doc_id % 3 AS VARCHAR)
+                    || '&utm_campaign=x&fbclid=abc' END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, n_chars, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_replace(
+             regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+             ':[0-9]+$', '')),
+           '^www\\.', '') AS host,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           '/+$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> NOT starts_with(p, 'utm_')
+                  AND NOT starts_with(p, 'fbclid'))),
+           '&') AS qs
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, n_chars, url,
+         scheme || '://' || host || path ||
+         (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canon_url
+  FROM norm
+),
+ranked AS (
+  SELECT canon_url, doc_id, n_chars,
+         count(*) OVER (PARTITION BY canon_url) AS n_variants,
+         count(DISTINCT url) OVER (PARTITION BY canon_url)
+           AS n_distinct_raw,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM canon
+)
+SELECT canon_url,
+       CAST(n_variants AS BIGINT)     AS n_variants,
+       CAST(n_distinct_raw AS BIGINT) AS n_distinct_raw,
+       doc_id                         AS kept_doc_id,
+       n_chars                        AS kept_n_chars
+FROM ranked WHERE rn = 1
+ORDER BY canon_url
+"""
+
+
+@query("dedup_url", oracle=_URL_DEDUP_ORACLE)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: normalize scheme/host/port/path/query/
+    fragment, then keep the best document per canonical URL."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(d % 2 == 0, "HTTP").otherwise("http"),
+        F.lit("://"),
+        F.when(d % 3 == 0, "WWW.").otherwise(""),
+        F.when(d % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".News.Example.COM"),
+        F.when(d % 4 == 0, ":80").otherwise(""),
+        F.lit("/Articles/item-"), s(5),
+        F.when(d % 6 == 0, "/").otherwise(""),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), s(4), F.lit("&ref=r"), s(3)),
+        ).otherwise(
+            F.concat(
+                F.lit("?id="), s(4), F.lit("&ref=r"), s(3),
+                F.lit("&utm_campaign=x&fbclid=abc"),
+            )
+        ),
+        F.when(d % 7 == 0, "#section-2").otherwise(""),
+    )
+    raw = docs.select("doc_id", "n_chars", url.alias("url"))
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract("url", "^[A-Za-z]+://([^/?#]+)", 1),
+                ":[0-9]+$", "",
+            )
+        ),
+        r"^www\.", "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", ""
+    )
+    qs = F.array_join(
+        F.array_sort(
+            F.expr(
+                """
+                filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'),
+                       p -> NOT startswith(p, 'utm_')
+                            AND NOT startswith(p, 'fbclid'))
+                """
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        "n_chars",
+        "url",
+        F.concat(
+            F.lower(F.regexp_extract("url", "^([A-Za-z]+)://", 1)),
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""),
+        ).alias("canon_url"),
+    )
+    from pyspark.sql import Window as W
+
+    # Spark disallows count(DISTINCT) over a window — aggregate the
+    # per-key stats in one hash-agg pass and join the keep-best row back
+    # (broadcast-sized: one row per canonical key).
+    stats = canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
+    )
+    w = W.partitionBy("canon_url").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        canon.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canon_url",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+    )
+    return (
+        kept.join(stats, "canon_url")
+        .select(
+            "canon_url", "n_variants", "n_distinct_raw",
+            "kept_doc_id", "kept_n_chars",
+        )
+        .orderBy("canon_url")
+    )

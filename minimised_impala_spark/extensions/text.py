@@ -3096,3 +3096,119 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# HTML boilerplate stripping — the first step of every web-crawl
+# pipeline (C4 §2.1, CCNet): strip <script>/<style> blocks, then tags,
+# decode entities (AFTER tag removal — '&lt;info&gt;' must survive as
+# text), drop known boilerplate phrases, collapse whitespace. The
+# fixture has no markup, so the documents are deterministically wrapped
+# in a pseudo-page (nav/ad/footer chrome around the text) by the SAME
+# expression in both engines; the op under test is the strip pipeline.
+# 100 TB shape: a pure per-row codegen'd regexp chain — zero shuffles,
+# zero Python; filters and column pruning push straight to the scan.
+# Reference parity: the reference exposes regexp_replace/replace as
+# scalar builtins (be/src/exprs/string-functions.cc:339 RegexpReplace);
+# this composes them into the crawl-cleaning pass its users write.
+_HTML_STRIP_ORACLE = """
+WITH page AS (
+  SELECT doc_id, length(text) AS text_len,
+         '<html><head><title>' || source ||
+         '</title><style>p{margin:0}</style><script type="text/javascript">var s="' ||
+         source ||
+         '";</script></head><body><nav>Home | About | Contact</nav><p class="main">' ||
+         text ||
+         '</p><br/><div id="ad">Subscribe now!</div><footer>&copy; 2024 ' ||
+         source || ' &nbsp;&amp; sons &lt;info&gt;</footer></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, text_len, length(html) AS raw_len,
+         regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         trim(regexp_replace(
+           replace(replace(
+             replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+                   '<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&copy;', '(c)'), '&amp;', '&'),
+             'Home | About | Contact', ' '), 'Subscribe now!', ' '),
+           ' +', ' ', 'g')) AS clean_text
+  FROM page
+)
+SELECT doc_id, title, clean_text,
+       CAST(raw_len AS BIGINT)          AS raw_len,
+       CAST(length(clean_text) AS BIGINT) AS clean_len,
+       CAST(round((raw_len - length(clean_text)) * 1000.0 / raw_len)
+            AS BIGINT)                  AS shrink_permille
+FROM stripped
+ORDER BY doc_id
+"""
+
+
+@query("text_html_strip", oracle=_HTML_STRIP_ORACLE)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip markup/boilerplate from pseudo-HTML pages: script/style
+    blocks first, then all tags, then entity decode, then boilerplate
+    phrases, then whitespace collapse — the order a correct stripper
+    needs (entities decode after tag removal so literal '<info>' text
+    survives; phrases drop after entities so '&amp;' variants match).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit('</title><style>p{margin:0}</style>'
+              '<script type="text/javascript">var s="'),
+        F.col("source"),
+        F.lit('";</script></head><body>'
+              '<nav>Home | About | Contact</nav><p class="main">'),
+        F.col("text"),
+        F.lit('</p><br/><div id="ad">Subscribe now!</div>'
+              "<footer>&copy; 2024 "),
+        F.col("source"),
+        F.lit(" &nbsp;&amp; sons &lt;info&gt;</footer></body></html>"),
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.expr(
+                """
+                replace(replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html, '<script[^>]*>.*?</script>', ' '),
+                        '<style[^>]*>.*?</style>', ' '),
+                      '<[^>]*>', ' '),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&copy;', '(c)'), '&amp;', '&'),
+                  'Home | About | Contact', ' '), 'Subscribe now!', ' ')
+                """
+            ),
+            " +",
+            " ",
+        )
+    )
+    out = page.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        clean.alias("clean_text"),
+        F.length("html").cast("bigint").alias("raw_len"),
+    )
+    return out.select(
+        "doc_id",
+        "title",
+        "clean_text",
+        "raw_len",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        F.round(
+            (F.col("raw_len") - F.length("clean_text")) * 1000.0
+            / F.col("raw_len")
+        )
+        .cast("bigint")
+        .alias("shrink_permille"),
+    ).orderBy("doc_id")

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 262  # r6
+EXPECTED_QUERY_COUNT = 264  # r6
 
 
 def test_registry_count_is_authoritative():
