@@ -1375,3 +1375,155 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_scored") > 0)
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction over the user co-occurrence graph — the
+# missing-edge-scoring shape (recommend connections, impute affinities)
+# that shares its edge build with events_triangle_count: distinct
+# (event_type, hour) cells, deterministic 16-user cap per cell
+# (hot-cell control — Σ occupancy² is the quadratic stage at scale),
+# weight-4 threshold. Candidate pairs are WEDGES (two nodes sharing a
+# neighbor) that are NOT already edges; score = Jaccard of neighbor
+# sets |N(u)∩N(v)| / (|N(u)|+|N(v)|−|∩|). 100 TB shape: the wedge join
+# is a self-equi-join on the shared-neighbor key (Σ deg² bounded by the
+# cell cap), existing edges drop via a LEFT ANTI join, and the top-20
+# is TakeOrdered — no global sort materializes. Jaccard is a ratio of
+# exact integers rounded to 6dp before ranking (repo convention), so
+# both engines rank identical keys.
+# Reference parity: joins/aggregates only (PlanNodes.thrift HASH_JOIN/
+# AGGREGATION); the op itself is beyond the reference, expressed with
+# its operator set.
+_LINK_PRED_ORACLE = """
+WITH cells_all AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+cells AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT event_type, h, user_id,
+           row_number() OVER (PARTITION BY event_type, h
+                              ORDER BY user_id) AS rn
+    FROM cells_all) t WHERE rn <= 16
+),
+edges AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM cells a JOIN cells b
+    ON b.event_type = a.event_type AND b.h = a.h AND b.user_id > a.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= 4
+),
+adj AS (
+  SELECT u AS node, v AS neigh FROM edges
+  UNION ALL
+  SELECT v AS node, u AS neigh FROM edges
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+wedges AS (
+  SELECT a.node AS u, b.node AS v, count(*) AS common_n
+  FROM adj a JOIN adj b ON b.neigh = a.neigh AND b.node > a.node
+  GROUP BY a.node, b.node
+),
+cand AS (
+  SELECT w.u, w.v, w.common_n
+  FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = w.u AND e.v = w.v)
+),
+scored AS (
+  SELECT c.u, c.v, c.common_n,
+         round(c.common_n * 1.0 / (du.d + dv.d - c.common_n), 6) AS jaccard
+  FROM cand c
+  JOIN deg du ON du.node = c.u
+  JOIN deg dv ON dv.node = c.v
+),
+ranked AS (
+  SELECT u, v, common_n, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, u, v) AS rank
+  FROM scored
+)
+SELECT u, v, CAST(common_n AS BIGINT) AS common_n, jaccard,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@query("events_link_prediction", oracle=_LINK_PRED_ORACLE)
+def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links by neighbor-set Jaccard among wedge pairs
+    not already connected in the co-occurrence graph."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    cells_all = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    wcell = W.partitionBy("event_type", "h").orderBy("user_id")
+    cells = (
+        cells_all.withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= 16)
+        .drop("rn")
+    )
+    a = cells.select("event_type", "h", F.col("user_id").alias("u"))
+    b = cells.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"),
+        F.col("user_id").alias("v"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("h2") == F.col("h"))
+            & (F.col("v") > F.col("u")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 4)
+        .select("u", "v")
+    )
+    # the edge set feeds three consumers (adjacency both ways + the
+    # anti-join); materialize it once instead of re-running the cell join
+    edges = edges.localCheckpoint(eager=False)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("neigh")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("neigh"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    l = adj.select(F.col("node").alias("cu"), F.col("neigh").alias("nx"))
+    r = adj.select(F.col("node").alias("cv"), F.col("neigh").alias("ny"))
+    wedges = (
+        l.join(r, (F.col("ny") == F.col("nx")) & (F.col("cv") > F.col("cu")))
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    cand = wedges.join(
+        edges,
+        (edges["u"] == wedges["cu"]) & (edges["v"] == wedges["cv"]),
+        "left_anti",
+    )
+    scored = (
+        cand.join(
+            F.broadcast(deg.select(F.col("node").alias("cu"), F.col("d").alias("du"))),
+            "cu",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("cv"), F.col("d").alias("dv"))),
+            "cv",
+        )
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            F.col("common_n").cast("bigint").alias("common_n"),
+            F.round(
+                F.col("common_n") * 1.0
+                / (F.col("du") + F.col("dv") - F.col("common_n")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    top = scored.orderBy(F.desc("jaccard"), "u", "v").limit(20)
+    wr = W.orderBy(F.desc("jaccard"), "u", "v")
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .select("u", "v", "common_n", "jaccard", "rank")
+        .orderBy("rank")
+    )
