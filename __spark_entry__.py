@@ -32,43 +32,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first 50 registry entries per round.
-# Cumulatively r1∪r2∪r3∪r4∪r5 drove 226 distinct queries, all green at
-# their latest check; exactly 17 registered names have never had a
-# driver row (the r5 50-cap ended before reaching them). Round 6 leads
-# with those 17 (including the 3 the old list omitted entirely:
-# source_schema_evolution, text_gopher_rules, text_contamination_matrix),
-# then the round-6 additions, then the queries whose SEMANTICS changed
-# in the r6 advice fixes (pre-rank 6dp rounding) so their green rows
-# refresh, then regression rotation onto the OLDEST green rows — names
-# whose last driver row is r1 (TPC-H/TPC-DS bulk, join modes, agg
-# basics). Names past the cap keep their earlier green rows; the rest
-# of the r1/r2-era names queue behind for the r7 rotation.
+# Cumulatively r1∪…∪r6 drove 264 distinct queries, all green at their
+# latest check; exactly ONE registered name has never had a driver row
+# (events_link_prediction — registered in the r6 end-of-round snapshot
+# after the driver run). Round 7 leads with that orphan, then the
+# round-7 additions, then regression rotation onto the OLDEST green
+# rows: all 37 names whose last driver row is r1 (tpch_q9–q22, the
+# TPC-DS r1 family, join modes, agg basics), then r2-era names to fill
+# the cap. Names past the cap keep their earlier green rows.
 _PRIORITY = [
-    # --- never driver-verified (17) — close the coverage gap first ---
-    "agg_filter_clause", "agg_listagg_keyed", "window_count_distinct",
-    "source_schema_evolution", "nested_map_funcs", "dialect_qualify",
-    "ddl_bucketed_join", "sim_rrf_hybrid", "sim_mmr_rerank",
-    "sim_ann_recall_report", "text_gopher_rules", "text_bpe_merge",
-    "text_span_corruption", "text_wordpiece_encode",
-    "text_curriculum_shards", "text_contamination_matrix",
-    "streaming_window_unique_users",
-    # --- new in round 6 ---
-    "ddl_compute_stats_roundtrip", "sim_filtered_ann",
-    "sim_diverse_sample", "text_domain_cap",
-    "events_triangle_count", "text_tfidf_keywords",
-    "dedup_minhash_accuracy_report", "text_ngram_novelty",
-    "events_seasonal_baseline", "streaming_quantile_sketch",
-    "source_xml_scan", "agg_regression_suite",
-    "agg_kmv_distinct_report", "window_named_clause",
-    "nested_lateral_view", "tpcds_q4_growth_ratio",
-    "tpcds_q23_frequent_best", "text_langid_confusion",
-    "text_char_entropy", "text_html_strip", "dedup_url",
-    # --- semantics touched by the r6 advice fixes (pre-rank rounding,
-    # scale-safe curriculum epsilon already above) — refresh green rows
-    "sim_lsh_ann", "sim_matryoshka_topk", "sim_binary_quant_topk",
-    "sim_cosine_topk", "sim_lsh_multiprobe", "sim_knn_classify",
+    # --- never driver-verified (1) — close the coverage gap first ---
+    "events_link_prediction",
+    # --- new in round 7 (names appended here as each query registers;
+    # registering in the round-snapshot commit is banned — see r6) ---
     # --- regression rotation: oldest green rows (last driver row r1) ---
-    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
@@ -76,15 +53,13 @@ _PRIORITY = [
     "tpcds_q59_dow_ratio", "tpcds_q61_promo_ratio",
     "tpcds_q65_brand_share", "tpcds_q73_order_counts",
     "tpcds_q88_band_counts", "tpcds_q98_class_share",
-    # NOTE: the 50-cap cut-off moves as round-6 additions land above;
-    # everything from here keeps earlier green rows and queues for r7.
     "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
     "tpcds_q51_cumulative_compare", "tpcds_q6_price_above_type_avg",
     "tpcds_q8_intersect_gate",
     "join_right_outer", "join_right_semi", "join_left_anti",
     "join_cross", "join_theta", "agg_stats", "agg_group_concat",
     "agg_percentile_exact", "agg_having",
-    # r2-era greens queue next
+    # --- r2-era greens fill the rest of the 50-cap; overflow queues r8 ---
     "tpch_q1", "tpch_q3", "join_full_outer", "join_null_aware_anti",
     "join_null_safe_eq", "agg_distinct_multi", "agg_ndv_sketches",
     "source_text_scan", "source_ext_kv_scan", "select_values",

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 264  # r6
+EXPECTED_QUERY_COUNT = 265  # r7 start (r6 snapshot added events_link_prediction)
 
 
 def test_registry_count_is_authoritative():
@@ -38,18 +38,11 @@ def test_priority_names_all_registered():
 
 def test_priority_covers_never_verified_first():
     # the first 50 driver slots must include every name with no driver
-    # row through r5 (the r6 coverage goal) — guards against queue
+    # row through r6 (the r7 coverage goal) — guards against queue
     # re-ordering regressions
     import __spark_entry__ as entrymod
 
-    never = {
-        "agg_filter_clause", "agg_listagg_keyed", "window_count_distinct",
-        "source_schema_evolution", "nested_map_funcs", "dialect_qualify",
-        "ddl_bucketed_join", "sim_rrf_hybrid", "sim_mmr_rerank",
-        "sim_ann_recall_report", "text_gopher_rules", "text_bpe_merge",
-        "text_span_corruption", "text_wordpiece_encode",
-        "text_curriculum_shards", "text_contamination_matrix",
-        "streaming_window_unique_users",
-    }
+    never = {"events_link_prediction"}
     first50 = set(list(entrymod.queries())[:50])
     assert never <= first50, f"missing from cap: {never - first50}"
+    assert list(entrymod.queries())[0] == "events_link_prediction"
