@@ -67,6 +67,10 @@ def main() -> None:
         shuffle_partitions=int(cpus),
         extra_conf={
             "spark.ui.enabled": "false",
+            # the \r-refreshed console progress bar interleaves with stdout
+            # in captured logs and bloats the driver's tail window — the
+            # r6 metric line was clipped at the front because of it.
+            "spark.ui.showConsoleProgress": "false",
             # local[N] runs executor threads inside the driver JVM — the
             # 1g default heap is undersized for N=32 with broadcast joins
             # (first observed as a broadcast OOM at the sf1 scale smoke).
@@ -107,7 +111,16 @@ def main() -> None:
     # an engine regression (moves exec_s of specific queries). The
     # reference's per-operator runtime profile
     # (be/src/util/runtime-profile.cc) is the analogue signal.
-    def best_of_5(name: str) -> dict:
+    # Ambient-load guard (VERDICT r6 item 4): the shared host shows spiky
+    # external load that inflated ten untouched queries ~15-20% in r6 with
+    # byte-identical plans. Record the 1-min loadavg next to each
+    # best-of-5, and if the host looked busy when the draws started, run
+    # the 5 draws once more and keep the overall best — a quiet window
+    # minutes later usually exists. The threshold is generous because our
+    # own local[32] bursts contribute to load1 mid-suite.
+    load_retry_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_RETRY", "16"))
+
+    def _draws(name: str) -> tuple:
         best = (float("inf"), 0.0, 0.0)
         for _ in range(5):
             t0 = time.perf_counter()
@@ -117,10 +130,18 @@ def main() -> None:
             t2 = time.perf_counter()
             if t2 - t0 < best[0]:
                 best = (t2 - t0, t1 - t0, t2 - t1)
+        return best
+
+    def best_of_5(name: str) -> dict:
+        load1 = os.getloadavg()[0]
+        best = _draws(name)
+        if load1 > load_retry_threshold:
+            best = min(best, _draws(name))
         return {
             "sec": round(best[0], 3),
             "plan_build_s": round(best[1], 3),
             "exec_s": round(best[2], 3),
+            "load1": round(load1, 2),
         }
 
     detail = {name: best_of_5(name) for name in HEADLINE}
@@ -130,6 +151,24 @@ def main() -> None:
     extra = {name: d["sec"] for name, d in extra_detail.items()}
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two lines by design (VERDICT r6 item 3): the full record first, then
+    # a COMPACT metric line LAST so the driver's bounded tail capture can
+    # never clip the headline value again (BENCH_r06 "parsed": null — the
+    # single line outgrew the tail window as extra_queries grew).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_detail",
+                "value": total,
+                "unit": "sec",
+                "query_detail": detail,
+                "extra_query_detail": extra_detail,
+                "ambient_load1": round(os.getloadavg()[0], 2),
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -138,9 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "extra_queries": extra,
-                "query_detail": detail,
-                "extra_query_detail": extra_detail,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
