@@ -1084,3 +1084,152 @@ def agg_kmv_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile-sketch error report — the fourth entry in the sketch-audit
+# family (ANN recall, MinHash accuracy, KMV NDV, now quantiles). The
+# reference's appx_median (be/src/exprs/aggregate-functions.h:135) is a
+# bounded SAMPLE merged across fragments; this report audits exactly
+# that estimator class: a deterministic md5-priority bottom-k sample
+# per group (k=256 — the mergeable batch twin of
+# streaming/stateful.py's KMV quantile sketch state), quantiles read
+# off the sorted sample, and the TRUE rank of each estimate measured
+# against the full data. rank_err_permille is the number you check
+# before trusting a sampled percentile on a new distribution (expected
+# |err| ≲ 1000/sqrt(k) ≈ 62‰ at k=256). Deterministic priorities make
+# est identical in both engines, so the report value-hashes strictly —
+# unlike KLL whose compaction is randomized (agg_kll_quantiles pins
+# that one by its guarantee instead).
+#
+# Scale shape: the bottom-k sample runs as TWO window stages — per
+# (group, salt-64) bottom-k, then bottom-k of the 64·k survivors — so
+# no executor ever sorts a whole group (3 return flags at 100 TB would
+# otherwise put a third of the table through one task). The true-rank
+# pass broadcasts the 12-row estimate frame and map-side aggregates
+# count(x<=est): two scans total, no large shuffle.
+_KLL_REPORT_K = 256
+_KLL_REPORT_ORACLE = f"""
+WITH src AS (
+  SELECT l_returnflag AS g, l_extendedprice AS x,
+         ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+                         1, 13))::BIGINT AS pri
+  FROM lineitem
+),
+bottomk AS (
+  SELECT g, x, pri,
+         row_number() OVER (PARTITION BY g ORDER BY pri, x) AS prn
+  FROM src
+),
+samp AS (
+  SELECT g, x, pri,
+         row_number() OVER (PARTITION BY g ORDER BY x, pri) AS sr,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM bottomk WHERE prn <= {_KLL_REPORT_K}
+),
+fracs AS (
+  SELECT * FROM (VALUES ('p25', 0.25), ('p50', 0.50),
+                        ('p75', 0.75), ('p95', 0.95)) AS t(plabel, frac)
+),
+est AS (
+  SELECT s.g, f.plabel, f.frac, s.m, s.x AS est
+  FROM samp s JOIN fracs f
+    ON s.sr = greatest(1, least(s.m, CAST(round(f.frac * s.m) AS BIGINT)))
+),
+trued AS (
+  SELECT e.g, e.plabel, e.frac, e.m, e.est,
+         count(*) FILTER (WHERE s.x <= e.est) AS le_cnt,
+         count(*) AS n
+  FROM est e JOIN src s ON s.g = e.g
+  GROUP BY e.g, e.plabel, e.frac, e.m, e.est
+)
+SELECT g AS l_returnflag, plabel,
+       CAST(n AS BIGINT) AS n,
+       CAST(m AS BIGINT) AS m,
+       CAST(round(est * 100) AS BIGINT) AS est_e2,
+       CAST(round(le_cnt * 1000.0 / n) AS BIGINT) AS est_rank_permille,
+       CAST(round(le_cnt * 1000.0 / n) - round(frac * 1000) AS BIGINT)
+         AS rank_err_permille
+FROM trued
+ORDER BY l_returnflag, plabel
+"""
+
+
+@query("agg_kll_accuracy_report", oracle=_KLL_REPORT_ORACLE)
+def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k = _KLL_REPORT_K
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("pri"),
+    )
+    # two-stage bottom-k: per-(g, salt) local top, then global — no
+    # single task ever sorts a whole group (see block comment above)
+    salt = F.pmod(F.col("pri"), F.lit(64))
+    w_local = W.partitionBy("g", salt).orderBy("pri", "x")
+    cand = (
+        src.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= k)
+        .drop("lrn")
+    )
+    w_global = W.partitionBy("g").orderBy("pri", "x")
+    samp = (
+        cand.withColumn("prn", F.row_number().over(w_global))
+        .filter(F.col("prn") <= k)
+        .drop("prn")
+    )
+    w_sr = W.partitionBy("g").orderBy("x", "pri")
+    w_m = W.partitionBy("g")
+    samp = samp.select(
+        "g",
+        "x",
+        F.row_number().over(w_sr).alias("sr"),
+        F.count(F.lit(1)).over(w_m).alias("m"),
+    )
+    fracs = spark.createDataFrame(
+        [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)],
+        "plabel string, frac double",
+    )
+    pick = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(F.col("m"), F.round(F.col("frac") * F.col("m"), 0).cast("bigint")),
+    )
+    est = (
+        samp.join(F.broadcast(fracs), samp.sr == pick)
+        .select("g", "plabel", "frac", "m", F.col("x").alias("est"))
+    )
+    trued = (
+        src.join(F.broadcast(est), "g")
+        .groupBy("g", "plabel", "frac", "m", "est")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("le_cnt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    est_rank = F.round(F.col("le_cnt") * 1000.0 / F.col("n"), 0)
+    return trued.select(
+        F.col("g").alias("l_returnflag"),
+        "plabel",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m").cast("bigint").alias("m"),
+        F.round(F.col("est") * 100, 0).cast("bigint").alias("est_e2"),
+        est_rank.cast("bigint").alias("est_rank_permille"),
+        (est_rank - F.round(F.col("frac") * 1000, 0))
+        .cast("bigint")
+        .alias("rank_err_permille"),
+    ).orderBy("l_returnflag", "plabel")

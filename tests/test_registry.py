@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 265  # r7 start (r6 snapshot added events_link_prediction)
+EXPECTED_QUERY_COUNT = 266  # r7: + agg_kll_accuracy_report
 
 
 def test_registry_count_is_authoritative():
