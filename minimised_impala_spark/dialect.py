@@ -205,6 +205,7 @@ def parse_load_data(sql: str) -> dict | None:
 
 
 _QUALIFY = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_WINDOW_CLAUSE = re.compile(r"\bWINDOW\s+[A-Za-z_]\w*\s+AS\b", re.IGNORECASE)
 _FROM = re.compile(r"\bFROM\b", re.IGNORECASE)
 _ORDER_OR_LIMIT = re.compile(r"\b(?:ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
 _AS_ALIAS = re.compile(r"\bAS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
@@ -284,6 +285,14 @@ def _rewrite_qualify(sql: str) -> str:
             )
     tail_m = _find_depth0(masked, _ORDER_OR_LIMIT, qual.end())
     tail_pos = tail_m.start() if tail_m else len(sql)
+    # A named-WINDOW clause belongs BEFORE QUALIFY (the DuckDB/SQL:2003
+    # clause order; it then lands inside the subquery with the OVER w
+    # refs that need it). After QUALIFY it would silently be absorbed
+    # into the predicate — reject instead of emitting broken SQL.
+    if _find_depth0(masked[qual.end(): tail_pos], _WINDOW_CLAUSE):
+        raise ValueError(
+            "QUALIFY rewrite: WINDOW clause must precede QUALIFY"
+        )
     pred = sql[qual.end(): tail_pos].strip()
     tail = sql[tail_pos:].strip()
     if exprs:

@@ -30,6 +30,7 @@ def main() -> int:
     from tests.oracle import canon_rows, duckdb_connect
     from tests.test_random_differential import (
         _gen_date_fn_query,
+        _gen_dialect_pair,
         _gen_distinct_agg_query,
         _gen_events_query,
         _gen_filter_clause_query,
@@ -76,18 +77,35 @@ def main() -> int:
         (_gen_filter_clause_query, 2),
         (_gen_nested_query, 3),
         (_gen_json_query, 2),
+        (_gen_dialect_pair, 2),
     ]
+    # optional branch-only mode: `fuzz_sweep.py N SEED dialect` restricts
+    # the pool to the dialect-pair generator (r7 directive: ≥100 fresh
+    # seeds on the QUALIFY/named-WINDOW/LATERAL VIEW surface alone)
+    branch = sys.argv[3] if len(sys.argv) > 3 else None
+    if branch == "dialect":
+        gens = [(_gen_dialect_pair, 1)]
     pool = [g for g, w in gens for _ in range(w)]
 
+    from minimised_impala_spark.engine import Engine
+
+    engine = Engine(spark)
     con = duckdb_connect(sf_dir)
     mismatches = 0
     try:
         for i in range(n):
             rng = random.Random(base_seed + i)
-            sql = rng.choice(pool)(rng)
-            sdf = spark.sql(sql)
+            res = rng.choice(pool)(rng)
+            if isinstance(res, tuple):
+                # dialect pair: engine text may be non-ANSI (QUALIFY,
+                # LATERAL VIEW) — run through Engine.sql (translate)
+                sql, duck_sql = res
+                sdf = engine.sql(sql)
+            else:
+                sql, duck_sql = res, to_duck_dialect(res)
+                sdf = spark.sql(sql)
             s_rows = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
-            cur = con.execute(to_duck_dialect(sql))
+            cur = con.execute(duck_sql)
             d_cols = [d[0] for d in cur.description]
             d_rows = canon_rows(d_cols, [tuple(r) for r in cur.fetchall()])
             if s_rows != d_rows:
