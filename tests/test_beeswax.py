@@ -295,3 +295,27 @@ def test_execute_and_wait_error_paths(beeswax):
             c.close_query(h)
     finally:
         c.close()
+
+
+def test_explain_renders_dialect_hints(beeswax):
+    """Golden pin tying entry point A to the plan pins (VERDICT r6 item
+    8): Beeswax explain() of a hinted dialect query must show the hint
+    taking effect in the FORMATTED Spark plan, not just echo text.
+    nation is broadcast-sized by default, so the discriminating case is
+    [shuffle]: it must FORCE the join away from the size-based
+    broadcast choice. [broadcast] is pinned positively alongside."""
+    c = BeeswaxClient("127.0.0.1", beeswax.port)
+    try:
+        base = (
+            "SELECT n_name, count(*) AS n FROM orders "
+            "JOIN [{hint}] nation ON o_orderkey % 25 = n_nationkey "
+            "GROUP BY n_name"
+        )
+        bcast = c.explain(base.format(hint="broadcast"))
+        assert "BroadcastHashJoin" in bcast
+        assert "== Physical Plan ==" in bcast
+        shuf = c.explain(base.format(hint="shuffle"))
+        assert "BroadcastHashJoin" not in shuf
+        assert "SortMergeJoin" in shuf or "ShuffledHashJoin" in shuf
+    finally:
+        c.close()
