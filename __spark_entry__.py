@@ -45,7 +45,8 @@ _PRIORITY = [
     "events_link_prediction",
     # --- new in round 7 (names appended here as each query registers;
     # registering in the round-snapshot commit is banned — see r6) ---
-    "agg_kll_accuracy_report",
+    "agg_kll_accuracy_report", "events_markov_next_event",
+    "events_burst_detection", "sim_range_search",
     # --- regression rotation: oldest green rows (last driver row r1) ---
     "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",

@@ -1766,3 +1766,56 @@ def sim_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Range (radius) search — the threshold dual of sim_cosine_topk: return
+# EVERY neighbor within cosine ≥ τ of each query vector, not a fixed k.
+# The retrieval mode dedup pipelines actually run ("give me everything
+# similar enough"), and the primitive under dedup_embedding's pair
+# stage. 100 TB shape: queries broadcast, the τ predicate applies
+# map-side right after the Arrow-batched BLAS kernel — no window, no
+# per-query sort, no shuffle at all before the final presentation
+# ORDER BY; an LSH/IVF pre-prune (sim_lsh_ann / sim_ivf_ann) slots in
+# front unchanged when the corpus no longer scans. 6dp rounding before
+# the τ compare keeps the boundary identical in both engines.
+@query(
+    "sim_range_search",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+           6) AS cosine
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, neighbor_id, cosine
+FROM pairs WHERE cosine >= 0.25
+ORDER BY query_id, neighbor_id
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors with cosine ≥ 0.25 of query vectors (vec_id < 8)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(VK.cosine_pair("qe", "ce"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -1527,3 +1527,153 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v", "common_n", "jaccard", "rank")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov next-event model — the transition-matrix shape
+# every product-analytics stack derives from a clickstream (and the
+# batch twin of events_path_mining's ordered paths): per-user event
+# bigrams via one lead() window, transition counts, per-state total,
+# and the top-3 next events per state with transition probability.
+# 100 TB shape: the lead() window shuffles once on user_id (same key
+# every sessionize-family op already uses), the bigram aggregate has
+# |event_type|² groups (25 here — state spaces are small by nature),
+# and the top-3 is a WindowGroupLimit over those few groups. Integers
+# + permille rounding keep the differential exact.
+# Reference parity: analytic lead() (AnalyticEvalNode) + hash agg;
+# the op itself is beyond the reference, expressed with its operators.
+_MARKOV_ORACLE = """
+WITH big AS (
+  SELECT event_type AS ev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_ev
+  FROM events
+),
+counts AS (
+  SELECT ev, next_ev, count(*) AS n
+  FROM big WHERE next_ev IS NOT NULL
+  GROUP BY ev, next_ev
+),
+ranked AS (
+  SELECT ev, next_ev, n,
+         CAST(round(n * 1000.0 / sum(n) OVER (PARTITION BY ev)) AS BIGINT)
+           AS prob_permille,
+         row_number() OVER (PARTITION BY ev ORDER BY n DESC, next_ev) AS rnk
+  FROM counts
+)
+SELECT ev, next_ev, CAST(n AS BIGINT) AS n, prob_permille,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY ev, rnk
+"""
+
+
+@query("events_markov_next_event", oracle=_MARKOV_ORACLE)
+def events_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    big = ev.select(
+        F.col("event_type").alias("ev"),
+        F.lead("event_type").over(w).alias("next_ev"),
+    ).filter(F.col("next_ev").isNotNull())
+    counts = big.groupBy("ev", "next_ev").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = W.partitionBy("ev")
+    w_rank = W.partitionBy("ev").orderBy(F.desc("n"), F.asc("next_ev"))
+    return (
+        counts.select(
+            "ev",
+            "next_ev",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1000.0 / F.sum("n").over(w_tot), 0)
+            .cast("bigint")
+            .alias("prob_permille"),
+            F.row_number().over(w_rank).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("ev", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Burst detection — the rate-anomaly twin of events_zscore_anomaly, but
+# over the event-rate series itself (hourly counts) with a TRAILING
+# baseline (ROWS 24 PRECEDING .. 1 PRECEDING), so the flagged hour
+# never contaminates its own baseline — the standard streaming-monitor
+# formulation (and the batch twin of streaming_drift_kl's windowed
+# comparison). Reports the peak-z hour per event type: z is rounded to
+# 6dp BEFORE the rank (repo convention) so stddev accumulation-order
+# ulp can't flip the argmax between engines. 100 TB shape: hourly
+# pre-aggregation shrinks the series to (types × hours) rows before
+# any window; the trailing window is a bounded ROWS frame.
+_BURST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT event_type, h, n,
+         count(*) OVER w AS n_hist,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type, h, n, n_hist,
+         round((n - mu) / sd, 6) AS z6
+  FROM scored WHERE n_hist >= 12 AND sd > 0
+),
+ranked AS (
+  SELECT event_type, h, n, n_hist, z6,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY z6 DESC, h) AS rnk
+  FROM z
+)
+SELECT event_type, h AS peak_hour, CAST(n AS BIGINT) AS n,
+       CAST(n_hist AS BIGINT) AS n_hist,
+       CAST(round(z6 * 1000) AS BIGINT) AS z_e3
+FROM ranked WHERE rnk = 1
+ORDER BY event_type
+"""
+
+
+@query("events_burst_detection", oracle=_BURST_ORACLE)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    z = scored.filter((F.col("n_hist") >= 12) & (F.col("sd") > 0)).select(
+        "event_type",
+        "h",
+        "n",
+        "n_hist",
+        F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("z6"),
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.desc("z6"), F.asc("h"))
+    return (
+        z.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("peak_hour"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_hist").cast("bigint").alias("n_hist"),
+            F.round(F.col("z6") * 1000, 0).cast("bigint").alias("z_e3"),
+        )
+        .orderBy("event_type")
+    )

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 266  # r7: + agg_kll_accuracy_report
+EXPECTED_QUERY_COUNT = 269  # r7: + kll_accuracy, markov, burst, range_search
 
 
 def test_registry_count_is_authoritative():
