@@ -3212,3 +3212,148 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shrink_permille"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Stopword profile — per-(lang, source) corpus composition stats
+# (stopword share is a core quality signal in C4/Gopher-style filters;
+# this is the AGGREGATE view the per-doc gates in text_gopher_rules
+# consume thresholds from). Token counts come from codegen'd array HOFs
+# over split() — a pure per-row map with zero shuffles before the
+# (lang, source) aggregate, the text-analysis profile that rides a
+# 1000-executor cluster scan-bound.
+_STOPWORDS = ("the", "a")
+_STOPWORD_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('{_STOPWORDS[0]}', '{_STOPWORDS[1]}')))
+           AS n_stop
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_stop) AS BIGINT) AS stop_tokens,
+       CAST(round(sum(n_stop) * 1000.0 / sum(n_tok)) AS BIGINT)
+         AS stop_share_permille,
+       round(sum(n_tok) * 1.0 / count(*), 6) AS avg_tokens_per_doc
+FROM per_doc
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query("text_stopword_profile", oracle=_STOPWORD_ORACLE)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stop"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_stop").cast("bigint").alias("stop_tokens"),
+            F.round(F.sum("n_stop") * 1000.0 / F.sum("n_tok"), 0)
+            .cast("bigint")
+            .alias("stop_share_permille"),
+            F.round(F.sum("n_tok") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Word co-occurrence PMI — doc-level pointwise mutual information over
+# DISTINCT words per document (binary co-occurrence, the collocation /
+# phrase-mining primitive behind compound-token discovery in corpus
+# prep). Per-doc distinct terms bound the pair stage: the self-join
+# emits ≤ |distinct terms per doc|² pairs per document (≤465 on this
+# vocab; real corpora cap per-doc distinct terms first — the same
+# bounded-shape discipline as the triangle-count cell cap). df and
+# pair-df are plain hash aggs; N is a one-row broadcast scalar. PMI is
+# rounded to 6dp BEFORE the top-15 rank (repo convention).
+_PMI_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+df AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+co AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS co_df
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+),
+pmi AS (
+  SELECT c.w1, c.w2, c.co_df,
+         round(ln(c.co_df * 1.0 * n.n / (d1.df * d2.df)), 6) AS pmi6
+  FROM co c
+  JOIN df d1 ON d1.w = c.w1
+  JOIN df d2 ON d2.w = c.w2
+  CROSS JOIN n_docs n
+  WHERE c.co_df >= 5
+),
+ranked AS (
+  SELECT w1, w2, co_df, pmi6,
+         row_number() OVER (ORDER BY pmi6 DESC, w1, w2) AS rnk
+  FROM pmi
+)
+SELECT w1, w2, CAST(co_df AS BIGINT) AS co_df, pmi6, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 15
+ORDER BY rnk
+"""
+
+
+@query("text_word_cooccurrence", oracle=_PMI_ORACLE)
+def text_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    a = tok.select(F.col("doc_id").alias("d"), F.col("w").alias("w1"))
+    b = tok.select(F.col("doc_id").alias("d"), F.col("w").alias("w2"))
+    co = (
+        a.join(b, ["d"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= 5)
+    )
+    d1 = df.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    pmi = (
+        co.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "co_df",
+            F.round(
+                F.log(F.col("co_df") * 1.0 * F.col("n") / (F.col("df1") * F.col("df2"))),
+                6,
+            ).alias("pmi6"),
+        )
+    )
+    w_rank = W.orderBy(F.desc("pmi6"), "w1", "w2")
+    return (
+        pmi.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= 15)
+        .select("w1", "w2", F.col("co_df").cast("bigint").alias("co_df"), "pmi6", "rnk")
+        .orderBy("rnk")
+    )

@@ -1233,3 +1233,174 @@ def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_err_permille"),
     ).orderBy("l_returnflag", "plabel")
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch set operations — the set-algebra extension of the KMV
+# family (agg_kmv_distinct_report estimates |A|; real pipelines ask for
+# |A∪B| and |A∩B| across segment pairs without re-scanning raw data —
+# the Theta sketch's defining feature). Per event type: a bottom-k
+# (k=64) md5-priority user sample with threshold θ = p_(k) (or 2^52 =
+# "sketch holds the whole set" when |A| < k — the unsaturated case
+# estimates exactly, which the sf0.001 fixture exercises). Pairwise:
+# θ_pair = min(θ_A, θ_B); est = (entries strictly below θ_pair) / θ,
+# the standard Theta union/intersection estimator. Exact counts and
+# signed union error land beside the estimates — the audit artifact.
+# Deterministic md5 priorities make both engines' sketches identical,
+# so the report value-hashes strictly. 100 TB shape: one distinct
+# shuffle + per-type bottom-k windows build the sketches; every
+# pairwise stage runs on ≤|types|·k sampled rows (the point of the op:
+# set algebra on sketches, never on raw data). The exact columns are
+# the verification harness, not the operator.
+_THETA_K = 64
+_THETA_MAX = 4503599627370496  # 2^52: priority space upper bound
+_THETA_ORACLE = f"""
+WITH pri AS (
+  SELECT DISTINCT event_type AS et, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS p
+  FROM events
+),
+ranked AS (
+  SELECT et, user_id, p,
+         row_number() OVER (PARTITION BY et ORDER BY p, user_id) AS rn,
+         count(*) OVER (PARTITION BY et) AS exact_d
+  FROM pri
+),
+sk AS (SELECT et, user_id, p FROM ranked WHERE rn <= {_THETA_K}),
+theta AS (
+  SELECT et,
+         coalesce(max(CASE WHEN rn = {_THETA_K} THEN p END), {_THETA_MAX})
+           AS th,
+         max(exact_d) AS exact_d
+  FROM ranked GROUP BY et
+),
+prs AS (
+  SELECT a.et AS et_a, b.et AS et_b, least(a.th, b.th) AS th,
+         a.exact_d AS da, b.exact_d AS db
+  FROM theta a JOIN theta b ON a.et < b.et
+),
+inter_e AS (
+  SELECT p.et_a, p.et_b, count(*) AS n_common
+  FROM prs p
+  JOIN sk sa ON sa.et = p.et_a AND sa.p < p.th
+  JOIN sk sb ON sb.et = p.et_b AND sb.user_id = sa.user_id AND sb.p < p.th
+  GROUP BY p.et_a, p.et_b
+),
+uni_e AS (
+  SELECT p.et_a, p.et_b, count(DISTINCT s.user_id) AS n_union
+  FROM prs p
+  JOIN sk s ON (s.et = p.et_a OR s.et = p.et_b) AND s.p < p.th
+  GROUP BY p.et_a, p.et_b
+),
+exact_i AS (
+  SELECT a.et AS et_a, b.et AS et_b, count(*) AS exact_inter
+  FROM pri a JOIN pri b ON b.user_id = a.user_id AND a.et < b.et
+  GROUP BY a.et, b.et
+)
+SELECT p.et_a AS et_a, p.et_b AS et_b,
+       CAST(round(coalesce(i.n_common, 0) * {_THETA_MAX}.0 / p.th) AS BIGINT)
+         AS est_inter,
+       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(round(u.n_union * {_THETA_MAX}.0 / p.th) AS BIGINT) AS est_union,
+       CAST(p.da + p.db - coalesce(x.exact_inter, 0) AS BIGINT) AS exact_union,
+       CAST(round((round(u.n_union * {_THETA_MAX}.0 / p.th)
+                   - (p.da + p.db - coalesce(x.exact_inter, 0))) * 1000.0
+                  / (p.da + p.db - coalesce(x.exact_inter, 0))) AS BIGINT)
+         AS union_err_permille
+FROM prs p
+LEFT JOIN inter_e i ON i.et_a = p.et_a AND i.et_b = p.et_b
+LEFT JOIN uni_e u ON u.et_a = p.et_a AND u.et_b = p.et_b
+LEFT JOIN exact_i x ON x.et_a = p.et_a AND x.et_b = p.et_b
+ORDER BY p.et_a, p.et_b
+"""
+
+
+@query("agg_theta_sketch_ops", oracle=_THETA_ORACLE)
+def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k, pmax = _THETA_K, float(_THETA_MAX)
+    ev = load_table(spark, sf_dir, "events")
+    pri = (
+        ev.select(F.col("event_type").alias("et"), "user_id")
+        .distinct()
+        .withColumn(
+            "p",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("bigint"),
+        )
+    )
+    ranked = pri.select(
+        "et",
+        "user_id",
+        "p",
+        F.row_number()
+        .over(W.partitionBy("et").orderBy("p", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("et")).alias("exact_d"),
+    )
+    sk = ranked.filter(F.col("rn") <= k).select("et", "user_id", "p")
+    theta = ranked.groupBy("et").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("p"))), F.lit(_THETA_MAX)
+        ).alias("th"),
+        F.max("exact_d").alias("exact_d"),
+    )
+    ta = theta.select(
+        F.col("et").alias("et_a"), F.col("th").alias("th_a"), F.col("exact_d").alias("da")
+    )
+    tb = theta.select(
+        F.col("et").alias("et_b"), F.col("th").alias("th_b"), F.col("exact_d").alias("db")
+    )
+    prs = (
+        ta.join(tb, F.col("et_a") < F.col("et_b"))
+        .select("et_a", "et_b", F.least("th_a", "th_b").alias("th"), "da", "db")
+    )
+    sa = sk.select(F.col("et").alias("et_a"), F.col("user_id").alias("ua"), F.col("p").alias("pa"))
+    sb = sk.select(F.col("et").alias("et_b"), F.col("user_id").alias("ub"), F.col("p").alias("pb"))
+    inter_e = (
+        F.broadcast(prs)
+        .join(sa, (sa.et_a == prs.et_a) & (F.col("pa") < F.col("th")))
+        .join(sb, (sb.et_b == prs.et_b) & (F.col("ub") == F.col("ua")) & (F.col("pb") < F.col("th")))
+        .groupBy(prs.et_a, prs.et_b)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s_any = sk.select(F.col("et").alias("s_et"), "user_id", "p")
+    uni_e = (
+        F.broadcast(prs)
+        .join(
+            s_any,
+            ((F.col("s_et") == F.col("et_a")) | (F.col("s_et") == F.col("et_b")))
+            & (F.col("p") < F.col("th")),
+        )
+        .groupBy("et_a", "et_b")
+        .agg(F.countDistinct("user_id").alias("n_union"))
+    )
+    pa_ = pri.select(F.col("et").alias("et_a"), F.col("user_id").alias("xu"))
+    pb_ = pri.select(F.col("et").alias("et_b"), F.col("user_id").alias("xv"))
+    exact_i = (
+        pa_.join(pb_, (F.col("xv") == F.col("xu")) & (F.col("et_a") < F.col("et_b")))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_union = F.round(F.col("n_union") * pmax / F.col("th"), 0)
+    exact_union = F.col("da") + F.col("db") - F.coalesce(F.col("exact_inter"), F.lit(0))
+    return (
+        prs.join(inter_e, ["et_a", "et_b"], "left")
+        .join(uni_e, ["et_a", "et_b"], "left")
+        .join(exact_i, ["et_a", "et_b"], "left")
+        .select(
+            "et_a",
+            "et_b",
+            F.round(F.coalesce(F.col("n_common"), F.lit(0)) * pmax / F.col("th"), 0)
+            .cast("bigint")
+            .alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("bigint").alias("exact_inter"),
+            est_union.cast("bigint").alias("est_union"),
+            exact_union.cast("bigint").alias("exact_union"),
+            F.round((est_union - exact_union) * 1000.0 / exact_union, 0)
+            .cast("bigint")
+            .alias("union_err_permille"),
+        )
+        .orderBy("et_a", "et_b")
+    )

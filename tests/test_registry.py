@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 269  # r7: + kll_accuracy, markov, burst, range_search
+EXPECTED_QUERY_COUNT = 272  # r7: + theta_ops, stopword_profile, cooccurrence
 
 
 def test_registry_count_is_authoritative():
