@@ -48,7 +48,8 @@ _PRIORITY = [
     "agg_kll_accuracy_report", "events_markov_next_event",
     "events_burst_detection", "sim_range_search",
     "agg_theta_sketch_ops", "text_stopword_profile",
-    "text_word_cooccurrence",
+    "text_word_cooccurrence", "dedup_threshold_sweep",
+    "dedup_cross_source", "events_rfm_segmentation",
     # --- regression rotation: oldest green rows (last driver row r1) ---
     "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",

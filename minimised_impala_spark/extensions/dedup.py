@@ -1731,3 +1731,212 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canon_url")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sensitivity sweep — the audit artifact you produce
+# BEFORE picking the τ a semantic-dedup run will commit to: pair and
+# affected-doc counts at candidate thresholds, over the same
+# planted-twin corpus and banded-LSH candidate pipeline as
+# dedup_embedding_lsh (recall-1 at τ ≥ 0.7 on this corpus — proven by
+# that query's green exact-all-pairs oracle, which makes the sweep's
+# counts trustworthy). 100 TB shape: candidates come from the one
+# (band, bucket) self-equi-join; the rescore runs once; the 4-threshold
+# fan-out is a broadcast cross of the SCORED pairs (≪ corpus), so the
+# sweep costs one dedup candidate pass regardless of how many
+# thresholds are audited.
+_SWEEP_TAUS = (0.70, 0.80, 0.90, 0.95)
+_SWEEP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(e, (x, i) -> CASE WHEN (i - 1) % 16 = 0
+                                          THEN 0.0 ELSE x END) AS e
+  FROM base WHERE vec_id % 10 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         round(list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+cand AS (SELECT * FROM pairs WHERE cosine >= {_SWEEP_TAUS[0]}),
+thr AS (
+  SELECT * FROM (VALUES {", ".join(f"({t})" for t in _SWEEP_TAUS)}) t(tau)
+),
+sel AS (
+  SELECT t.tau, c.left_id, c.right_id
+  FROM thr t LEFT JOIN cand c ON c.cosine >= t.tau
+),
+docs AS (
+  SELECT tau, unnest([left_id, right_id]) AS d FROM sel
+  WHERE left_id IS NOT NULL
+)
+SELECT CAST(t.tau AS DOUBLE) AS tau,
+       CAST(count(s.left_id) AS BIGINT) AS n_pairs,
+       CAST(coalesce((SELECT count(DISTINCT d) FROM docs dd
+                      WHERE dd.tau = t.tau), 0) AS BIGINT) AS n_docs
+FROM thr t LEFT JOIN sel s ON s.tau = t.tau AND s.left_id IS NOT NULL
+GROUP BY t.tau
+ORDER BY t.tau
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.extensions import vector_kernels as VK
+    from minimised_impala_spark.shipping import ship_module_by_value
+
+    ship_module_by_value("minimised_impala_spark.extensions.vector_kernels")
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pert = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: F.when(i % 16 == 0, F.lit(0.0)).otherwise(x)
+        ).alias("e"),
+    )
+    corpus_df = base.unionByName(pert)
+    band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
+    bands = corpus_df.select(
+        "vec_id", F.posexplode(band_sigs("e")).alias("band", "bucket")
+    ).localCheckpoint(eager=False)
+    a = bands.select(F.col("vec_id").alias("left_id"), "band", "bucket")
+    b = bands.select(F.col("vec_id").alias("right_id"), "band", "bucket")
+    cand_ids = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    va = corpus_df.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
+    vb = corpus_df.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
+    cand = (
+        cand_ids.join(va, "left_id")
+        .join(vb, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(VK.cosine_pair("ea", "eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SWEEP_TAUS[0])
+    )
+    thr = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
+    sel = F.broadcast(thr).join(cand, F.col("cosine") >= F.col("tau"), "left")
+    n_pairs = sel.groupBy("tau").agg(F.count("left_id").alias("n_pairs"))
+    docs = (
+        sel.filter(F.col("left_id").isNotNull())
+        .select("tau", F.explode(F.array("left_id", "right_id")).alias("d"))
+        .groupBy("tau")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(docs, "tau", "left")
+        .select(
+            "tau",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("tau")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination pairs — the inter-source view the
+# within-corpus dedups above don't give: which SOURCE pairs share
+# verbatim 8-token spans (republication / scrape-of-a-scrape /
+# benchmark leakage across providers). The fixture corpus has no
+# organic cross-source 8-grams (random 31-word texts), so the query
+# plants them (same discipline as the twin corpora): every 7th doc is
+# "republished" under source 'mirror' with the first 10 tokens dropped
+# — so detection must work at the GRAM level, not whole-text hashes.
+# Report: per source pair, republished doc-pair count and distinct
+# shared grams. 100 TB shape: one posting join on the gram hash —
+# Σ df² bounded because high-df grams are boilerplate and get dropped
+# by a df cap in production (text_boilerplate_ngrams is that gate);
+# here df ≤ 2 by construction.
+_XSRC_ORACLE = """
+WITH mirrors AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')[11:], ' ') AS text,
+         'mirror' AS source
+  FROM documents WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) > 20
+),
+corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL SELECT doc_id, text, source FROM mirrors
+),
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM corpus),
+pos AS (
+  SELECT doc_id, source, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 0))) AS p
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM pos
+),
+hits AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.doc_id AS doc_a, b.doc_id AS doc_b, a.gh
+  FROM grams a JOIN grams b ON b.gh = a.gh AND a.source < b.source
+)
+SELECT src_a, src_b,
+       CAST(count(DISTINCT (doc_a, doc_b)) AS BIGINT) AS n_doc_pairs,
+       CAST(count(DISTINCT gh) AS BIGINT) AS n_shared_grams
+FROM hits
+GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
+@query("dedup_cross_source", oracle=_XSRC_ORACLE)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_all = F.split("text", " ")
+    mirrors = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.size(toks_all) > 20)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks_all, 11, F.greatest(F.size(toks_all) - 10, F.lit(0))),
+            " ",
+        ).alias("text"),
+        F.lit("mirror").alias("source"),
+    )
+    corpus_df = docs.select("doc_id", "text", "source").unionByName(mirrors)
+    t = F.split("text", " ")
+    gram_arr = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        corpus_df.select("doc_id", "source", F.explode(gram_arr).alias("gh"))
+        .distinct()
+    )
+    a = grams.select(
+        F.col("source").alias("src_a"), F.col("doc_id").alias("doc_a"), "gh"
+    )
+    b = grams.select(
+        F.col("source").alias("src_b"), F.col("doc_id").alias("doc_b"), "gh"
+    )
+    hits = a.join(b, "gh").filter(F.col("src_a") < F.col("src_b"))
+    return (
+        hits.groupBy("src_a", "src_b")
+        .agg(
+            F.countDistinct("doc_a", "doc_b").cast("bigint").alias("n_doc_pairs"),
+            F.countDistinct("gh").cast("bigint").alias("n_shared_grams"),
+        )
+        .orderBy("src_a", "src_b")
+    )

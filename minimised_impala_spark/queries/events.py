@@ -1677,3 +1677,100 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — the classic recency/frequency/monetary user
+# quartile grid (the segmentation every growth-analytics stack runs on
+# its event log). Recency anchors on the corpus max timestamp (one-row
+# broadcast scalar, so the query is reproducible rather than
+# wall-clock-dependent); monetary is purchase-event value, rounded to
+# 6dp BEFORE the quartile sort (repo convention — double sums must not
+# decide ranks by ulp). ntile(4) with user_id tiebreaks is
+# deterministic in both engines. 100 TB note: ntile needs a total
+# order; at scale you swap it for precomputed approx-quantile cut
+# points applied map-side (same output contract) — documented rather
+# than hidden, the ntile form is the exact-semantics reference.
+_RFM_ORACLE = """
+WITH anchor AS (SELECT max(ts) AS a FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE),
+                   CAST((SELECT a FROM anchor) AS DATE)) AS recency_days,
+         count(*) AS frequency,
+         round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0), 6) AS monetary
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM per_user
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(round(avg(frequency) * 100) AS BIGINT) AS avg_freq_e2,
+       CAST(round(sum(monetary) * 100) AS BIGINT) AS total_monetary_e2
+FROM scored
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@query("events_rfm_segmentation", oracle=_RFM_ORACLE)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("a"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("a").cast("date"), F.col("last_ts").cast("date")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency_days", "user_id")).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("frequency") * 100, 0).cast("bigint").alias("avg_freq_e2"),
+            F.round(F.sum("monetary") * 100, 0)
+            .cast("bigint")
+            .alias("total_monetary_e2"),
+        )
+        .select(
+            F.col("r_q").cast("int").alias("r_q"),
+            F.col("f_q").cast("int").alias("f_q"),
+            F.col("m_q").cast("int").alias("m_q"),
+            "n_users",
+            "avg_freq_e2",
+            "total_monetary_e2",
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

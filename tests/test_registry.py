@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 272  # r7: + theta_ops, stopword_profile, cooccurrence
+EXPECTED_QUERY_COUNT = 275  # r7: + threshold_sweep, cross_source, rfm
 
 
 def test_registry_count_is_authoritative():
