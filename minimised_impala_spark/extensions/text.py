@@ -3357,3 +3357,189 @@ def text_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("co_df").cast("bigint").alias("co_df"), "pmi6", "rnk")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf fit — per-source rank-frequency power-law slope via SQL:2003
+# regression aggregates over the log-log token census (slope ≈ −1 is
+# Zipf's law; a source whose slope collapses toward 0 is template spam,
+# one that steepens is vocabulary collapse — the distribution-shape
+# alarm next to text_heavy_hitters' point alarms). Reuses the
+# regr_slope/regr_r2 family (agg_regression_suite) over a derived
+# table, proving the aggregate composes with windows: rank comes from
+# one row_number per source over the vocabulary-bounded census.
+# 100 TB shape: token census (one shuffle, vocab-bounded output), tiny
+# rank window, one codegen'd regression agg — nothing scales with the
+# corpus but the census scan.
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+census AS (
+  SELECT source, tok, count(*) AS freq FROM toks GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, tok) AS rnk
+  FROM census
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(round(regr_slope(ln(freq), ln(rnk)) * 10000) AS BIGINT)
+         AS slope_e4,
+       CAST(round(regr_r2(ln(freq), ln(rnk)) * 10000) AS BIGINT) AS r2_e4
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    census = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = census.select(
+        "source",
+        "freq",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("freq"), F.asc("tok")))
+        .alias("rnk"),
+    )
+    lf, lr = F.log(F.col("freq").cast("double")), F.log(F.col("rnk").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.regr_slope(lf, lr) * 10000, 0).cast("bigint").alias("slope_e4"),
+            F.round(F.regr_r2(lf, lr) * 10000, 0).cast("bigint").alias("r2_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema/stat drift report — the per-COLUMN snapshot diff a dataset
+# release gate runs (null-rate and NDV drift between corpus versions;
+# the column-level companion to pipeline_corpus_diff's row-level
+# matrix, and what COMPUTE STATS feeds when v2 lands). v2 derives
+# deterministically from the fixture: every 7th text rewritten, every
+# 13th lang nulled, every 3rd n_chars shifted. One pass per snapshot
+# computes all column stats (count/nulls/NDV are codegen'd aggs over a
+# single scan), and the report is a fixed-height union — at 100 TB the
+# cost is two scans, output height = |columns|.
+_DRIFT_ORACLE = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' drifted' ELSE text END AS text,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id % 3 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+  FROM documents
+),
+s1 AS (
+  SELECT count(*) AS n,
+         count(text) AS nn_text, count(DISTINCT text) AS ndv_text,
+         count(lang) AS nn_lang, count(DISTINCT lang) AS ndv_lang,
+         count(source) AS nn_source, count(DISTINCT source) AS ndv_source,
+         count(n_chars) AS nn_nch, count(DISTINCT n_chars) AS ndv_nch
+  FROM documents
+),
+s2 AS (
+  SELECT count(*) AS n,
+         count(text) AS nn_text, count(DISTINCT text) AS ndv_text,
+         count(lang) AS nn_lang, count(DISTINCT lang) AS ndv_lang,
+         count(source) AS nn_source, count(DISTINCT source) AS ndv_source,
+         count(n_chars) AS nn_nch, count(DISTINCT n_chars) AS ndv_nch
+  FROM v2
+),
+rep AS (
+  SELECT 'text' AS col_name,
+         s1.n - s1.nn_text AS v1_nulls, s2.n - s2.nn_text AS v2_nulls,
+         s1.ndv_text AS v1_ndv, s2.ndv_text AS v2_ndv FROM s1, s2
+  UNION ALL
+  SELECT 'lang', s1.n - s1.nn_lang, s2.n - s2.nn_lang,
+         s1.ndv_lang, s2.ndv_lang FROM s1, s2
+  UNION ALL
+  SELECT 'source', s1.n - s1.nn_source, s2.n - s2.nn_source,
+         s1.ndv_source, s2.ndv_source FROM s1, s2
+  UNION ALL
+  SELECT 'n_chars', s1.n - s1.nn_nch, s2.n - s2.nn_nch,
+         s1.ndv_nch, s2.ndv_nch FROM s1, s2
+)
+SELECT col_name,
+       CAST(v1_nulls AS BIGINT) AS v1_nulls,
+       CAST(v2_nulls AS BIGINT) AS v2_nulls,
+       CAST(v1_ndv AS BIGINT) AS v1_ndv,
+       CAST(v2_ndv AS BIGINT) AS v2_ndv,
+       CAST(round((v2_ndv - v1_ndv) * 1000.0 / v1_ndv) AS BIGINT)
+         AS ndv_drift_permille,
+       (v2_nulls <> v1_nulls OR v2_ndv <> v1_ndv) AS drifted
+FROM rep
+ORDER BY col_name
+"""
+
+
+@query("pipeline_schema_drift_report", oracle=_DRIFT_ORACLE)
+def pipeline_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" drifted")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 5)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+
+    def stats(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                x
+                for c in ("text", "lang", "source", "n_chars")
+                for x in (
+                    F.count(c).alias(f"nn_{c}"),
+                    F.countDistinct(c).alias(f"ndv_{c}"),
+                )
+            ],
+        )
+
+    s1, s2 = stats(docs), stats(v2)
+    # one-row × one-row cross, then ONE explode fans out the per-column
+    # report rows — each snapshot's stats aggregate executes exactly once
+    # (a union of per-column selects would re-run the scans per branch)
+    joined = s1.crossJoin(
+        F.broadcast(s2.select(*[F.col(x).alias(f"b_{x}") for x in s2.columns]))
+    )
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("v1_nulls"),
+            (F.col("b_n") - F.col(f"b_nn_{c}")).alias("v2_nulls"),
+            F.col(f"ndv_{c}").alias("v1_ndv"),
+            F.col(f"b_ndv_{c}").alias("v2_ndv"),
+        )
+        for c in ("text", "lang", "source", "n_chars")
+    ]
+    rep = joined.select(F.explode(F.array(*per_col)).alias("r")).select("r.*")
+    return rep.select(
+        "col_name",
+        F.col("v1_nulls").cast("bigint").alias("v1_nulls"),
+        F.col("v2_nulls").cast("bigint").alias("v2_nulls"),
+        F.col("v1_ndv").cast("bigint").alias("v1_ndv"),
+        F.col("v2_ndv").cast("bigint").alias("v2_ndv"),
+        F.round((F.col("v2_ndv") - F.col("v1_ndv")) * 1000.0 / F.col("v1_ndv"), 0)
+        .cast("bigint")
+        .alias("ndv_drift_permille"),
+        (
+            (F.col("v2_nulls") != F.col("v1_nulls"))
+            | (F.col("v2_ndv") != F.col("v1_ndv"))
+        ).alias("drifted"),
+    ).orderBy("col_name")

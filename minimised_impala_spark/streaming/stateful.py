@@ -312,3 +312,183 @@ def run_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("streaming_quantile_sketch", oracle=_SKETCH_ORACLE)
 def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_quantile_sketch(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Count–min sketch in streaming state — the frequency twin of the KMV
+# quantile sketch above and the third streaming sketch: per event type,
+# a DEPTH×WIDTH counter matrix folds user occurrences cell-wise in
+# state (O(DEPTH·WIDTH) longs per key forever — the bound that survives
+# unbounded ingest), each trigger emits the running matrix, and the
+# batch-side probe reads est(u) = min_d cells[d][h_d(u)] for the top
+# exact users, reporting the CM overestimate next to the truth (the
+# audit the batch text_countmin_hitters performs against Spark's JVM
+# sketch; here the sketch lives in streaming state and the probe is
+# relational in BOTH engines, so the report value-hashes strictly).
+# Cell-wise integer adds are trivially order/batch-split-invariant —
+# pinned by tests/test_streaming_sketch.py::test_cm_fold_is_batch_invariant.
+CM_DEPTH, CM_WIDTH = 4, 64
+
+_CM_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("cells", ArrayType(LongType())),
+    ]
+)
+_CM_STATE = StructType(
+    [
+        StructField("cells", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _cm_bucket(d: int, user_id: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{d}_{user_id}".encode()).hexdigest()[:8]
+    return int(h, 16) % CM_WIDTH
+
+
+def _cm_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        cells_arr, n = state.get
+        cells = [int(c) for c in cells_arr]
+    else:
+        cells, n = [0] * (CM_DEPTH * CM_WIDTH), 0
+    for pdf in pdfs:
+        for u in pdf["user_id"]:
+            u = int(u)
+            for d in range(CM_DEPTH):
+                cells[d * CM_WIDTH + _cm_bucket(d, u)] += 1
+            n += 1
+    state.update((cells, n))
+    yield pd.DataFrame({"event_type": [etype], "n": [n], "cells": [cells]})
+
+
+_CM_HASH_SQL = (
+    "('0x' || substr(md5(CAST({d} AS VARCHAR) || '_' "
+    "|| CAST({u} AS VARCHAR)), 1, 8))::BIGINT % 64"
+)
+
+_CM_ORACLE = f"""
+WITH ex AS (
+  SELECT event_type, user_id, count(*) AS exact_n
+  FROM events GROUP BY event_type, user_id
+),
+top5 AS (
+  SELECT event_type, user_id, exact_n, rnk FROM (
+    SELECT event_type, user_id, exact_n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY exact_n DESC, user_id) AS rnk
+    FROM ex) t WHERE rnk <= 5
+),
+ds AS (SELECT unnest(range({CM_DEPTH})) AS d),
+buckets AS (
+  SELECT e.event_type, d.d,
+         {_CM_HASH_SQL.format(d="d.d", u="e.user_id")} AS b,
+         count(*) AS c
+  FROM events e CROSS JOIN ds d
+  GROUP BY e.event_type, d.d, b
+),
+probe AS (
+  SELECT t.event_type, t.user_id, t.exact_n, t.rnk, min(bk.c) AS est_n
+  FROM top5 t CROSS JOIN ds d
+  JOIN buckets bk ON bk.event_type = t.event_type AND bk.d = d.d
+    AND bk.b = {_CM_HASH_SQL.format(d="d.d", u="t.user_id")}
+  GROUP BY t.event_type, t.user_id, t.exact_n, t.rnk
+)
+SELECT event_type, user_id,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overshoot,
+       CAST(rnk AS INT) AS rnk
+FROM probe
+ORDER BY event_type, rnk
+"""
+
+
+@query("streaming_cm_error_report", oracle=_CM_ORACLE)
+def streaming_cm_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    sk = events.groupBy("event_type").applyInPandasWithState(
+        _cm_group,
+        outputStructType=_CM_OUT,
+        stateStructType=_CM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"cm_out_{uuid.uuid4().hex[:8]}"
+    q = sk.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = W.partitionBy("event_type").orderBy(F.desc("n"))
+    final = (
+        spark.table(name)
+        .withColumn("rnk_", F.row_number().over(w))
+        .filter(F.col("rnk_") == 1)
+        .select("event_type", "cells")
+    )
+    # batch-side probe: top-5 exact users per type against the state matrix
+    from minimised_impala_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    top5 = (
+        ex.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.desc("exact_n"), F.asc("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+    def h(d: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(d)), F.lit("_"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CM_WIDTH
+        )
+
+    est = F.least(
+        *[
+            F.element_at(F.col("cells"), (F.lit(d * CM_WIDTH) + h(d) + 1).cast("int"))
+            for d in range(CM_DEPTH)
+        ]
+    )
+    return (
+        top5.join(F.broadcast(final), "event_type")
+        .select(
+            "event_type",
+            "user_id",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            est.cast("bigint").alias("est_n"),
+            (est - F.col("exact_n")).cast("bigint").alias("overshoot"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("event_type", "rnk")
+    )

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 275  # r7: + threshold_sweep, cross_source, rfm
+EXPECTED_QUERY_COUNT = 278  # r7: + zipf_fit, schema_drift, streaming_cm
 
 
 def test_registry_count_is_authoritative():

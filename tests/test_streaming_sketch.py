@@ -93,3 +93,31 @@ def test_sketch_small_group_keeps_everything():
     assert n == 5 and len(prios) == 5
     sample = sorted(vals)
     assert out["est_p50_cents"].iloc[0] == sample[(5 - 1) // 2]
+
+
+def _cm_run(batches):
+    from minimised_impala_spark.streaming.stateful import _cm_group
+
+    st = _FakeState()
+    last = None
+    for rows in batches:
+        if not rows:
+            continue
+        for out in _cm_group(("click",), [pd.DataFrame({"user_id": rows})], st):
+            last = out
+    return st._v, last
+
+
+@pytest.mark.parametrize("n_batches", [2, 3, 7])
+@pytest.mark.parametrize("seed", [1, 99])
+def test_cm_fold_is_batch_invariant(n_batches, seed):
+    rng = random.Random(seed)
+    rows = [rng.randrange(0, 5000) for _ in range(400)]
+    one_state, one_out = _cm_run([rows])
+    cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+    batches = [
+        rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])
+    ]
+    split_state, split_out = _cm_run(batches)
+    assert one_state == split_state
+    assert one_out.equals(split_out)
