@@ -1818,6 +1818,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = corpus_df.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
     vb = corpus_df.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
+    # localCheckpoint: the scored candidates feed BOTH the pair-count and
+    # affected-doc aggregates below — without it the pandas-UDF rescore
+    # runs twice (round-protocol seam; measured 2x on the sf1 smoke)
     cand = (
         cand_ids.join(va, "left_id")
         .join(vb, "right_id")
@@ -1827,6 +1830,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(VK.cosine_pair("ea", "eb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= _SWEEP_TAUS[0])
+        .localCheckpoint(eager=False)
     )
     thr = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
     sel = F.broadcast(thr).join(cand, F.col("cosine") >= F.col("tau"), "left")

@@ -1774,3 +1774,189 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV — the signup-cohort × age-week retention/revenue matrix
+# (the growth-analytics staple next to events_retention's fixed-window
+# version): cohort = user's first signup week, activity = purchase
+# events bucketed by whole weeks since cohort, per cell active-user
+# counts, retention ‰ and CUMULATIVE revenue per cohort user (windowed
+# prefix sum over the aggregated matrix — windows composing over aggs).
+# floor((days)/7.0) is used in BOTH engines (integer division would
+# truncate toward zero and disagree on pre-signup purchases). 100 TB
+# shape: one agg to per-user cohorts (broadcastable — users ≪ events),
+# one equi-join back to purchases, one matrix agg, then a window over
+# the tiny (cohorts × offsets) frame.
+_COHORT_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+cohort_size AS (SELECT cw, count(*) AS n_users FROM cohorts GROUP BY cw),
+purch AS (
+  SELECT c.cw,
+         CAST(floor(date_diff('day', c.cw, CAST(e.ts AS DATE)) / 7.0)
+              AS BIGINT) AS wk,
+         e.user_id, e.value
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+cell AS (
+  SELECT cw, wk, count(DISTINCT user_id) AS n_active,
+         sum(value) AS revenue
+  FROM purch GROUP BY cw, wk
+),
+mat AS (
+  SELECT s.cw, c.wk, c.n_active, s.n_users,
+         CAST(round(c.n_active * 1000.0 / s.n_users) AS BIGINT)
+           AS retention_permille,
+         sum(c.revenue) OVER (PARTITION BY s.cw ORDER BY c.wk) AS cum_rev
+  FROM cell c JOIN cohort_size s ON s.cw = c.cw
+)
+SELECT cw, wk, CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_users AS BIGINT) AS n_users, retention_permille,
+       CAST(round(cum_rev * 100 / n_users) AS BIGINT) AS cum_ltv_e2
+FROM mat
+ORDER BY cw, wk
+"""
+
+
+@query("events_cohort_ltv", oracle=_COHORT_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
+    )
+    cohort_size = cohorts.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cw",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cw")) / 7.0
+            ).cast("bigint").alias("wk"),
+            "user_id",
+            "value",
+        )
+    )
+    cell = purch.groupBy("cw", "wk").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.sum("value").alias("revenue"),
+    )
+    w_cum = W.partitionBy("cw").orderBy("wk")
+    mat = cell.join(F.broadcast(cohort_size), "cw").select(
+        "cw",
+        "wk",
+        "n_active",
+        "n_users",
+        F.round(F.col("n_active") * 1000.0 / F.col("n_users"), 0)
+        .cast("bigint")
+        .alias("retention_permille"),
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+    )
+    return mat.select(
+        "cw",
+        "wk",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "retention_permille",
+        F.round(F.col("cum_rev") * 100 / F.col("n_users"), 0)
+        .cast("bigint")
+        .alias("cum_ltv_e2"),
+    ).orderBy("cw", "wk")
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (linear model) — split each purchase's value
+# equally across the DISTINCT touch types the user generated in the 7
+# days before it, purchases with no prior touch bucketed as '(direct)'
+# — the batch twin of streaming_attribution_join's last-touch join and
+# the canonical marketing-analytics allocation query. 100 TB shape: a
+# per-user time-band join (equi on user_id, band predicate on ts —
+# exactly events_range_join's bucketed shape when user histories grow),
+# one distinct-type count per purchase, and a |touch types|-row final
+# agg. Revenue shares are exact value/n splits summed then e2-scaled.
+_MTA_ORACLE = """
+WITH purch AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.event_id, t.event_type
+  FROM purch p JOIN events t
+    ON t.user_id = p.user_id
+   AND t.event_type <> 'purchase'
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL 7 DAY
+  GROUP BY p.event_id, t.event_type
+),
+fan AS (
+  SELECT p.event_id, p.value,
+         coalesce(t.event_type, '(direct)') AS channel,
+         count(t.event_type) OVER (PARTITION BY p.event_id) AS n_ch
+  FROM purch p LEFT JOIN touch t ON t.event_id = p.event_id
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(round(sum(CAST(round(value * 100000 / greatest(n_ch, 1))
+                           AS BIGINT)) / 1000.0) AS BIGINT)
+         AS attributed_e2
+FROM fan
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@query("events_multitouch_attribution", oracle=_MTA_ORACLE)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    touch = (
+        purch.join(
+            t,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_ts") < F.col("ts"))
+            & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("event_id", "channel")
+        .distinct()
+    )
+    fan = purch.join(touch, "event_id", "left").select(
+        "event_id",
+        "value",
+        F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"),
+        F.count("channel").over(W.partitionBy("event_id")).alias("n_ch"),
+    )
+    return (
+        fan.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            # per-row integer micro-cents BEFORE the sum: the share sum
+            # is then exact integer arithmetic, immune to accumulation-
+            # order ulp flipping the final cent (bit us at sf0.001)
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("value") * 100000 / F.greatest(F.col("n_ch"), F.lit(1)),
+                        0,
+                    ).cast("bigint")
+                )
+                / 1000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("attributed_e2"),
+        )
+        .orderBy("channel")
+    )

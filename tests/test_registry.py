@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 278  # r7: + zipf_fit, schema_drift, streaming_cm
+EXPECTED_QUERY_COUNT = 280  # r7: + cohort_ltv, multitouch_attribution
 
 
 def test_registry_count_is_authoritative():
