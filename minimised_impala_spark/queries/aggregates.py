@@ -1404,3 +1404,59 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("et_a", "et_b")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch union report — Spark's Datasketches HLL surface
+# (hll_sketch_agg / hll_union / hll_sketch_estimate, the engine-native
+# successor of the reference's ndv() HLL at aggregate-functions.h:126)
+# exercised across its MERGE path: per-type user sketches unioned
+# pairwise, the union estimate checked against the exact distinct
+# union. HLL internals are engine-specific, so (same contract as
+# agg_kll_quantiles) the oracle pins the GUARANTEE: lgConfigK=12 gives
+# ~1.6% standard error; the ±5% gate is 3× that, so a correct
+# merge/serialization cannot fail while a broken one will. The exact
+# column is the verification harness; at 100 TB only sketches move
+# (constant bytes per type, one narrow shuffle).
+_HLL_UNION_ORACLE = """
+WITH ex AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         count(DISTINCT u.user_id) AS exact_union
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+  JOIN events u ON u.event_type IN (a.event_type, b.event_type)
+  GROUP BY a.event_type, b.event_type
+)
+SELECT et_a, et_b, CAST(exact_union AS BIGINT) AS exact_union,
+       TRUE AS within_5pct
+FROM ex
+ORDER BY et_a, et_b
+"""
+
+
+@query("agg_hll_union_report", oracle=_HLL_UNION_ORACLE)
+def agg_hll_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+        F.collect_set("user_id").alias("users"),  # exact harness, not the op
+    )
+    a = sk.select(
+        F.col("event_type").alias("et_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("users").alias("users_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("et_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("users").alias("users_b"),
+    )
+    pairs = a.join(b, F.col("et_a") < F.col("et_b"))
+    est = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    exact = F.size(F.array_union("users_a", "users_b")).cast("bigint")
+    return pairs.select(
+        "et_a",
+        "et_b",
+        exact.alias("exact_union"),
+        (F.abs(est - exact) <= exact * 0.05).alias("within_5pct"),
+    ).orderBy("et_a", "et_b")

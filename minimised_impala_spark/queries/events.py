@@ -1960,3 +1960,164 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage — gaps-and-islands over DURATIONS: each event
+# occupies [ts, ts + value seconds]; per user, overlapping intervals
+# merge into islands (new island when a start clears the running max
+# end of every earlier interval — one lag-of-running-max window) and
+# the report is per-user covered seconds vs span. The utilization /
+# uptime / billable-time query class, complementing events_scd2's
+# point-in-time intervals and events_sessionize's gap-only islands.
+# All integer epoch-seconds arithmetic — hash-exact. 100 TB shape: one
+# user-keyed window (sessionize's shuffle), then pure aggs.
+_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + greatest(CAST(round(value) AS BIGINT), 0) AS e
+  FROM events WHERE user_id < 200
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM marked
+),
+per_island AS (
+  SELECT user_id, island_id,
+         max(e) - min(s) AS covered_s
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(covered_s) AS BIGINT) AS covered_s
+FROM per_island
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_interval_coverage", oracle=_COVERAGE_ORACLE)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(F.round(F.col("value"), 0).cast("bigint"), F.lit(0))
+        ).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("covered_s")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum("covered_s").cast("bigint").alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection — the level-shift detector next to
+# events_burst_detection's spike detector (z-score finds one bad hour;
+# CUSUM finds WHERE the mean moved): per type, the running sum of
+# hourly-count deviations from the series mean peaks exactly at the
+# changepoint. One hourly pre-agg, one scalar mean joined back
+# (broadcast), one prefix-sum window over the bounded series, argmax
+# by |cusum| with 6dp pre-rank rounding. Time-bounded state at any
+# corpus size — same safety argument as events_seasonal_baseline.
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+m AS (
+  SELECT event_type, avg(n) AS mu, count(*) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+cs AS (
+  SELECT h.event_type, h.h, m.n_hours,
+         round(sum(h.n - m.mu) OVER (PARTITION BY h.event_type ORDER BY h.h
+                                     ROWS UNBOUNDED PRECEDING), 6) AS cusum6
+  FROM hourly h JOIN m ON m.event_type = h.event_type
+),
+ranked AS (
+  SELECT event_type, h, n_hours, cusum6,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum6) DESC, h) AS rnk
+  FROM cs
+)
+SELECT event_type, h AS change_hour,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(round(cusum6 * 1000) AS BIGINT) AS peak_cusum_e3
+FROM ranked WHERE rnk = 1
+ORDER BY event_type
+"""
+
+
+@query("events_changepoint_cusum", oracle=_CUSUM_ORACLE)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.count(F.lit(1)).alias("n_hours")
+    )
+    w_run = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cs = hourly.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        F.round(F.sum(F.col("n") - F.col("mu")).over(w_run), 6).alias("cusum6"),
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("cusum6"))), F.asc("h"))
+    return (
+        cs.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.round(F.col("cusum6") * 1000, 0).cast("bigint").alias("peak_cusum_e3"),
+        )
+        .orderBy("event_type")
+    )

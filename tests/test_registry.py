@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 280  # r7: + cohort_ltv, multitouch_attribution
+EXPECTED_QUERY_COUNT = 283  # r7: + hll_union, interval_coverage, cusum
 
 
 def test_registry_count_is_authoritative():
