@@ -1460,3 +1460,81 @@ def agg_hll_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_union"),
         (F.abs(est - exact) <= exact * 0.05).alias("within_5pct"),
     ).orderBy("et_a", "et_b")
+
+
+# --------------------------------------------------------------------------
+# Weighted percentile — the quantity-weighted median/quartiles the
+# plain percentile family (agg_percentile_exact, appx_median) cannot
+# express: order the group by value, accumulate weight, and report the
+# first value whose cumulative weight clears p·W (the standard weighted
+# order statistic — here l_extendedprice weighted by l_quantity, "the
+# price at which half the VOLUME trades"). One window for the running
+# weight; the pick is the exact crossing row (prev cum < p·W ≤ cum) —
+# a pure filter, so nothing downstream of the window carries more than
+# |groups|·|fracs| rows. Integer weights make the cumulative sums
+# exact; the pick is hash-exact. 100 TB: the per-group
+# sort is the same shuffle the exact percentile family already pays;
+# the scale substitute is the weighted KLL variant fed by
+# agg_kll_accuracy_report's audit.
+_WPCT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS g, l_extendedprice AS x,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+tot AS (SELECT g, sum(wt) AS total_w FROM w GROUP BY g),
+run AS (
+  SELECT g, x, wt,
+         sum(wt) OVER (PARTITION BY g ORDER BY x, wt
+                       ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM w
+),
+fracs AS (SELECT * FROM (VALUES ('p25', 0.25), ('p50', 0.50),
+                                ('p75', 0.75)) t(plabel, frac)),
+hit AS (
+  -- exactly the crossing row per (group, frac): prev cumulative weight
+  -- below the target, current at-or-above — a pure filter, no rank and
+  -- no join blow-up past it
+  SELECT r.g, f.plabel, r.x, t.total_w
+  FROM run r
+  JOIN tot t ON t.g = r.g
+  JOIN fracs f ON r.cum_w >= f.frac * t.total_w
+              AND (r.cum_w - r.wt) < f.frac * t.total_w
+)
+SELECT g AS l_returnflag, plabel,
+       CAST(total_w AS BIGINT) AS total_w,
+       CAST(round(x * 100) AS BIGINT) AS wpct_e2
+FROM hit
+ORDER BY l_returnflag, plabel
+"""
+
+
+@query("agg_weighted_percentile", oracle=_WPCT_ORACLE)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    tot = w.groupBy("g").agg(F.sum("wt").alias("total_w"))
+    w_run = (
+        W.partitionBy("g").orderBy("x", "wt").rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = w.select("g", "x", "wt", F.sum("wt").over(w_run).alias("cum_w"))
+    fracs = spark.createDataFrame(
+        [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)], "plabel string, frac double"
+    )
+    target = F.col("frac") * F.col("total_w")
+    hit = run.join(F.broadcast(tot), "g").join(
+        F.broadcast(fracs),
+        (F.col("cum_w") >= target) & ((F.col("cum_w") - F.col("wt")) < target),
+    )
+    return hit.select(
+        F.col("g").alias("l_returnflag"),
+        "plabel",
+        F.col("total_w").cast("bigint").alias("total_w"),
+        F.round(F.col("x") * 100, 0).cast("bigint").alias("wpct_e2"),
+    ).orderBy("l_returnflag", "plabel")

@@ -2121,3 +2121,274 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan–Meier survival — the retention curve done right (the naive
+# events_retention matrix treats still-active users as churned; KM
+# CENSORS them): per user, lifetime = days between first and last
+# event, censored when the user was still active in the final two
+# days of the corpus. At each day, S(w) multiplies (1 − d_w / n_w)
+# with n_w = users still at risk — computed as total minus the prefix
+# sum of prior exits (one window over the ≤|days| aggregated rows).
+# The product runs as exp(Σ ln ·) over the ordered prefix — identical
+# evaluation order in both engines, e6-scaled output. 100 TB shape:
+# one per-user agg (events → users), one |days|-row frame after that;
+# nothing past the first agg scales with volume.
+_KM_ORACLE = """
+WITH bounds AS (SELECT max(ts) AS corpus_end FROM events),
+lives AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE),
+                        CAST(max(ts) AS DATE)) AS BIGINT) AS lw,
+         max(ts) > (SELECT corpus_end FROM bounds) - INTERVAL 2 DAY
+           AS censored
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*) AS n_total FROM lives),
+wk AS (
+  SELECT lw AS w,
+         count(*) FILTER (WHERE NOT censored) AS d,
+         count(*) FILTER (WHERE censored) AS c
+  FROM lives GROUP BY lw
+),
+risk AS (
+  SELECT w, d, c,
+         (SELECT n_total FROM tot)
+           - coalesce(sum(d + c) OVER (ORDER BY w
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_at_risk
+  FROM wk
+),
+km AS (
+  SELECT w, d, c, n_at_risk,
+         exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+             OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)) AS s
+  FROM risk WHERE n_at_risk > 0
+)
+SELECT CAST(w AS BIGINT) AS w,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(round(s * 1000000) AS BIGINT) AS survival_e6
+FROM km
+ORDER BY w
+"""
+
+
+@query("events_survival_km", oracle=_KM_ORACLE)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("corpus_end"))
+    lives = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(
+                F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+            )
+            .cast("bigint")
+            .alias("lw"),
+            (
+                F.col("last_ts") > F.col("corpus_end") - F.expr("INTERVAL 2 DAY")
+            ).alias("censored"),
+        )
+    )
+    tot = lives.agg(F.count(F.lit(1)).alias("n_total"))
+    wk = lives.groupBy(F.col("lw").alias("w")).agg(
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count_if(F.col("censored")).alias("c"),
+    )
+    w_prev = W.orderBy("w").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("w").rowsBetween(W.unboundedPreceding, 0)
+    risk = wk.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    km = risk.filter(F.col("n_at_risk") > 0).select(
+        "w",
+        "d",
+        "c",
+        "n_at_risk",
+        F.exp(
+            F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))).over(
+                w_run
+            )
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("w").cast("bigint").alias("w"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_deaths"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(F.col("s") * 1000000, 0).cast("bigint").alias("survival_e6"),
+    ).orderBy("w")
+
+
+# --------------------------------------------------------------------------
+# A/B test report — the two-proportion z-test every experimentation
+# readout runs: users split into arms by a deterministic hash (stand-in
+# for the assignment column a real log carries), per event type the
+# conversion rate (users with ≥1 event / arm size), pooled-variance z
+# statistic, and the |z| ≥ 1.96 significance flag. All counts are
+# exact; z is e3-scaled after a 6dp round. 100 TB shape: two user-level
+# aggs and a |types|-row report — the scan dominates, as it should.
+_AB_ORACLE = """
+WITH users AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+arm_n AS (SELECT arm, count(*) AS n FROM users GROUP BY arm),
+conv AS (
+  SELECT e.event_type, u.arm, count(DISTINCT e.user_id) AS x
+  FROM events e JOIN users u ON u.user_id = e.user_id
+  WHERE e.value > 100
+  GROUP BY e.event_type, u.arm
+),
+wide AS (
+  SELECT c.event_type,
+         max(CASE WHEN c.arm = 'A' THEN c.x END) AS xa,
+         max(CASE WHEN c.arm = 'B' THEN c.x END) AS xb,
+         max(CASE WHEN a.arm = 'A' THEN a.n END) AS na,
+         max(CASE WHEN a.arm = 'B' THEN a.n END) AS nb
+  FROM conv c JOIN arm_n a ON a.arm = c.arm
+  GROUP BY c.event_type
+),
+z AS (
+  SELECT event_type, xa, xb, na, nb,
+         round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+               / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                      * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb)), 6) AS z6
+  FROM wide
+  WHERE xa + xb > 0 AND xa + xb < na + nb
+)
+SELECT event_type,
+       CAST(xa AS BIGINT) AS conv_a, CAST(na AS BIGINT) AS n_a,
+       CAST(xb AS BIGINT) AS conv_b, CAST(nb AS BIGINT) AS n_b,
+       CAST(round(z6 * 1000) AS BIGINT) AS z_e3,
+       abs(z6) >= 1.96 AS significant
+FROM z
+ORDER BY event_type
+"""
+
+
+@query("events_ab_test_report", oracle=_AB_ORACLE)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+        )
+    )
+    arm_n = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    conv = (
+        ev.filter(F.col("value") > 100)
+        .join(F.broadcast(users), "user_id")
+        .groupBy("event_type", "arm")
+        .agg(F.countDistinct("user_id").alias("x"))
+    )
+    wide = (
+        conv.join(F.broadcast(arm_n), "arm")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("xa"),
+            F.max(F.when(F.col("arm") == "B", F.col("x"))).alias("xb"),
+            F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+            F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        )
+    )
+    p_pool = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    z6 = F.round(
+        (
+            F.col("xa").cast("double") / F.col("na")
+            - F.col("xb").cast("double") / F.col("nb")
+        )
+        / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+        6,
+    )
+    return (
+        wide.filter(
+            ((F.col("xa") + F.col("xb")) > 0)
+            & ((F.col("xa") + F.col("xb")) < (F.col("na") + F.col("nb")))
+        )
+        .select(
+            "event_type",
+            F.col("xa").cast("bigint").alias("conv_a"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("xb").cast("bigint").alias("conv_b"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(z6 * 1000, 0).cast("bigint").alias("z_e3"),
+            (F.abs(z6) >= 1.96).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag-k autocorrelation — the seasonality DETECTOR feeding
+# events_seasonal_baseline's lag-24 FORECAST (is there a daily cycle to
+# exploit at all?): per type, Pearson correlation between the hourly
+# series and its 24-hour lag via corr() over one lag window — the
+# SQL:2003 binary aggregate composing with analytic lag. Series is
+# time-bounded; everything past the hourly pre-agg is tiny.
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS n_lag
+  FROM hourly
+)
+SELECT event_type,
+       CAST(count(n_lag) AS BIGINT) AS n_pairs,
+       CAST(round(corr(n, n_lag) * 10000) AS BIGINT) AS autocorr24_e4
+FROM lagged
+WHERE n_lag IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_autocorrelation", oracle=_AUTOCORR_ORACLE)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "n", F.lag("n", 24).over(w).alias("n_lag")
+    ).filter(F.col("n_lag").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("n_lag").cast("bigint").alias("n_pairs"),
+            F.round(F.corr("n", "n_lag") * 10000, 0)
+            .cast("bigint")
+            .alias("autocorr24_e4"),
+        )
+        .orderBy("event_type")
+    )

@@ -498,3 +498,49 @@ def test_triangle_count_cell_cap_is_group_limit(spark, sf_dir):
     plan = _physical(fresh("events_triangle_count")(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_search_is_shuffle_free_before_sort(spark, sf_dir):
+    """sim_range_search: queries broadcast (BroadcastNestedLoopJoin on
+    the not-equal condition) and the tau predicate applies map-side —
+    no Window operator and no aggregate Exchange before the final
+    presentation sort."""
+    plan = _physical(fresh("sim_range_search")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan.replace("WindowGroupLimit", "")
+    body = plan.split("Sort")[0]
+    assert "Exchange hashpartitioning" not in body, body[:1500]
+
+
+def test_stopword_profile_single_shuffle(spark, sf_dir):
+    """text_stopword_profile: the token/stopword HOF counts are per-row
+    expressions, so the only exchange in the plan is the final
+    (lang, source) aggregate's — one shuffle total (plus the sort)."""
+    plan = _physical(fresh("text_stopword_profile")(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_markov_top3_is_window_group_limit(spark, sf_dir):
+    """events_markov_next_event: the per-state top-3 rank must be a
+    WindowGroupLimit over the |types|²-bounded transition counts."""
+    plan = _physical(fresh("events_markov_next_event")(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_cohort_ltv_broadcasts_cohort_dim(spark, sf_dir):
+    """events_cohort_ltv: the per-user cohort table and the cohort-size
+    table are user/cohort-bounded — both joins must broadcast, never
+    shuffle the purchase stream against them."""
+    plan = _physical(fresh("events_cohort_ltv")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_kll_report_two_stage_bottom_k(spark, sf_dir):
+    """agg_kll_accuracy_report: the bottom-k sample must run as TWO
+    window stages (per-(group, salt) then global) so no task sorts a
+    whole group, and the 12-row estimate frame must broadcast back for
+    the true-rank pass."""
+    plan = _physical(fresh("agg_kll_accuracy_report")(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 0  # informational
+    assert plan.count("Window") >= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

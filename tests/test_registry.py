@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 283  # r7: + hll_union, interval_coverage, cusum
+EXPECTED_QUERY_COUNT = 287  # r7: + survival_km, weighted_pct, ab_test, autocorr
 
 
 def test_registry_count_is_authoritative():
