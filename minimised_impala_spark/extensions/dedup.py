@@ -1944,3 +1944,72 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization-aware exact dedup — dedup_exact catches byte-identical
+# copies; real republication mangles case, whitespace, and punctuation
+# first. Canonicalize (lowercase → strip non-alphanumerics → collapse
+# runs of spaces → trim), THEN hash: the canonicalize step is a pure
+# codegen'd per-row map, so the op costs exactly what dedup_exact costs
+# — one shuffle on the 16-byte digest, raw text never shuffles. The
+# fixture plants mangled twins (every 9th doc uppercased with doubled
+# spaces and trailing bangs) that only the normalized hash unifies;
+# n_variants > 1 proves the group crossed raw-text boundaries.
+_NORM_DEDUP_ORACLE = """
+WITH noisy AS (
+  SELECT doc_id + 300000 AS doc_id,
+         upper(replace(text, ' ', '  ')) || ' !!!' AS text
+  FROM documents WHERE doc_id % 9 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM noisy
+),
+canon AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT fp,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM canon
+GROUP BY fp
+HAVING count(*) > 1
+ORDER BY fp
+"""
+
+
+@query("dedup_normalized_exact", oracle=_NORM_DEDUP_ORACLE)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))), F.lit(" !!!")
+        ).alias("text"),
+    )
+    corpus_df = docs.select("doc_id", "text").unionByName(noisy)
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        corpus_df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.countDistinct("text").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )

@@ -2392,3 +2392,55 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Velocity flags — trailing time-INTERVAL window frames (RANGE BETWEEN
+# INTERVAL ... PRECEDING), the calendar-offset analytic the numeric
+# RANGE frames in window_range_numeric can't express and the fraud /
+# rate-limit primitive ("more than K events in any trailing 24 h").
+# Both engines evaluate the identical frame spec over the timestamp
+# order. Peers (equal ts) are frame-identical in both engines by RANGE
+# semantics. 100 TB shape: user-keyed window (sessionize's shuffle),
+# integer counts, flag filter — the report is flagged users only.
+_VELOCITY_ORACLE = """
+WITH vel AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                        AND CURRENT ROW) AS n_24h
+  FROM events
+)
+SELECT user_id,
+       CAST(max(n_24h) AS BIGINT) AS peak_24h,
+       CAST(count(*) FILTER (WHERE n_24h >= 6) AS BIGINT) AS n_flagged
+FROM vel
+GROUP BY user_id
+HAVING max(n_24h) >= 6
+ORDER BY user_id
+"""
+
+
+@query("events_velocity_flags", oracle=_VELOCITY_ORACLE)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.tables import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+WITH vel AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                        AND CURRENT ROW) AS n_24h
+  FROM events
+)
+SELECT user_id,
+       CAST(max(n_24h) AS BIGINT) AS peak_24h,
+       CAST(count(CASE WHEN n_24h >= 6 THEN 1 END) AS BIGINT) AS n_flagged
+FROM vel
+GROUP BY user_id
+HAVING max(n_24h) >= 6
+ORDER BY user_id
+"""
+    )

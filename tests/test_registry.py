@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 287  # r7: + survival_km, weighted_pct, ab_test, autocorr
+EXPECTED_QUERY_COUNT = 289  # r7: + velocity_flags, normalized_exact
 
 
 def test_registry_count_is_authoritative():
