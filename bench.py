@@ -49,6 +49,11 @@ EXTRA = [
     "text_domain_cap",
     "text_tfidf_keywords",
     "events_triangle_count",
+    # round-7 additions — one per new family: sketch-audit, dedup audit,
+    # two-phase weighted order statistic
+    "agg_kll_accuracy_report",
+    "dedup_threshold_sweep",
+    "agg_weighted_percentile",
 ]
 
 

@@ -242,3 +242,27 @@ def test_qualify_select_item_literal_with_parens_and_commas():
     )
     assert out.strip().startswith("SELECT p, q, rn FROM (")
     assert "'('" in out and "'a,b'" in out
+
+
+def test_qualify_rejects_window_clause_after_predicate():
+    """DuckDB's grammar puts the named-WINDOW clause BEFORE QUALIFY; a
+    clause after the predicate used to be silently absorbed into the
+    rewritten filter expression, emitting unparseable SQL. The rewriter
+    must reject it loudly instead."""
+    import pytest
+
+    from minimised_impala_spark.dialect import translate
+
+    with pytest.raises(ValueError, match="WINDOW clause"):
+        translate(
+            "SELECT o_orderkey, row_number() OVER w AS rn FROM orders "
+            "QUALIFY rn <= 2 "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"
+        )
+    # canonical order passes through the rewrite
+    out = translate(
+        "SELECT o_orderkey, row_number() OVER w AS rn FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) "
+        "QUALIFY rn <= 2"
+    )
+    assert "__qualify__" in out and "WINDOW w AS" in out
