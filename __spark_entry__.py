@@ -58,6 +58,7 @@ _PRIORITY = [
     "events_survival_km", "agg_weighted_percentile",
     "events_ab_test_report", "events_autocorrelation",
     "events_velocity_flags", "dedup_normalized_exact",
+    "text_code_detection", "events_bot_regularity",
     # --- regression rotation: oldest green rows (last driver row r1) ---
     "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",

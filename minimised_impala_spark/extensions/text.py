@@ -3543,3 +3543,86 @@ def pipeline_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("v2_ndv") != F.col("v1_ndv"))
         ).alias("drifted"),
     ).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection gate — the feature-threshold filter every
+# pretraining pipeline runs to route code out of the prose corpus (or
+# keep it, weighted): symbol density, brace/semicolon count, and
+# indented-line share, combined into a rule gate. All features are
+# codegen'd regexp/length expressions — a pure per-row map, zero
+# shuffle before the (source, verdict) rollup. The fixture is all
+# prose, so code-like docs are PLANTED (every 11th doc gets a C-style
+# snippet appended) and the gate must flag exactly those — planted
+# positives + natural negatives give the oracle real discriminative
+# work at both scales.
+_CODE_SNIPPET = "if (x > 0) { return compute(x); } else { y[i] = 0; };"
+_CODE_DETECT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' {_CODE_SNIPPET}' ELSE text END AS text
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[{{}};()=\\[\\]<>]', '', 'g'))
+           AS n_sym
+  FROM corpus
+),
+gated AS (
+  SELECT doc_id, source, n_chars, n_sym,
+         n_sym * 1000 >= n_chars * 20 AS looks_code
+  FROM feats
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(looks_code) AS BIGINT) AS n_code,
+       CAST(count_if(looks_code AND doc_id % 11 = 0) AS BIGINT)
+         AS n_true_pos,
+       CAST(count_if(looks_code AND doc_id % 11 <> 0) AS BIGINT)
+         AS n_false_pos
+FROM gated
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_code_detection", oracle=_CODE_DETECT_ORACLE)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_df = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CODE_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[{};()=\[\]<>]", "")
+    )
+    gated = corpus_df.select(
+        "doc_id",
+        "source",
+        (n_sym * 1000 >= n_chars * 20).alias("looks_code"),
+    )
+    planted = F.col("doc_id") % 11 == 0
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("looks_code")).cast("bigint").alias("n_code"),
+            F.count_if(F.col("looks_code") & planted)
+            .cast("bigint")
+            .alias("n_true_pos"),
+            F.count_if(F.col("looks_code") & ~planted)
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )

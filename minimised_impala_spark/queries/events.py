@@ -2444,3 +2444,75 @@ HAVING max(n_24h) >= 6
 ORDER BY user_id
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Bot-likeness via inter-event regularity — human traffic has noisy
+# gaps; automation fires on a clock, so the coefficient of variation
+# (σ/μ) of a user's inter-event seconds is the classic first-pass bot
+# signal. One lag() window for the gaps, one per-user agg, and a
+# deterministic top-10 most-regular panel (CV rounded to 6dp BEFORE
+# the rank). Integer epoch-second gaps keep μ/σ identical in both
+# engines up to the rounding convention. 100 TB shape: the sessionize
+# shuffle, then user-bounded aggs.
+_BOT_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+stats AS (
+  SELECT user_id,
+         count(gap_s) AS n_gaps,
+         round(avg(gap_s), 6) AS mu,
+         round(stddev_samp(gap_s) / avg(gap_s), 6) AS cv6
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id
+  HAVING count(gap_s) >= 20 AND avg(gap_s) > 0
+),
+ranked AS (
+  SELECT user_id, n_gaps, mu, cv6,
+         row_number() OVER (ORDER BY cv6, user_id) AS rnk
+  FROM stats
+)
+SELECT CAST(rnk AS INT) AS rnk, user_id,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(round(mu) AS BIGINT) AS mean_gap_s,
+       CAST(round(cv6 * 1000) AS BIGINT) AS cv_e3
+FROM ranked WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
+@query("events_bot_regularity", oracle=_BOT_ORACLE)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    gaps = ev.select(
+        "user_id", (es - F.lag(es).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mu"),
+            F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias("cv6"),
+        )
+        .filter((F.col("n_gaps") >= 20) & (F.col("mu") > 0))
+    )
+    w_rank = W.orderBy("cv6", "user_id")
+    return (
+        stats.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "rnk",
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round("mu", 0).cast("bigint").alias("mean_gap_s"),
+            F.round(F.col("cv6") * 1000, 0).cast("bigint").alias("cv_e3"),
+        )
+        .orderBy("rnk")
+    )

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 289  # r7: + velocity_flags, normalized_exact
+EXPECTED_QUERY_COUNT = 291  # r7: + code_detection, bot_regularity
 
 
 def test_registry_count_is_authoritative():
