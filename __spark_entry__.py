@@ -35,12 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Cumulatively r1∪…∪r6 drove 264 distinct queries, all green at their
 # latest check; exactly ONE registered name has never had a driver row
 # (events_link_prediction — registered in the r6 end-of-round snapshot
-# after the driver run). Round 7 leads with that orphan, then the 24
+# after the driver run). Round 7 leads with that orphan, then the 26
 # round-7 additions, then regression rotation onto the OLDEST green
-# rows. The cap cuts 25 names into the r1 block (tpch_q9–q22 and 11
-# TPC-DS rows rotate; tpcds_q51/q6/q8, the 6 join modes and 4 agg
-# basics — still r1-green — are the r8 rotation debt, listed next in
-# order). Names past the cap keep their earlier green rows.
+# rows. The cap cuts 23 names into the r1 block (tpch_q9–q22 and 9
+# TPC-DS rows rotate; the remaining 15 r1-green names — 5 TPC-DS, the
+# 6 join modes and 4 agg basics — are the r8 rotation debt, listed
+# next in order). Names past the cap keep their earlier green rows.
 _PRIORITY = [
     # --- never driver-verified (1) — close the coverage gap first ---
     "events_link_prediction",
