@@ -1161,6 +1161,12 @@ def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = _KLL_REPORT_K
     li = load_table(spark, sf_dir, "lineitem")
+    # raw carries only (g, x): the true-rank pass below scans it without
+    # paying the md5 priority derivation a second time
+    raw = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
     src = li.select(
         F.col("l_returnflag").alias("g"),
         F.col("l_extendedprice").cast("double").alias("x"),
@@ -1214,7 +1220,7 @@ def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", "plabel", "frac", "m", F.col("x").alias("est"))
     )
     trued = (
-        src.join(F.broadcast(est), "g")
+        raw.join(F.broadcast(est), "g")
         .groupBy("g", "plabel", "frac", "m", "est")
         .agg(
             F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("le_cnt"),
