@@ -78,6 +78,31 @@ EMPTY_ZERO = [
     "events_mad_anomaly",
     "sim_matryoshka_topk",
     "agg_winsorize",
+    # round-7 ops (pipeline_schema_drift_report and dedup_threshold_sweep
+    # are excluded: they emit fixed-height report rows by construction)
+    "agg_kll_accuracy_report",
+    "agg_theta_sketch_ops",
+    "agg_hll_union_report",
+    "agg_weighted_percentile",
+    "events_markov_next_event",
+    "events_burst_detection",
+    "events_changepoint_cusum",
+    "events_rfm_segmentation",
+    "events_cohort_ltv",
+    "events_multitouch_attribution",
+    "events_survival_km",
+    "events_interval_coverage",
+    "events_ab_test_report",
+    "events_autocorrelation",
+    "events_velocity_flags",
+    "events_bot_regularity",
+    "sim_range_search",
+    "text_stopword_profile",
+    "text_word_cooccurrence",
+    "text_zipf_fit",
+    "text_code_detection",
+    "dedup_cross_source",
+    "dedup_normalized_exact",
 ]
 
 
