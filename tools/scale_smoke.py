@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Per-operator sf0.1 → sf1 scale smoke (the round-protocol check that
+catches quadratic stages before they reach SCALE.md claims).
+
+Builds best-of-2 exec times per query at /root/testdata/sf0.1 and the
+10x fixture (tools/make_sf1.py, default /tmp/mis_sf1), printing one
+JSON line per query with the ratio. Ratios well above ~2-3x at 10x
+data mean a stage scales super-linearly in the data (or the fixture's
+verbatim 10x replication legitimately multiplied the op's true
+workload — check output cardinalities before concluding; see
+dedup_threshold_sweep's SCALE.md row for the worked example).
+
+Usage: python tools/scale_smoke.py query_name [query_name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    if not names:
+        print("usage: scale_smoke.py query [query ...]", file=sys.stderr)
+        return 2
+    sf1_dir = os.environ.get("MIS_SF1_DIR", "/tmp/mis_sf1")
+    if not os.path.isdir(sf1_dir):
+        print(f"missing 10x fixture {sf1_dir}: run tools/make_sf1.py first",
+              file=sys.stderr)
+        return 2
+
+    from minimised_impala_spark.session import build_session
+    from minimised_impala_spark.queries import load_all
+    from minimised_impala_spark.queries.registry import fresh
+
+    load_all()
+    spark = build_session(
+        app_name="scale-smoke",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def best2(name: str, sf: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            df = fresh(name)(spark, sf)
+            t0 = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for n in names:
+        a = best2(n, "/root/testdata/sf0.1")
+        b = best2(n, sf1_dir)
+        print(
+            json.dumps(
+                {
+                    "q": n,
+                    "sf0.1": round(a, 2),
+                    "sf1": round(b, 2),
+                    "x": round(b / a, 1) if a > 0 else None,
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
