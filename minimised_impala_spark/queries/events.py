@@ -1247,6 +1247,9 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 4)
         .select("u", "v")
     )
+    # four consumers below (degrees, orientation, edge count) re-run the
+    # capped cell self-join without this; same seam as link prediction
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1268,6 +1271,8 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("ka", "kb").alias("s"), F.greatest("ka", "kb").alias("t")
         )
+        # three self-join arms read the oriented edge list
+        .localCheckpoint(eager=False)
     )
     x = oriented.select(F.col("s").alias("xs"), F.col("t").alias("xt"))
     y = oriented.select(F.col("s").alias("ys"), F.col("t").alias("yt"))
