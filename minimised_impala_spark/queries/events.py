@@ -1216,11 +1216,13 @@ FROM tri t CROSS JOIN wedge w
 """
 
 
-@query("events_triangle_count", oracle=_TRIANGLE_ORACLE)
-def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
+def _cooccurrence_edges(ev: DataFrame) -> DataFrame:
+    """Shared capped co-occurrence edge build for events_triangle_count
+    and events_link_prediction: distinct (event_type, hour) cells,
+    deterministic 16-user cap per cell (WindowGroupLimit — the hot-cell
+    density control that keeps the self-join out of the Σ occupancy²
+    regime), weight-4 thresholded edges. Callers localCheckpoint the
+    result before fanning out to multiple consumers."""
     cells_all = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
     ).distinct()
@@ -1235,7 +1237,7 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("et2"), F.col("h").alias("h2"),
         F.col("user_id").alias("v"),
     )
-    edges = (
+    return (
         a.join(
             b,
             (F.col("et2") == F.col("event_type"))
@@ -1247,6 +1249,12 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 4)
         .select("u", "v")
     )
+
+
+@query("events_triangle_count", oracle=_TRIANGLE_ORACLE)
+def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = _cooccurrence_edges(ev)
     # four consumers below (degrees, orientation, edge count) re-run the
     # capped cell self-join without this; same seam as link prediction
     edges = edges.localCheckpoint(eager=False)
@@ -1458,34 +1466,7 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 predicted links by neighbor-set Jaccard among wedge pairs
     not already connected in the co-occurrence graph."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
-    cells_all = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    wcell = W.partitionBy("event_type", "h").orderBy("user_id")
-    cells = (
-        cells_all.withColumn("rn", F.row_number().over(wcell))
-        .filter(F.col("rn") <= 16)
-        .drop("rn")
-    )
-    a = cells.select("event_type", "h", F.col("user_id").alias("u"))
-    b = cells.select(
-        F.col("event_type").alias("et2"), F.col("h").alias("h2"),
-        F.col("user_id").alias("v"),
-    )
-    edges = (
-        a.join(
-            b,
-            (F.col("et2") == F.col("event_type"))
-            & (F.col("h2") == F.col("h"))
-            & (F.col("v") > F.col("u")),
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 4)
-        .select("u", "v")
-    )
+    edges = _cooccurrence_edges(ev)
     # the edge set feeds three consumers (adjacency both ways + the
     # anti-join); materialize it once instead of re-running the cell join
     edges = edges.localCheckpoint(eager=False)

@@ -491,13 +491,18 @@ def test_tfidf_keywords_group_limit_and_broadcast_df(spark, sf_dir):
 
 
 def test_triangle_count_cell_cap_is_group_limit(spark, sf_dir):
-    """events_triangle_count's per-cell occupancy cap (rank <= 16 within
-    (type, hour)) must be a WindowGroupLimit — the density control that
-    keeps edge-building out of the Σ occupancy² regime — and the
-    |nodes|-bounded okey table must broadcast onto the edge list."""
-    plan = _physical(fresh("events_triangle_count")(spark, sf_dir))
+    """The shared co-occurrence edge build (events_triangle_count /
+    events_link_prediction) must cap cells via WindowGroupLimit — the
+    density control that keeps edge-building out of the Σ occupancy²
+    regime. Pinned on the pre-checkpoint helper because the final
+    queries materialize the edge list (localCheckpoint truncates the
+    visible lineage)."""
+    from minimised_impala_spark.queries.events import _cooccurrence_edges
+    from minimised_impala_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _physical(_cooccurrence_edges(ev))
     assert "WindowGroupLimit" in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_range_search_is_shuffle_free_before_sort(spark, sf_dir):
