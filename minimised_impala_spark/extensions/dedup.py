@@ -582,6 +582,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surviving pairs. No broadcast of the corpus, no n² rows.
 _EMB_LSH_BANDS = 88
 _EMB_LSH_PLANES_PER_BAND = 12
+# COUPLING: dedup_threshold_sweep's oracle counts EXACT all-pairs while
+# the engine counts banded-LSH candidates — the green compare rests on
+# recall-1 at tau >= 0.7 with THESE band parameters on THIS fixture.
+# Changing either constant (or the fixture) requires re-validating both
+# dedup_embedding_lsh AND dedup_threshold_sweep together; a recall drop
+# shows up as an oracle mismatch, which is intentional (the compare IS
+# the recall audit).
 _EMB_LSH_ORACLE = """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

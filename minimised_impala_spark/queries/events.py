@@ -1193,17 +1193,31 @@ deg AS (
     SELECT u FROM edges_raw UNION ALL SELECT v FROM edges_raw
   ) t(u) GROUP BY u
 ),
-okeys AS (SELECT node, d * 1000 + node AS ok FROM deg),
 oriented AS (
-  SELECT least(ka.ok, kb.ok) AS s, greatest(ka.ok, kb.ok) AS t
+  -- orient by the (degree, node) tuple directly: s is the endpoint with
+  -- the lexicographically smaller (d, node), t the other, both kept as
+  -- NODE IDS, with t's degree (td) carried so downstream tuple
+  -- comparisons preserve the degree-major order. No scalar key
+  -- arithmetic → injective at any id range (the former d*1000+node
+  -- merged distinct nodes once ids passed 1000).
+  SELECT CASE WHEN ka.d < kb.d OR (ka.d = kb.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN ka.d < kb.d OR (ka.d = kb.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN ka.d < kb.d OR (ka.d = kb.d AND e.u < e.v)
+              THEN kb.d ELSE ka.d END AS td
   FROM edges_raw e
-  JOIN okeys ka ON ka.node = e.u
-  JOIN okeys kb ON kb.node = e.v
+  JOIN deg ka ON ka.node = e.u
+  JOIN deg kb ON kb.node = e.v
 ),
 tri AS (
+  -- wedge pair (x.t, y.t) taken once with y.t strictly after x.t in the
+  -- (degree, node) order, so the closing edge can only exist as the
+  -- canonically-oriented (s = x.t, t = y.t)
   SELECT count(*) AS n_tri
   FROM oriented x
-  JOIN oriented y ON y.s = x.s AND y.t > x.t
+  JOIN oriented y ON y.s = x.s
+                 AND (y.td > x.td OR (y.td = x.td AND y.t > x.t))
   JOIN oriented z ON z.s = x.t AND z.t = y.t
 ),
 wedge AS (SELECT sum(d * (d - 1) / 2) AS n_wedge FROM deg)
@@ -1251,6 +1265,42 @@ def _cooccurrence_edges(ev: DataFrame) -> DataFrame:
     )
 
 
+def _orient_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree table + degree-ordered orientation of an undirected edge
+    list.  Orientation compares the (degree, node) tuple directly and
+    keeps NODE IDS as the s/t identifiers (t's degree rides along for
+    the downstream tuple order) — injective at any id range, unlike a
+    packed scalar key, which is what a 64-bit-user-id production graph
+    requires.  The |nodes|-bounded degree table broadcasts to both
+    endpoint joins.  Returns (deg, oriented) pre-checkpoint so callers
+    (and the plan tests) see the full lineage."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    u_lt_v = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("da"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("db"))),
+            "v",
+        )
+        .select(
+            F.when(u_lt_v, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_lt_v, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_lt_v, F.col("db")).otherwise(F.col("da")).alias("td"),
+        )
+    )
+    return deg, oriented
+
+
 @query("events_triangle_count", oracle=_TRIANGLE_ORACLE)
 def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1258,35 +1308,25 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers below (degrees, orientation, edge count) re-run the
     # capped cell self-join without this; same seam as link prediction
     edges = edges.localCheckpoint(eager=False)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+    deg, oriented = _orient_edges(edges)
+    # three self-join arms read the oriented edge list
+    oriented = oriented.localCheckpoint(eager=False)
+    x = oriented.select(
+        F.col("s").alias("xs"), F.col("t").alias("xt"), F.col("td").alias("xtd")
     )
-    okeys = deg.select(
-        "node", (F.col("d") * 1000 + F.col("node")).alias("ok")
+    y = oriented.select(
+        F.col("s").alias("ys"), F.col("t").alias("yt"), F.col("td").alias("ytd")
     )
-    oriented = (
-        edges.join(
-            F.broadcast(okeys.select(F.col("node").alias("u"), F.col("ok").alias("ka"))),
-            "u",
-        )
-        .join(
-            F.broadcast(okeys.select(F.col("node").alias("v"), F.col("ok").alias("kb"))),
-            "v",
-        )
-        .select(
-            F.least("ka", "kb").alias("s"), F.greatest("ka", "kb").alias("t")
-        )
-        # three self-join arms read the oriented edge list
-        .localCheckpoint(eager=False)
-    )
-    x = oriented.select(F.col("s").alias("xs"), F.col("t").alias("xt"))
-    y = oriented.select(F.col("s").alias("ys"), F.col("t").alias("yt"))
     z = oriented.select(F.col("s").alias("zs"), F.col("t").alias("zt"))
     tri = (
-        x.join(y, (F.col("ys") == F.col("xs")) & (F.col("yt") > F.col("xt")))
+        x.join(
+            y,
+            (F.col("ys") == F.col("xs"))
+            & (
+                (F.col("ytd") > F.col("xtd"))
+                | ((F.col("ytd") == F.col("xtd")) & (F.col("yt") > F.col("xt")))
+            ),
+        )
         .join(z, (F.col("zs") == F.col("xt")) & (F.col("zt") == F.col("yt")))
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
@@ -2486,8 +2526,13 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("gap_s").alias("n_gaps"),
             F.round(F.avg("gap_s"), 6).alias("mu"),
             F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias("cv6"),
+            # the HAVING filter must use the UNROUNDED mean like the
+            # oracle's avg(gap_s) > 0 — a >2M-gap group whose tiny
+            # positive mean rounds to 0 at 6dp would otherwise diverge
+            F.avg("gap_s").alias("mu_raw"),
         )
-        .filter((F.col("n_gaps") >= 20) & (F.col("mu") > 0))
+        .filter((F.col("n_gaps") >= 20) & (F.col("mu_raw") > 0))
+        .drop("mu_raw")
     )
     w_rank = W.orderBy("cv6", "user_id")
     return (

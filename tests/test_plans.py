@@ -11,6 +11,8 @@ properties that decide 100 TB behavior.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from minimised_impala_spark.queries import load_all
@@ -497,12 +499,22 @@ def test_triangle_count_cell_cap_is_group_limit(spark, sf_dir):
     regime. Pinned on the pre-checkpoint helper because the final
     queries materialize the edge list (localCheckpoint truncates the
     visible lineage)."""
-    from minimised_impala_spark.queries.events import _cooccurrence_edges
+    from minimised_impala_spark.queries.events import (
+        _cooccurrence_edges,
+        _orient_edges,
+    )
     from minimised_impala_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    plan = _physical(_cooccurrence_edges(ev))
+    edges = _cooccurrence_edges(ev)
+    plan = _physical(edges)
     assert "WindowGroupLimit" in plan
+    # the |nodes|-bounded degree table must broadcast to BOTH endpoint
+    # joins of the orientation stage (pinned pre-checkpoint — the final
+    # query materializes the edge list, truncating visible lineage)
+    _, oriented = _orient_edges(edges)
+    oplan = _physical(oriented)
+    assert oplan.count("BroadcastHashJoin") >= 2, oplan[:2000]
 
 
 def test_range_search_is_shuffle_free_before_sort(spark, sf_dir):
@@ -546,6 +558,11 @@ def test_kll_report_two_stage_bottom_k(spark, sf_dir):
     whole group, and the 12-row estimate frame must broadcast back for
     the true-rank pass."""
     plan = _physical(fresh("agg_kll_accuracy_report")(spark, sf_dir))
-    assert plan.count("WindowGroupLimit") >= 0  # informational
-    assert plan.count("Window") >= 2
+    # stage 1: rank within (group, salt) — a WindowGroupLimit keyed on
+    # BOTH columns above an exchange hash-partitioned on both
+    assert re.search(r"WindowGroupLimit \[g#\d+, _w0#\d+L?\]", plan), plan[:2000]
+    assert re.search(r"hashpartitioning\(g#\d+, _w0#\d+L?", plan), plan[:2000]
+    # stage 2: global rank within the group alone
+    assert re.search(r"WindowGroupLimit \[g#\d+\]", plan), plan[:2000]
+    assert re.search(r"hashpartitioning\(g#\d+, \d+\)", plan), plan[:2000]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
