@@ -3626,3 +3626,82 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading-ease over regex proxies) — the
+# classic corpus-quality signal next to the Gopher rules: word count as
+# non-space runs, sentence count as terminal-punctuation runs, syllable
+# count as vowel groups.  All three are single-pass regexp counts (JVM
+# regex, no UDF); the score is banded per document BEFORE aggregation
+# (per-row floor to e2 integers — the determinism convention), so the
+# group-by runs over exact integers and the oracle compare is bitwise.
+# Scale: pure map-side expressions + one (lang, band) aggregate; the
+# regexes stream over each document once, no shuffle until the
+# |langs| x 5-row rollup.
+_READABILITY_ORACLE = """
+WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS sylls
+  FROM documents
+),
+banded AS (
+  SELECT lang, words,
+         CAST(floor((206.835 - 1.015 * (words * 1.0 / sents)
+                     - 84.6 * (sylls * 1.0 / greatest(words, 1))) * 100)
+              AS BIGINT) AS flesch_e2
+  FROM scored
+)
+SELECT lang,
+       CASE WHEN flesch_e2 >= 9000 THEN 'very_easy'
+            WHEN flesch_e2 >= 7000 THEN 'easy'
+            WHEN flesch_e2 >= 5000 THEN 'standard'
+            WHEN flesch_e2 >= 3000 THEN 'difficult'
+            ELSE 'very_difficult' END AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(avg(words)) AS BIGINT) AS avg_words,
+       CAST(round(avg(flesch_e2)) AS BIGINT) AS avg_flesch_e2
+FROM banded
+GROUP BY lang, band
+ORDER BY lang, band
+"""
+
+
+@query("text_readability_scores", oracle=_READABILITY_ORACLE)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count("text", F.lit(r"\S+"))
+    sents = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    sylls = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    flesch_e2 = F.floor(
+        (
+            206.835
+            - 1.015 * (words * 1.0 / sents)
+            - 84.6 * (sylls * 1.0 / F.greatest(words, F.lit(1)))
+        )
+        * 100
+    ).cast("bigint")
+    banded = docs.select(
+        "lang", words.alias("words"), flesch_e2.alias("flesch_e2")
+    )
+    band = (
+        F.when(F.col("flesch_e2") >= 9000, "very_easy")
+        .when(F.col("flesch_e2") >= 7000, "easy")
+        .when(F.col("flesch_e2") >= 5000, "standard")
+        .when(F.col("flesch_e2") >= 3000, "difficult")
+        .otherwise("very_difficult")
+    )
+    return (
+        banded.groupBy("lang", band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("words")).cast("bigint").alias("avg_words"),
+            F.round(F.avg("flesch_e2")).cast("bigint").alias("avg_flesch_e2"),
+        )
+        .orderBy("lang", "band")
+    )

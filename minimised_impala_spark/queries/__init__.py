@@ -29,6 +29,7 @@ def load_all() -> None:
         similarity,
         text,
         multimodal,
+        pipeline_audit,
     )
     from minimised_impala_spark.streaming import windows as stream_windows  # noqa: F401
     from minimised_impala_spark.streaming import stateful as stream_stateful  # noqa: F401

@@ -2547,3 +2547,72 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling active users (the DAU/WAU/MAU curve + stickiness) — the
+# engagement dashboard every product pipeline publishes daily.  Shapes:
+# one distinct over (user, day) — |users| x |days| rows, orders of
+# magnitude under the event stream — then ONE broadcast range join
+# against the |days|-bounded anchor list (30 rows here; a few thousand
+# at any realistic retention horizon), and ONE aggregate computing all
+# three horizons as conditional count-distincts (Spark's Expand does the
+# multi-distinct in a single shuffle).  Nothing corpus-sized survives
+# the first distinct; the x28 row expansion applies to the already
+# user-day-bounded table, which is the standard engine trick for exact
+# rolling distinct counts (approximate horizons would use the HLL wing).
+# Reference parity: expressible in the reference dialect as a
+# correlated COUNT(DISTINCT) over a date self-join; this is its
+# vectorized one-pass form.
+_ROLLING_ACTIVE_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM user_days)
+SELECT d.day,
+       CAST(count(DISTINCT CASE WHEN ud.day = d.day THEN ud.user_id END)
+            AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN ud.day >= d.day - 6 THEN ud.user_id END)
+            AS BIGINT) AS wau,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau,
+       CAST(round(1000.0
+                  * count(DISTINCT CASE WHEN ud.day = d.day
+                                        THEN ud.user_id END)
+                  / count(DISTINCT ud.user_id)) AS BIGINT)
+         AS stickiness_permille
+FROM days d
+JOIN user_days ud ON ud.day BETWEEN d.day - 27 AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+@query("events_rolling_active", oracle=_ROLLING_ACTIVE_ORACLE)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = user_days.select(F.col("day").alias("anchor")).distinct()
+    joined = user_days.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("anchor"), 27))
+        & (F.col("day") <= F.col("anchor")),
+    )
+    dau = F.countDistinct(
+        F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
+    )
+    wau = F.countDistinct(
+        F.when(F.col("day") >= F.date_sub(F.col("anchor"), 6), F.col("user_id"))
+    )
+    mau = F.countDistinct("user_id")
+    return (
+        joined.groupBy(F.col("anchor").alias("day"))
+        .agg(
+            dau.cast("bigint").alias("dau"),
+            wau.cast("bigint").alias("wau"),
+            mau.cast("bigint").alias("mau"),
+            F.round(1000.0 * dau / mau).cast("bigint").alias("stickiness_permille"),
+        )
+        .orderBy("day")
+    )

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 291  # r7: + code_detection, bot_regularity
+EXPECTED_QUERY_COUNT = 296  # r8: + quality_scorecard, partition_skew, compaction_plan, rolling_active, readability
 
 
 def test_registry_count_is_authoritative():
@@ -38,11 +38,22 @@ def test_priority_names_all_registered():
 
 def test_priority_covers_never_verified_first():
     # the first 50 driver slots must include every name with no driver
-    # row through r6 (the r7 coverage goal) — guards against queue
-    # re-ordering regressions
+    # row through r7 (the r8 additions) plus the full r1-era rotation
+    # debt — guards against queue re-ordering regressions
     import __spark_entry__ as entrymod
 
-    never = {"events_link_prediction"}
+    never = {
+        "pipeline_quality_scorecard", "pipeline_partition_skew_report",
+        "pipeline_compaction_plan", "events_rolling_active",
+        "text_readability_scores",
+    }
+    r1_debt = {
+        "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
+        "tpcds_q51_cumulative_compare", "tpcds_q6_price_above_type_avg",
+        "tpcds_q8_intersect_gate", "join_right_outer", "join_right_semi",
+        "join_left_anti", "join_cross", "join_theta", "agg_stats",
+        "agg_group_concat", "agg_percentile_exact", "agg_having",
+    }
     first50 = set(list(entrymod.queries())[:50])
     assert never <= first50, f"missing from cap: {never - first50}"
-    assert list(entrymod.queries())[0] == "events_link_prediction"
+    assert r1_debt <= first50, f"rotation debt cut: {r1_debt - first50}"
