@@ -539,6 +539,80 @@ def _gen_frame_query(rng: random.Random) -> str:
 N_FRAME_QUERIES = 24
 
 
+def _gen_interval_frame_query(rng: random.Random) -> str:
+    """RANGE BETWEEN INTERVAL frames (the events_velocity_flags surface):
+    calendar-offset windows over a time ordering.  Varies the offset
+    unit (SECOND..DAY), the bound shape (trailing, leading, two-sided,
+    past-only, mixed-unit), the sort direction, and — the big tie
+    stressor — whether the ordering column is raw microsecond ts or
+    date_trunc'd to minute/hour so frames see whole peer groups.
+    INTERVAL '<n>' <UNIT> literals are shared Spark/DuckDB syntax and
+    pass through to_duck_dialect untouched."""
+    preds = []
+    if rng.random() < 0.5:
+        day = rng.randint(1, 28)
+        preds.append(
+            f"ts {rng.choice(['<', '>='])} TIMESTAMP '2024-01-{day:02d} 00:00:00'"
+        )
+    if rng.random() < 0.4:
+        vals = rng.sample(_EVENT_TYPES, rng.randint(1, 3))
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        preds.append(f"event_type IN ({quoted})")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    part = rng.choice(["user_id", "event_type"])
+
+    def ival(unit: str | None = None) -> str:
+        unit = unit or rng.choice(("SECOND", "MINUTE", "HOUR", "DAY"))
+        n = {
+            "SECOND": rng.randint(20, 7200),
+            "MINUTE": rng.randint(1, 240),
+            "HOUR": rng.randint(1, 48),
+            "DAY": rng.randint(1, 7),
+        }[unit]
+        return f"INTERVAL '{n}' {unit}"
+
+    shape = rng.random()
+    if shape < 0.3:
+        lo, hi = f"{ival()} PRECEDING", "CURRENT ROW"
+    elif shape < 0.5:
+        lo, hi = "CURRENT ROW", f"{ival()} FOLLOWING"
+    elif shape < 0.8:
+        # two-sided; Spark requires BOTH bounds to share one interval
+        # unit type (DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_DIFF_TYPES
+        # on e.g. HOUR PRECEDING + DAY FOLLOWING, where DuckDB is fine
+        # with mixed) — a genuine dialect divergence this arm documents,
+        # so the generator emits one unit with independent values
+        unit = rng.choice(("SECOND", "MINUTE", "HOUR", "DAY"))
+        lo, hi = f"{ival(unit)} PRECEDING", f"{ival(unit)} FOLLOWING"
+    else:
+        # entirely-in-the-past frame: lo must reach further back than hi
+        unit = rng.choice(["MINUTE", "HOUR"])
+        a = rng.randint(30, 300) if unit == "MINUTE" else rng.randint(5, 40)
+        b = rng.randint(1, a - 1)
+        lo, hi = (
+            f"INTERVAL '{a}' {unit} PRECEDING",
+            f"INTERVAL '{b}' {unit} PRECEDING",
+        )
+    # tie stressor: truncated ordering puts whole peer groups in/out of
+    # the frame together; DESC flips which side PRECEDING reaches
+    okey = rng.choice(["ts", "date_trunc('minute', ts)", "date_trunc('hour', ts)"])
+    direction = " DESC" if rng.random() < 0.25 else ""
+    over = (
+        f"OVER (PARTITION BY {part} ORDER BY {okey}{direction} "
+        f"RANGE BETWEEN {lo} AND {hi})"
+    )
+    return (
+        f"SELECT event_id, {part}, "
+        f"count(*) {over} AS n_w, "
+        f"round(sum(value) {over} * 100) / 100 AS s_w, "
+        f"min(value) {over} AS mn_w, max(value) {over} AS mx_w "
+        f"FROM events{where} ORDER BY event_id LIMIT {rng.randint(50, 400)}"
+    )
+
+
+N_INTERVAL_FRAME_QUERIES = 48
+
+
 import re as _re
 
 
@@ -1211,6 +1285,10 @@ _RRNG = random.Random(20260819)
 QUERIES += [_gen_rollup_query(_RRNG) for _ in range(N_ROLLUP_QUERIES)]
 _FRNG = random.Random(20260820)
 QUERIES += [_gen_frame_query(_FRNG) for _ in range(N_FRAME_QUERIES)]
+_IFRNG = random.Random(20260829)
+QUERIES += [
+    _gen_interval_frame_query(_IFRNG) for _ in range(N_INTERVAL_FRAME_QUERIES)
+]
 _SRNG = random.Random(20260821)
 QUERIES += [_gen_subquery_query(_SRNG) for _ in range(N_SUBQ_QUERIES)]
 _SFRNG = random.Random(20260822)
