@@ -253,12 +253,14 @@ def test_qualify_rejects_window_clause_after_predicate():
 
     from minimised_impala_spark.dialect import translate
 
-    with pytest.raises(ValueError, match="WINDOW clause"):
+    # golden: the exact text is user-facing in the shell — keep stable
+    with pytest.raises(ValueError) as exc:
         translate(
             "SELECT o_orderkey, row_number() OVER w AS rn FROM orders "
             "QUALIFY rn <= 2 "
             "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"
         )
+    assert str(exc.value) == "QUALIFY rewrite: WINDOW clause must precede QUALIFY"
     # canonical order passes through the rewrite
     out = translate(
         "SELECT o_orderkey, row_number() OVER w AS rn FROM orders "

@@ -566,3 +566,54 @@ def test_kll_report_two_stage_bottom_k(spark, sf_dir):
     assert re.search(r"WindowGroupLimit \[g#\d+\]", plan), plan[:2000]
     assert re.search(r"hashpartitioning\(g#\d+, \d+\)", plan), plan[:2000]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_plan_build_time_bounded(spark, sf_dir):
+    """Driver-side plan construction (Python DataFrame building + py4j
+    expression traffic) is a real bottleneck on a 100-executor cluster:
+    the driver builds plans serially while executors idle. Guard every
+    registered query's fresh() build under a budget so an accidental
+    Python-side expression blow-up (quadratic column loops, per-row
+    literal trees) fails HERE, not as a mystery regression in BENCH.
+    Excluded: families whose BUILDER executes bounded Spark jobs by
+    spec (streaming one-batch runs, DDL round-trips, k-means/PQ
+    codebook training collects) — their cost is execution, not
+    expression construction."""
+    import time as _time
+
+    from minimised_impala_spark.queries.registry import QUERIES, fresh
+
+    budget_s = 2.5
+    skip_prefixes = ("streaming_", "ddl_", "source_", "udf_", "uda_", "udtf_")
+    skip = {
+        # builders that run bounded driver-side training/sampling jobs
+        "sim_kmeans_cluster", "sim_pq_ann", "sim_ivfpq_ann", "sim_ivf_ann",
+        "sim_diverse_sample", "sim_centroid_classify", "sim_knn_classify",
+        "sim_mmr_rerank",
+        # engine/shell entry points that execute during construction
+        "dialect_qualify", "dialect_broadcast_hint",
+        # iterative algorithms: pagerank unrolls K=5 plan rounds
+        # (construction cost is the documented price of unrolling);
+        # near-dedup's connected-components loop runs convergence
+        # checks (execution) inside the builder
+        "events_pagerank_transitions", "pipeline_near_dedup",
+    }
+    slow: dict[str, float] = {}
+    for name in QUERIES:
+        if name.startswith(skip_prefixes) or name in skip:
+            continue
+        t0 = _time.perf_counter()
+        fresh(name)(spark, sf_dir)
+        dt = _time.perf_counter() - t0
+        if dt > budget_s:
+            slow[name] = round(dt, 2)
+    # ambient-load tolerance: re-measure offenders once, keep the min
+    for name in list(slow):
+        t0 = _time.perf_counter()
+        fresh(name)(spark, sf_dir)
+        dt = _time.perf_counter() - t0
+        if dt <= budget_s:
+            del slow[name]
+        else:
+            slow[name] = min(slow[name], round(dt, 2))
+    assert not slow, f"plan_build over {budget_s}s: {slow}"

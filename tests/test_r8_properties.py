@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -95,3 +96,103 @@ def test_triangle_count_id_translation_invariant(spark, tmp_path, offset):
         spark, _events_fixture(tmp_path, offset)
     ).collect()
     assert base == shifted
+
+
+def _round_half_away(v: float) -> int:
+    # Spark/DuckDB round() is half-away-from-zero; Python's is banker's
+    return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+
+def test_rolling_active_matches_bruteforce(spark, sf_dir):
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"], r["stickiness_permille"])
+        for r in QUERIES["events_rolling_active"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "ts"]]
+    ud = ev.assign(day=ev["ts"].dt.normalize().dt.date).drop_duplicates(
+        ["user_id", "day"]
+    )[["user_id", "day"]]
+    days = sorted(ud["day"].unique())
+    assert set(got) == set(days)
+    import datetime as _dt
+
+    for d in days:
+        lo7 = d - _dt.timedelta(days=6)
+        lo28 = d - _dt.timedelta(days=27)
+        dau = ud[ud["day"] == d]["user_id"].nunique()
+        wau = ud[(ud["day"] >= lo7) & (ud["day"] <= d)]["user_id"].nunique()
+        mau = ud[(ud["day"] >= lo28) & (ud["day"] <= d)]["user_id"].nunique()
+        stick = _round_half_away(1000.0 * dau / mau)
+        assert got[d] == (dau, wau, mau, stick), d
+
+
+def test_readability_bands_match_bruteforce(spark, sf_dir):
+    import re as _re
+
+    got = {
+        (r["lang"], r["band"]): (r["n_docs"], r["avg_words"], r["avg_flesch_e2"])
+        for r in QUERIES["text_readability_scores"](spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["lang", "text"]]
+    rows = []
+    for lang, text in docs.itertuples(index=False):
+        words = len(_re.findall(r"\S+", text))
+        sents = max(len(_re.findall(r"[.!?]+", text)), 1)
+        sylls = max(len(_re.findall(r"[aeiouy]+", text.lower())), 1)
+        flesch = 206.835 - 1.015 * (words / sents) - 84.6 * (sylls / max(words, 1))
+        fe2 = int(np.floor(flesch * 100))
+        band = (
+            "very_easy" if fe2 >= 9000 else
+            "easy" if fe2 >= 7000 else
+            "standard" if fe2 >= 5000 else
+            "difficult" if fe2 >= 3000 else "very_difficult"
+        )
+        rows.append((lang, band, words, fe2))
+    bf = pd.DataFrame(rows, columns=["lang", "band", "words", "fe2"])
+    agg = bf.groupby(["lang", "band"]).agg(
+        n_docs=("words", "size"), avg_words=("words", "mean"),
+        avg_fe2=("fe2", "mean"),
+    )
+    assert set(got) == set(agg.index)
+    for (lang, band), r in agg.iterrows():
+        assert got[(lang, band)] == (
+            int(r["n_docs"]),
+            _round_half_away(r["avg_words"]),
+            _round_half_away(r["avg_fe2"]),
+        ), (lang, band)
+
+
+def test_partition_skew_report_internal_consistency(spark, sf_dir):
+    rows = QUERIES["pipeline_partition_skew_report"](spark, sf_dir).collect()
+    assert {r["part_key"] for r in rows} == {
+        "events.event_type", "events.day", "lineitem.shipmonth",
+        "orders.ordermonth",
+    }
+    for r in rows:
+        # structural invariants any valid skew report satisfies
+        assert r["max_rows"] * r["n_partitions"] >= r["total_rows"]
+        assert r["max_over_avg_permille"] >= 1000
+        assert 0 < r["top1_share_permille"] <= 1000
+        assert r["max_over_avg_permille"] == _round_half_away(
+            1000.0 * r["max_rows"] * r["n_partitions"] / r["total_rows"]
+        )
+
+
+def test_quality_scorecard_reflects_components(spark, sf_dir):
+    rows = {
+        r["component"]: r
+        for r in QUERIES["pipeline_quality_scorecard"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "ann_ivf_recall", "cm_heavy_hitters", "hll_union", "kll_quantiles",
+        "kmv_distinct", "minhash_jaccard",
+    }
+    for r in rows.values():
+        assert r["within_budget"] == (r["err_permille"] <= r["budget_permille"])
+        assert r["n_units"] > 0
+    # cross-check one component against its source report directly
+    kmv = QUERIES["agg_kmv_distinct_report"](spark, sf_dir).collect()
+    assert rows["kmv_distinct"]["n_units"] == len(kmv)
+    assert rows["kmv_distinct"]["err_permille"] == max(
+        abs(r["rel_err_permille"]) for r in kmv
+    )
