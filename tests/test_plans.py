@@ -617,3 +617,24 @@ def test_plan_build_time_bounded(spark, sf_dir):
         else:
             slow[name] = min(slow[name], round(dt, 2))
     assert not slow, f"plan_build over {budget_s}s: {slow}"
+
+
+def test_rolling_active_broadcast_range_join_single_expand(spark, sf_dir):
+    """events_rolling_active: the |days|-bounded anchor list must
+    broadcast into the range join (BroadcastNestedLoopJoin on the
+    BETWEEN condition — never a shuffled/sort-merge join of user-days),
+    and all three horizons (DAU/WAU/MAU) must compile into ONE Expand
+    (a single multi-distinct aggregate pass), not three separate
+    aggregations of the expanded table."""
+    plan = _physical(fresh("events_rolling_active")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Expand") == 1, plan[:2000]
+
+
+def test_readability_single_shuffle(spark, sf_dir):
+    """text_readability_scores: the three regexp counts are per-row
+    expressions; the only hash exchange in the plan is the final
+    (lang, band) rollup's — one shuffle total (plus the sort)."""
+    plan = _physical(fresh("text_readability_scores")(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
