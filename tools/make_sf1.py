@@ -10,7 +10,10 @@ nation stay single-copy (TPC-H dimensions are SF-invariant). Output goes
 to /tmp (never into the read-only /root/testdata) and is used ONLY for
 SCALE.md timing, never for correctness oracles.
 
-Usage: python tools/make_sf1.py [out_dir]
+Usage: python tools/make_sf1.py [out_dir] [copies]
+
+``copies`` defaults to 10 (the sf1 fixture); pass 100 for the sf10
+(100x) fixture used by the round-8 two-decade scale smoke.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ SINGLE_COPY = {"region", "nation"}
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mis_sf1"
+    copies_n = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     from pyspark.sql import functions as F
 
     from minimised_impala_spark.session import build_session
@@ -59,7 +63,7 @@ def main() -> None:
             out = df
         else:
             copies = []
-            for i in range(COPIES):
+            for i in range(copies_n):
                 c = df
                 for col in SHIFTS.get(t, []):
                     c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
