@@ -53,7 +53,8 @@ def main() -> None:
         app_name="mis-make-sf1",
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")},
     )
     os.makedirs(out_dir, exist_ok=True)
     for t in ALL_TABLES:
@@ -62,16 +63,26 @@ def main() -> None:
         if t in SINGLE_COPY:
             out = df
         else:
-            copies = []
-            for i in range(copies_n):
-                c = df
-                for col in SHIFTS.get(t, []):
-                    c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
-                copies.append(c)
-            out = copies[0]
-            for c in copies[1:]:
-                out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+            out = None
+        if out is not None:
+            out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        else:
+            # append in batches of <=10 copies: one 100-way union plan
+            # OOMs the driver; per-batch appends keep the plan bounded
+            dst = f"{out_dir}/{t}.parquet"
+            mode = "overwrite"
+            for lo in range(0, copies_n, 10):
+                batch = []
+                for i in range(lo, min(lo + 10, copies_n)):
+                    c = df
+                    for col in SHIFTS.get(t, []):
+                        c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
+                    batch.append(c)
+                b = batch[0]
+                for c in batch[1:]:
+                    b = b.unionByName(c)
+                b.write.mode(mode).parquet(dst)
+                mode = "append"
         print(t, spark.read.parquet(f"{out_dir}/{t}.parquet").count())
 
 
