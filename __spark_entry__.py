@@ -66,7 +66,11 @@ _PRIORITY = [
     "set_union", "sort_nulls_limit_offset", "source_ext_kv_scan",
     "source_text_scan", "subq_not_in_null_semantics",
     "subq_scalar_correlated", "text_quality", "window_topk_per_group",
-    # --- r9 queue starts here: the 7 deferred r2 names ---
+    # --- r9 queue starts here: late-r8 registrations (never driver-
+    # verified — slot-1 priority next round per the protocol), then the
+    # 7 deferred r2 names ---
+    "text_padding_efficiency", "text_quality_calibration",
+    "text_kneser_ney_lm",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

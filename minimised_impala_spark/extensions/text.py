@@ -3705,3 +3705,355 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "band")
     )
+
+
+# --------------------------------------------------------------------------
+# Padding-efficiency audit for length-bucketed batching — the throughput
+# planning artifact for the training side of the pipeline: when documents
+# are padded to a fixed context length, short docs burn FLOPs on pad
+# tokens; bucketed batching (group docs by length bucket, pad to the
+# bucket cap) recovers most of it. This op reports, per bucket, the doc
+# count, real-token total, padded-token total and waste permille, plus
+# a 'single_max' row (everything padded to the global cap) so the two
+# strategies diff in one relation. Token counts use the whitespace
+# tokenizer (text_tokens' convention); docs longer than the global cap
+# truncate to it.
+#
+# Scale: one narrow map (split + least + CASE) and one 4-group aggregate
+# — map-side combine leaves |buckets| rows; the union arm is a second
+# map-side-combined aggregate over the same scan. All-integer output.
+_PAD_CAPS = (16, 32, 64, 128)
+_PAD_MAX = 128
+
+_PAD_ORACLE = f"""
+WITH t AS (
+  SELECT least(len(string_split(text, ' ')), {_PAD_MAX}) AS n
+  FROM documents
+),
+b AS (
+  SELECT n,
+         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+              WHEN n <= 64 THEN 64 ELSE 128 END AS cap
+  FROM t
+)
+SELECT 'bucketed' AS strategy, CAST(cap AS BIGINT) AS bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * cap AS BIGINT) AS padded_tokens,
+       CAST(round(1000.0 * (count(*) * cap - sum(n)) / (count(*) * cap))
+            AS BIGINT) AS waste_permille
+FROM b GROUP BY cap
+UNION ALL
+SELECT 'single_max', {_PAD_MAX},
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n) AS BIGINT),
+       CAST(count(*) * {_PAD_MAX} AS BIGINT),
+       CAST(round(1000.0 * (count(*) * {_PAD_MAX} - sum(n))
+                  / (count(*) * {_PAD_MAX})) AS BIGINT)
+FROM t
+ORDER BY strategy, bucket_cap
+"""
+
+
+@query("text_padding_efficiency", oracle=_PAD_ORACLE)
+def text_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: per bucket cap (16/32/64/128
+    tokens) the padding waste vs a single-max-length strategy.
+    Output: (strategy, bucket_cap, n_docs, sum_tokens, padded_tokens,
+    waste_permille)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.least(F.size(F.split("text", " ")), F.lit(_PAD_MAX))
+    cap = (
+        F.when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .otherwise(128)
+    )
+    t = docs.select(n.alias("n"), cap.alias("cap"))
+
+    def stats(grouped: DataFrame, strategy: str, cap_col) -> DataFrame:
+        padded = (F.count(F.lit(1)) * cap_col).cast("bigint")
+        return grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+            padded.alias("padded_tokens"),
+            F.round(
+                1000.0
+                * (F.count(F.lit(1)) * cap_col - F.sum("n"))
+                / (F.count(F.lit(1)) * cap_col)
+            )
+            .cast("bigint")
+            .alias("waste_permille"),
+        ).select(
+            F.lit(strategy).alias("strategy"),
+            cap_col.cast("bigint").alias("bucket_cap"),
+            "n_docs",
+            "sum_tokens",
+            "padded_tokens",
+            "waste_permille",
+        )
+
+    bucketed = stats(t.groupBy("cap"), "bucketed", F.col("cap"))
+    single = stats(t.groupBy(), "single_max", F.lit(_PAD_MAX))
+    return bucketed.unionByName(single).orderBy("strategy", "bucket_cap")
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier calibration report — the trust audit run before a
+# model-based filter (text_quality_classifier's logistic head) gates a
+# corpus: rank every document by score, split into deciles, and compare
+# each decile's mean score against the rate of an INDEPENDENT quality
+# signal (the Flesch readability gate from text_readability_scores). A
+# well-calibrated filter shows gold rate rising monotonically with the
+# score decile; a flat profile means the classifier threshold is noise.
+#
+# Determinism: the score is rounded to e6 integers per row BEFORE
+# ranking (repo convention — sub-ulp exp() differences cannot reorder),
+# the rank key packs (score_e6, doc_id) into one unique BIGINT, the
+# global rank is the distributed prefix scan (no single-task window),
+# and the decile is floor((rank-1)*10/n)+1 — pure integer math that
+# DuckDB's row_number replays exactly.
+#
+# Scale: score+gold are narrow maps; the rank is the two-phase prefix
+# scan; the report is a 10-row aggregate.
+_CALIB_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS nt,
+         length(replace(text, ' ', '')) * 1.0
+           / len(string_split(text, ' ')) AS atl,
+         len(list_intersect(string_split(text, ' '),
+             ['the','and','of','to','a','in'])) * 1.0
+           / len(list_distinct(string_split(text, ' '))) AS sr,
+         len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1.0
+           / len(string_split(text, ' ')) AS ppt,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS sylls
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(round(1000000.0 / (1.0 + exp(-({_QC_BIAS} + {_QC_W_NT} * nt
+              + {_QC_W_ATL} * atl + {_QC_W_SR} * sr + {_QC_W_PPT} * ppt))))
+              AS BIGINT) AS score_e6,
+         CAST(floor((206.835 - 1.015 * (words * 1.0 / sents)
+                     - 84.6 * (sylls * 1.0 / greatest(words, 1))) * 100)
+              AS BIGINT) >= 5000 AS gold
+  FROM f
+),
+ranked AS (
+  SELECT score_e6, gold,
+         row_number() OVER (ORDER BY score_e6 * 10000000000 + doc_id)
+           AS rnk,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT CAST(floor((rnk - 1) * 10.0 / n) AS INT) + 1 AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(avg(score_e6)) AS BIGINT) AS avg_score_e6,
+       CAST(count(*) FILTER (WHERE gold) AS BIGINT) AS n_gold,
+       CAST(round(1000.0 * count(*) FILTER (WHERE gold) / count(*))
+            AS BIGINT) AS gold_permille
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@query("text_quality_calibration", oracle=_CALIB_ORACLE)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the logistic quality classifier against the
+    independent Flesch readability gate, by score decile. Output:
+    (decile, n_docs, avg_score_e6, n_gold, gold_permille)."""
+    from minimised_impala_spark.operators.prefix import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nt = F.size(toks)
+    atl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / nt
+    stop = F.array([F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    sr = F.size(F.array_intersect(toks, stop)) * 1.0 / F.size(F.array_distinct(toks))
+    ppt = F.regexp_count("text", F.lit(_PUNCT_RE)) * 1.0 / nt
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_NT) * nt
+        + F.lit(_QC_W_ATL) * atl
+        + F.lit(_QC_W_SR) * sr
+        + F.lit(_QC_W_PPT) * ppt
+    )
+    score_e6 = F.round(1000000.0 / (1.0 + F.exp(-z))).cast("bigint")
+    words = F.regexp_count("text", F.lit(r"\S+"))
+    sents = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    sylls = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    flesch_e2 = F.floor(
+        (
+            206.835
+            - 1.015 * (words * 1.0 / sents)
+            - 84.6 * (sylls * 1.0 / F.greatest(words, F.lit(1)))
+        )
+        * 100
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        score_e6.alias("score_e6"),
+        (flesch_e2 >= 5000).alias("gold"),
+    ).withColumn(
+        "__ord",
+        F.col("score_e6") * F.lit(10_000_000_000) + F.col("doc_id"),
+    )
+    ranked = distributed_cumsum(scored, "__ord", F.lit(1), "rnk")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    decile = F.floor((F.col("rnk") - 1) * 10.0 / F.col("n")).cast("int") + 1
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("score_e6")).cast("bigint").alias("avg_score_e6"),
+            F.count_if(F.col("gold")).cast("bigint").alias("n_gold"),
+            F.round(1000.0 * F.count_if(F.col("gold")) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("gold_permille"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; Chen &
+# Goodman 1999 empirical study) — the standard n-gram smoothing that
+# replaces text_bigram_lm's Laplace estimate: mass is discounted from
+# seen bigrams by a fixed D and redistributed via the CONTINUATION
+# probability (how many distinct contexts a word follows), which scores
+# boilerplate ("San Francisco" effect) far better than raw frequency:
+#   P(w2|w1) = (c12 - D)/c1 + (D * N1+(w1,·)/c1) * (N1+(·,w2)/B)
+# with D = 0.75, N1+ the distinct-continuation counts and B the number
+# of distinct bigram types. Model trained on the scored corpus itself,
+# so every scored bigram has c12 >= 1 > D and P > 0.
+#
+# Determinism: every model quantity is an exact integer (counts); both
+# engines evaluate the identical left-associated double expression, and
+# the per-doc average NLL is rounded at 4 decimals (text_lm_score
+# convention). Scale: four grouped count aggregates build the model
+# (|vocab| / |bigram-vocab| rows — broadcast), scoring is a broadcast
+# join over the bigram stream; no shuffle touches corpus-sized data
+# except the per-doc aggregate.
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, n - 1),
+                               i -> toks[i] || chr(9) || toks[i + 1])) AS bigram
+  FROM t WHERE n >= 2
+),
+c12 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bigram),
+c1 AS (
+  SELECT split_part(bigram, chr(9), 1) AS w1, CAST(count(*) AS BIGINT) AS c1
+  FROM bg GROUP BY w1
+),
+n1h AS (
+  SELECT split_part(bigram, chr(9), 1) AS w1,
+         CAST(count(*) AS BIGINT) AS n1h
+  FROM c12 GROUP BY w1
+),
+n1t AS (
+  SELECT split_part(bigram, chr(9), 2) AS w2,
+         CAST(count(*) AS BIGINT) AS n1t
+  FROM c12 GROUP BY w2
+),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c12),
+scored AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         sum(-ln((x.c12 - {_KN_D}) / h.c1
+                 + (({_KN_D} * nh.n1h) / h.c1) * (nt.n1t * 1.0 / b.b))) AS nll
+  FROM bg g
+  JOIN c12 x ON x.bigram = g.bigram
+  JOIN c1 h ON h.w1 = split_part(g.bigram, chr(9), 1)
+  JOIN n1h nh ON nh.w1 = split_part(g.bigram, chr(9), 1)
+  JOIN n1t nt ON nt.w2 = split_part(g.bigram, chr(9), 2)
+  CROSS JOIN b
+  GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(nll / n_bigrams, 4) AS avg_nll
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("text_kneser_ney_lm", oracle=_KN_ORACLE)
+def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM: per-doc average NLL under
+    absolute discounting (D=0.75) with continuation-probability backoff.
+    Output: (doc_id, n_bigrams, avg_nll)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    bg = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - 2),
+                    lambda i: F.concat_ws(
+                        "\t",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    w1_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1))
+    w2_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(2))
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = (
+        bg.select(w1_of.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    n1h = (
+        c12.select(w1_of.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1h"))
+    )
+    n1t = (
+        c12.select(w2_of.alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1t"))
+    )
+    b = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    prob = (F.col("c12") - _KN_D) / F.col("c1") + (
+        (_KN_D * F.col("n1h")) / F.col("c1")
+    ) * (F.col("n1t") * 1.0 / F.col("b"))
+    scored = (
+        bg.join(F.broadcast(c12), "bigram")
+        .withColumn("w1", w1_of)
+        .withColumn("w2", w2_of)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(n1h), "w1")
+        .join(F.broadcast(n1t), "w2")
+        .crossJoin(F.broadcast(b))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(-F.log(prob)).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(F.col("nll") / F.col("n_bigrams"), 4).alias("avg_nll"),
+    ).orderBy("doc_id")

@@ -1,0 +1,144 @@
+"""Independent property checks for the late-round-8 operators
+(text_padding_efficiency, text_quality_calibration, text_kneser_ney_lm).
+
+Each check recomputes the operator's answer from raw parquet with
+pandas/numpy — no Spark, no DuckDB — so a shared misconception between
+engine and oracle cannot hide."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from minimised_impala_spark.queries import load_all
+from minimised_impala_spark.queries.registry import QUERIES
+
+load_all()
+
+SF_DIR = os.environ.get("MIS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _round_half_away(v: float) -> int:
+    # Spark/DuckDB round() is half-away-from-zero; Python's is banker's
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+# ------------------------------------------------------------------ pad --
+def test_padding_efficiency_brute_force(spark):
+    out = {
+        (r["strategy"], r["bucket_cap"]): r.asDict()
+        for r in QUERIES["text_padding_efficiency"](spark, SF_DIR).collect()
+    }
+    docs = _docs()
+    n = docs["text"].str.split(" ").str.len().clip(upper=128)
+    caps = np.select([n <= 16, n <= 32, n <= 64], [16, 32, 64], default=128)
+    expected_rows = 0
+    for cap in sorted(set(caps)):
+        sel = n[caps == cap]
+        padded = len(sel) * cap
+        row = out[("bucketed", cap)]
+        assert row["n_docs"] == len(sel)
+        assert row["sum_tokens"] == int(sel.sum())
+        assert row["padded_tokens"] == padded
+        assert row["waste_permille"] == _round_half_away(
+            1000.0 * (padded - sel.sum()) / padded
+        )
+        expected_rows += 1
+    naive = out[("single_max", 128)]
+    assert naive["n_docs"] == len(n)
+    assert naive["padded_tokens"] == len(n) * 128
+    assert naive["waste_permille"] == _round_half_away(
+        1000.0 * (len(n) * 128 - n.sum()) / (len(n) * 128)
+    )
+    assert len(out) == expected_rows + 1
+    # bucketed batching must never waste MORE than single-max overall
+    bucketed_pad = sum(
+        r["padded_tokens"] for (s, _), r in out.items() if s == "bucketed"
+    )
+    assert bucketed_pad <= naive["padded_tokens"]
+
+
+# ---------------------------------------------------------------- calib --
+def test_quality_calibration_invariants(spark):
+    rows = QUERIES["text_quality_calibration"](spark, SF_DIR).collect()
+    docs = _docs()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    # floor((rank-1)*10/n) buckets differ in size by at most 1
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # deciles partition the corpus by ascending score, so the per-decile
+    # mean score must be non-decreasing
+    avgs = [r["avg_score_e6"] for r in rows]
+    assert avgs == sorted(avgs)
+    for r in rows:
+        assert 0 <= r["n_gold"] <= r["n_docs"]
+        assert r["gold_permille"] == _round_half_away(
+            1000.0 * r["n_gold"] / r["n_docs"]
+        )
+
+
+# ------------------------------------------------------------------- kn --
+def _kn_model(docs: pd.DataFrame):
+    toks = docs["text"].str.split(" ")
+    bigrams: list[tuple[int, str, str]] = []
+    for doc_id, ts in zip(docs["doc_id"], toks):
+        bigrams.extend((doc_id, a, b) for a, b in zip(ts, ts[1:]))
+    bg = pd.DataFrame(bigrams, columns=["doc_id", "w1", "w2"])
+    c12 = bg.groupby(["w1", "w2"]).size()
+    c1 = bg.groupby("w1").size()
+    n1h = c12.groupby("w1").size()
+    n1t = c12.groupby("w2").size()
+    b = len(c12)
+    return bg, c12, c1, n1h, n1t, b
+
+
+def _kn_prob(w1, w2, c12, c1, n1h, n1t, b, d=0.75) -> float:
+    seen = c12.get((w1, w2), 0)
+    cont = n1t.get(w2, 0) * 1.0 / b
+    disc = (seen - d) / c1[w1] if seen else 0.0
+    return disc + ((d * n1h[w1]) / c1[w1]) * cont
+
+
+def test_kneser_ney_distribution_sums_to_one():
+    """For every context w1, Σ_{w2 ∈ vocab} P(w2|w1) == 1 exactly —
+    the defining property of a proper smoothed conditional (Laplace has
+    it trivially; KN only if discount mass == continuation mass)."""
+    docs = _docs()
+    bg, c12, c1, n1h, n1t, b = _kn_model(docs)
+    vocab = sorted(set(bg["w1"]) | set(bg["w2"]))
+    # every context whose row in the model we can afford to sum fully
+    contexts = c1.sort_values(ascending=False).index[:20]
+    for w1 in contexts:
+        total = sum(_kn_prob(w1, w2, c12, c1, n1h, n1t, b) for w2 in vocab)
+        # Pcont sums to 1 over the vocab only for words seen as a
+        # continuation; unseen-as-w2 words contribute 0 — which is
+        # exactly the engine's closed world, so the sum is 1
+        assert total == pytest.approx(1.0, abs=1e-9), w1
+
+
+def test_kneser_ney_engine_matches_brute_force(spark):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in QUERIES["text_kneser_ney_lm"](spark, SF_DIR).collect()
+    }
+    docs = _docs()
+    bg, c12, c1, n1h, n1t, b = _kn_model(docs)
+    per_doc = bg.groupby("doc_id")
+    assert set(got) == set(per_doc.groups)
+    for doc_id, grp in per_doc:
+        nll = sum(
+            -math.log(_kn_prob(w1, w2, c12, c1, n1h, n1t, b))
+            for w1, w2 in zip(grp["w1"], grp["w2"])
+        )
+        n_bg, avg_nll = got[doc_id]
+        assert n_bg == len(grp)
+        assert avg_nll == pytest.approx(nll / len(grp), abs=5e-4)

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 296  # r8: + quality_scorecard, partition_skew, compaction_plan, rolling_active, readability
+EXPECTED_QUERY_COUNT = 299  # r8 late adds: + padding_efficiency, quality_calibration, kneser_ney_lm
 
 
 def test_registry_count_is_authoritative():
