@@ -70,7 +70,8 @@ _PRIORITY = [
     # verified — slot-1 priority next round per the protocol), then the
     # 7 deferred r2 names ---
     "text_padding_efficiency", "text_quality_calibration",
-    "text_kneser_ney_lm",
+    "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
+    "pipeline_embedding_drift",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

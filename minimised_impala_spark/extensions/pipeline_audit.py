@@ -299,3 +299,212 @@ def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_merge"
         ),
     ).orderBy("day", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix — the corpus-composition audit run
+# before mixing sources into a training set: for every source pair, the
+# exact Jaccard similarity of their distinct word-trigram sets. High
+# overlap means two "sources" are republications of each other (mixing
+# weights double-count them); near-zero overlap validates treating them
+# as independent domains. The gram-level variant of dedup_cross_source
+# (which finds document pairs; this profiles whole sources).
+#
+# Scale: the join runs on DISTINCT (source, gram) rows, so each gram's
+# posting list is bounded by |sources| — candidate pairs are at most
+# |sources|² per gram and the self-equi-join never touches corpus-sized
+# data. Totals are one |sources|-row aggregate; the matrix is
+# |sources|²/2 rows.
+_OVERLAP_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, n - 2),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           AS sh
+  FROM t WHERE n >= 3
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS grams_common
+  FROM grams a JOIN grams b ON b.sh = a.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT c.source_a, c.source_b,
+       ta.n_grams AS grams_a, tb.n_grams AS grams_b, c.grams_common,
+       CAST(round(1000.0 * c.grams_common
+                  / (ta.n_grams + tb.n_grams - c.grams_common)) AS BIGINT)
+         AS jaccard_permille
+FROM common c
+JOIN tot ta ON ta.source = c.source_a
+JOIN tot tb ON tb.source = c.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("pipeline_source_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def pipeline_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard overlap of distinct word trigrams between
+    sources. Output: (source_a, source_b, grams_a, grams_b,
+    grams_common, jaccard_permille) for every pair with >= 1 shared
+    gram."""
+    from minimised_impala_spark.extensions.dedup import _trigrams_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("source", F.explode(_trigrams_of(F.col("toks"))).alias("sh"))
+        .distinct()
+    )
+    tot = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = grams.select(F.col("source").alias("source_a"), "sh")
+    b = grams.select(F.col("source").alias("source_b"), "sh")
+    common = (
+        a.join(b, ["sh"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("grams_common"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"),
+                                F.col("n_grams").alias("grams_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"),
+                                F.col("n_grams").alias("grams_b")))
+    return (
+        common.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a", "source_b", "grams_a", "grams_b", "grams_common",
+            F.round(
+                1000.0
+                * F.col("grams_common")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("grams_common"))
+            )
+            .cast("bigint")
+            .alias("jaccard_permille"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-drift report between corpus snapshots — the re-embedding /
+# model-upgrade gate: when a corpus is re-encoded (new encoder version)
+# or a snapshot evolves (deletes + edits), per-label centroid movement
+# tells whether downstream ANN indexes and classifiers need rebuilding.
+# Snapshot B is derived deterministically from A the way the dedup wing
+# builds perturbed corpora: every 17th vector is deleted and every 5th
+# has each 16th coordinate zeroed (a lossy re-encode).
+#
+# Per label: row-count drift and the cosine between the A and B
+# centroids. Cosines are rounded to 6 decimals (the
+# sim_centroid_classify convention — FP mean/dot accumulation order
+# differs between engines at ~1e-15). Scale: the component aggregate
+# leaves |labels|·64 rows; everything after is kilobytes.
+_DRIFT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+snap AS (
+  SELECT 'a' AS snap, vec_id, label, e FROM v
+  UNION ALL
+  SELECT 'b', vec_id, label,
+         CASE WHEN vec_id % 5 = 0
+              THEN list_transform(e, (x, i) -> CASE WHEN (i - 1) % 16 = 0
+                                               THEN 0.0 ELSE x END)
+              ELSE e END
+  FROM v WHERE vec_id % 17 <> 0
+),
+comps AS (
+  SELECT snap, label, i.dim, e[i.dim + 1] AS x
+  FROM snap, (SELECT unnest(range(64)) AS dim) i
+),
+cents AS (
+  SELECT label, dim,
+         avg(CASE WHEN snap = 'a' THEN x END) AS ax,
+         avg(CASE WHEN snap = 'b' THEN x END) AS bx
+  FROM comps GROUP BY label, dim
+),
+counts AS (
+  SELECT label,
+         CAST(count(*) FILTER (WHERE snap = 'a') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE snap = 'b') AS BIGINT) AS n_b
+  FROM snap GROUP BY label
+),
+cos AS (
+  SELECT label,
+         round(sum(ax * bx) / (sqrt(sum(ax * ax)) * sqrt(sum(bx * bx))), 6)
+           AS centroid_cos
+  FROM cents GROUP BY label
+)
+SELECT c.label AS label, n.n_a, n.n_b,
+       CAST(round(1000.0 * (n.n_b - n.n_a) / n.n_a) AS BIGINT)
+         AS row_delta_permille,
+       c.centroid_cos
+FROM cos c JOIN counts n ON n.label = c.label
+ORDER BY label
+"""
+
+
+@query("pipeline_embedding_drift", oracle=_DRIFT_ORACLE)
+def pipeline_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between a corpus snapshot and its
+    deterministically perturbed successor (1/17 deleted, 1/5 lossily
+    re-encoded). Output: (label, n_a, n_b, row_delta_permille,
+    centroid_cos)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pert = F.transform(
+        "e",
+        lambda x, i: F.when(i % 16 == 0, F.lit(0.0)).otherwise(x),
+    )
+    b = emb.filter(F.col("vec_id") % 17 != 0).select(
+        F.lit("b").alias("snap"),
+        "label",
+        F.when(F.col("vec_id") % 5 == 0, pert).otherwise(F.col("e")).alias("e"),
+    )
+    snap = emb.select(F.lit("a").alias("snap"), "label", "e").unionByName(b)
+    comps = snap.select("snap", "label", F.posexplode("e").alias("dim", "x"))
+    cents = comps.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("snap") == "a", F.col("x"))).alias("ax"),
+        F.avg(F.when(F.col("snap") == "b", F.col("x"))).alias("bx"),
+    )
+    counts = snap.groupBy("label").agg(
+        F.count_if(F.col("snap") == "a").cast("bigint").alias("n_a"),
+        F.count_if(F.col("snap") == "b").cast("bigint").alias("n_b"),
+    )
+    cos = cents.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("ax") * F.col("bx"))
+            / (
+                F.sqrt(F.sum(F.col("ax") * F.col("ax")))
+                * F.sqrt(F.sum(F.col("bx") * F.col("bx")))
+            ),
+            6,
+        ).alias("centroid_cos")
+    )
+    return (
+        cos.join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(1000.0 * (F.col("n_b") - F.col("n_a")) / F.col("n_a"))
+            .cast("bigint")
+            .alias("row_delta_permille"),
+            "centroid_cos",
+        )
+        .orderBy("label")
+    )

@@ -142,3 +142,68 @@ def test_kneser_ney_engine_matches_brute_force(spark):
         n_bg, avg_nll = got[doc_id]
         assert n_bg == len(grp)
         assert avg_nll == pytest.approx(nll / len(grp), abs=5e-4)
+
+
+# -------------------------------------------------------------- overlap --
+def test_source_overlap_matrix_brute_force(spark):
+    rows = QUERIES["pipeline_source_overlap_matrix"](spark, SF_DIR).collect()
+    docs = _docs()
+    gram_sets: dict[str, set[str]] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        ts = text.split(" ")
+        gram_sets.setdefault(src, set()).update(
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        )
+    got = {(r["source_a"], r["source_b"]): r.asDict() for r in rows}
+    srcs = sorted(gram_sets)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            common = gram_sets[sa] & gram_sets[sb]
+            if not common:
+                assert (sa, sb) not in got
+                continue
+            r = got.pop((sa, sb))
+            union = len(gram_sets[sa]) + len(gram_sets[sb]) - len(common)
+            assert r["grams_a"] == len(gram_sets[sa])
+            assert r["grams_b"] == len(gram_sets[sb])
+            assert r["grams_common"] == len(common)
+            assert r["jaccard_permille"] == _round_half_away(
+                1000.0 * len(common) / union
+            )
+    assert not got  # nothing reported that the brute force didn't find
+
+
+# ---------------------------------------------------------------- drift --
+def test_embedding_drift_brute_force(spark):
+    rows = QUERIES["pipeline_embedding_drift"](spark, SF_DIR).collect()
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = {
+        lbl: np.stack(grp["embedding"].to_numpy()).astype("float64")
+        for lbl, grp in emb.groupby("label")
+    }
+    kept = emb[emb["vec_id"] % 17 != 0].copy()
+
+    def perturb(row):
+        e = np.asarray(row["embedding"], dtype="float64")
+        if row["vec_id"] % 5 == 0:
+            e = e.copy()
+            e[::16] = 0.0
+        return e
+
+    b = {
+        lbl: np.stack([perturb(r) for _, r in grp.iterrows()])
+        for lbl, grp in kept.groupby("label")
+    }
+    assert [r["label"] for r in rows] == sorted(a)
+    for r in rows:
+        ca = a[r["label"]].mean(axis=0)
+        cb = b[r["label"]].mean(axis=0)
+        cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert r["n_a"] == len(a[r["label"]])
+        assert r["n_b"] == len(b[r["label"]])
+        assert r["row_delta_permille"] == _round_half_away(
+            1000.0 * (r["n_b"] - r["n_a"]) / r["n_a"]
+        )
+        assert r["centroid_cos"] == pytest.approx(cos, abs=2e-6)
+        # a lossy re-encode of 1/5 of vectors must stay a small rotation
+        assert r["centroid_cos"] > 0.9
