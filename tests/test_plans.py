@@ -638,3 +638,57 @@ def test_readability_single_shuffle(spark, sf_dir):
     (lang, band) rollup's — one shuffle total (plus the sort)."""
     plan = _physical(fresh("text_readability_scores")(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_padding_efficiency_single_hash_shuffle(spark, sf_dir):
+    """text_padding_efficiency: both strategy arms are map-side-combined
+    aggregates over the same narrow scan — exactly one hash exchange
+    (the bucket groupBy; the single_max arm's global agg uses a
+    single-partition exchange, not a hash one)."""
+    plan = _physical(fresh("text_padding_efficiency")(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_quality_calibration_uses_prefix_scan(spark, sf_dir):
+    """text_quality_calibration: the global score rank must be the
+    two-phase prefix scan (one range exchange), never a partition-less
+    sort window over the corpus; the corpus-count join is a one-row
+    broadcast."""
+    plan = _physical(fresh("text_quality_calibration")(spark, sf_dir))
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_kneser_ney_model_tables_broadcast(spark, sf_dir):
+    """text_kneser_ney_lm: all four model tables (c12/c1/N1+ head/tail)
+    and the bigram-type count must broadcast into the scoring joins —
+    the corpus-sized bigram stream is never the build side of a shuffle
+    join."""
+    plan = _physical(fresh("text_kneser_ney_lm")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_joins_distinct_grams(spark, sf_dir):
+    """pipeline_source_overlap_matrix: the self-join runs on DISTINCT
+    (source, gram) rows (HashAggregate with both keys BEFORE the join)
+    and the |sources|-row totals join by broadcast; no cartesian
+    product anywhere."""
+    plan = _physical(fresh("pipeline_source_overlap_matrix")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # the distinct must appear below the join: keys (source, sh)
+    assert "source" in plan and "sh" in plan
+
+
+def test_embedding_drift_single_component_agg(spark, sf_dir):
+    """pipeline_embedding_drift: one (label, dim) component aggregate
+    feeds the cosine; the per-label counts join is a broadcast of
+    |labels| rows; nothing sorts or shuffles the exploded components
+    more than once."""
+    plan = _physical(fresh("pipeline_embedding_drift")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
