@@ -71,7 +71,8 @@ _PRIORITY = [
     # 7 deferred r2 names ---
     "text_padding_efficiency", "text_quality_calibration",
     "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
-    "pipeline_embedding_drift",
+    "pipeline_embedding_drift", "text_vocab_coverage_curve",
+    "text_heaps_fit", "pipeline_dedup_impact_report",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

@@ -508,3 +508,103 @@ def pipeline_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-impact report — the pre-flight run before committing a dedup
+# pass to a 100 TB corpus: per source, how many documents and tokens
+# would normalization-aware exact dedup remove, and what share of the
+# source that is. Mixing weights are set on POST-dedup token counts, so
+# this report is what keeps a republication-heavy source from silently
+# dominating the mixture. The dup corpus is dedup_normalized_exact's
+# (same canonical fingerprint, same derived 'mirror' republications with
+# noisy casing/whitespace/punctuation), keeper = min doc_id per
+# fingerprint group.
+#
+# Scale: only 16-byte digests and integer token counts ride the
+# shuffle (the raw-text-shuffle lesson in dedup_normalized_exact); the
+# keeper join is digest-keyed; the report is |sources|+1 rows.
+_IMPACT_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, 'mirror',
+         upper(replace(text, ' ', '  ')) || ' !!!'
+  FROM documents WHERE doc_id % 9 = 0
+),
+canon AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_toks,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM corpus
+),
+keepers AS (SELECT fp, min(doc_id) AS keeper FROM canon GROUP BY fp)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c.n_toks) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE c.doc_id <> k.keeper) AS BIGINT)
+         AS docs_removed,
+       CAST(coalesce(sum(c.n_toks) FILTER (WHERE c.doc_id <> k.keeper), 0)
+            AS BIGINT) AS tokens_removed,
+       CAST(round(1000.0 * count(*) FILTER (WHERE c.doc_id <> k.keeper)
+                  / count(*)) AS BIGINT) AS docs_removed_permille
+FROM canon c JOIN keepers k ON k.fp = c.fp
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+@query("pipeline_dedup_impact_report", oracle=_IMPACT_ORACLE)
+def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document/token removal a normalization-aware exact
+    dedup pass would cause (keeper = min doc_id per canonical
+    fingerprint). Output: (source, n_docs, n_tokens, docs_removed,
+    tokens_removed, docs_removed_permille)."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        F.concat(
+            F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))), F.lit(" !!!")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(noisy)
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    # canon feeds BOTH the keeper aggregate and the join probe side —
+    # without materialization the double-regexp canonicalize map runs
+    # twice over the full corpus (the multi-consumer lineage seam; the
+    # sf1 smoke read 9.7x before, ~2x dedup_normalized_exact's linear
+    # 4.1x, and the checkpoint removes exactly the second scan)
+    canon = corpus.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        fp.alias("fp"),
+    ).localCheckpoint(eager=False)
+    keepers = canon.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dup = F.col("doc_id") != F.col("keeper")
+    return (
+        canon.join(keepers, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.count_if(dup).cast("bigint").alias("docs_removed"),
+            F.coalesce(F.sum(F.when(dup, F.col("n_toks"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.round(1000.0 * F.count_if(dup) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("docs_removed_permille"),
+        )
+        .orderBy("source")
+    )

@@ -4057,3 +4057,193 @@ def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.round(F.col("nll") / F.col("n_bigrams"), 4).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-sizing artifact: what share
+# of all token OCCURRENCES do the top-K most frequent types cover, for
+# the candidate vocab sizes a tokenizer build would choose between?
+# (The BPE/WordPiece budget decision reads exactly this curve: 99%+
+# coverage at K means a K-entry vocab rarely falls back to bytes.)
+#
+# Scale: the census is one (tok) count aggregate; the top-4096 frame
+# comes from ORDER BY + LIMIT — Spark's TakeOrderedAndProject
+# (per-partition heaps, no global sort shuffle) — and every later stage
+# (rank window, K join, shares) runs on that ≤4096-row frame, which is
+# K-bounded, not corpus-bounded.
+_VOCAB_KS = (64, 256, 1024, 4096)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH census AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_types_total
+  FROM census
+),
+topn AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+  FROM census
+  ORDER BY freq DESC, tok LIMIT {max(_VOCAB_KS)}
+),
+ks AS (SELECT CAST(unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS INT) AS k)
+SELECT ks.k,
+       tot.n_types_total,
+       CAST(count(topn.rnk) AS BIGINT) AS types_used,
+       CAST(coalesce(sum(topn.freq), 0) AS BIGINT) AS covered_tokens,
+       tot.total_tokens,
+       CAST(round(1000.0 * coalesce(sum(topn.freq), 0) / tot.total_tokens)
+            AS BIGINT) AS coverage_permille
+FROM ks CROSS JOIN tot LEFT JOIN topn ON topn.rnk <= ks.k
+GROUP BY ks.k, tot.n_types_total, tot.total_tokens
+ORDER BY ks.k
+"""
+
+
+@query("text_vocab_coverage_curve", oracle=_VOCAB_COVERAGE_ORACLE)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-K vocabulary for candidate
+    vocab sizes K. Output: (k, n_types_total, types_used,
+    covered_tokens, total_tokens, coverage_permille)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    census = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    tot = census.agg(
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types_total"),
+    )
+    # TakeOrderedAndProject bounds the frame at max(K); the rank window
+    # then runs on <= 4096 rows (K-bounded, not corpus-bounded)
+    topn = (
+        census.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(max(_VOCAB_KS))
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("tok")))
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k int")
+    return (
+        F.broadcast(ks)
+        .join(topn, F.col("rnk") <= F.col("k"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_types_total", "total_tokens")
+        .agg(
+            F.count("rnk").cast("bigint").alias("types_used"),
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("bigint")
+            .alias("covered_tokens"),
+        )
+        .select(
+            "k",
+            "n_types_total",
+            "types_used",
+            "covered_tokens",
+            "total_tokens",
+            F.round(1000.0 * F.col("covered_tokens") / F.col("total_tokens"))
+            .cast("bigint")
+            .alias("coverage_permille"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law fit per source — the vocabulary-GROWTH companion to
+# text_zipf_fit's frequency-shape alarm: V(n) ≈ K·n^β (β ~ 0.4-0.6 for
+# natural language). A source whose β collapses toward 0 is template/
+# boilerplate text (vocab saturates); β near 1 is id-like noise (every
+# token new). Cumulative (tokens, vocab) pairs are taken at each doc
+# boundary in doc_id order; the fit is regr_slope/regr_r2 over the
+# log-log series (the text_zipf_fit e4 convention).
+#
+# Scale: first-occurrence assignment is one (source, tok) min-aggregate;
+# the running sums are per-SOURCE windows (partitioned — parallel across
+# sources; a single source with billions of docs would swap in the
+# two-phase prefix scan); the fit is one grouped regression.
+_HEAPS_ORACLE = """
+WITH per_doc AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+firsts AS (
+  SELECT source, min(doc_id) AS first_doc
+  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t
+  GROUP BY source, tok
+),
+new_terms AS (
+  SELECT source, first_doc AS doc_id, CAST(count(*) AS BIGINT) AS nv
+  FROM firsts GROUP BY source, first_doc
+),
+series AS (
+  SELECT d.source,
+         sum(d.n_toks) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_toks,
+         sum(coalesce(nt.nv, 0)) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_vocab
+  FROM per_doc d
+  LEFT JOIN new_terms nt ON nt.source = d.source AND nt.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(regr_slope(ln(cum_vocab), ln(cum_toks)) * 10000) AS BIGINT)
+         AS beta_e4,
+       CAST(round(regr_r2(ln(cum_vocab), ln(cum_toks)) * 10000) AS BIGINT)
+         AS r2_e4
+FROM series
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_heaps_fit", oracle=_HEAPS_ORACLE)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent per source: regr fit of ln(cumulative vocab)
+    on ln(cumulative tokens) sampled at every doc boundary in doc_id
+    order. Output: (source, n_docs, beta_e4, r2_e4)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    firsts = (
+        docs.select("source", "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_terms = (
+        firsts.groupBy("source", F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    series = (
+        per_doc.join(new_terms, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    lv = F.log(F.col("cum_vocab").cast("double"))
+    lt = F.log(F.col("cum_toks").cast("double"))
+    return (
+        series.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.regr_slope(lv, lt) * 10000, 0).cast("bigint").alias("beta_e4"),
+            F.round(F.regr_r2(lv, lt) * 10000, 0).cast("bigint").alias("r2_e4"),
+        )
+        .orderBy("source")
+    )

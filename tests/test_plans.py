@@ -692,3 +692,33 @@ def test_embedding_drift_single_component_agg(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_vocab_coverage_take_ordered_bounds_frame(spark, sf_dir):
+    """text_vocab_coverage_curve: the top-max(K) frame must come from
+    TakeOrderedAndProject (per-partition heaps), so the rank window and
+    the K join run on a K-bounded frame, never the full census."""
+    plan = _physical(fresh("text_vocab_coverage_curve")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_heaps_fit_windows_partition_by_source(spark, sf_dir):
+    """text_heaps_fit: the running sums are per-source windows — the
+    only range exchange in the plan is the presentation sort, never a
+    partition-less corpus-wide window sort."""
+    plan = _physical(fresh("text_heaps_fit")(spark, sf_dir))
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:2000]
+
+
+def test_dedup_impact_shuffles_digests_only(spark, sf_dir):
+    """pipeline_dedup_impact_report: the keeper aggregate and join key
+    on the 16-byte md5 fingerprint — raw text must never appear in an
+    exchange (the dedup_normalized_exact shuffle lesson)."""
+    df = fresh("pipeline_dedup_impact_report")(spark, sf_dir)
+    plan = _physical(df)
+    # the canon checkpoint truncates lineage; what remains must key
+    # every hash exchange on fp/source, not text
+    for frag in plan.split("Exchange hashpartitioning"):
+        head = frag[:120]
+        assert "text#" not in head, head

@@ -207,3 +207,107 @@ def test_embedding_drift_brute_force(spark):
         assert r["centroid_cos"] == pytest.approx(cos, abs=2e-6)
         # a lossy re-encode of 1/5 of vectors must stay a small rotation
         assert r["centroid_cos"] > 0.9
+
+
+# ------------------------------------------------------------- coverage --
+def test_vocab_coverage_brute_force(spark):
+    rows = QUERIES["text_vocab_coverage_curve"](spark, SF_DIR).collect()
+    docs = _docs()
+    from collections import Counter
+
+    freq = Counter()
+    for text in docs["text"]:
+        freq.update(text.split(" "))
+    total = sum(freq.values())
+    # rank by (freq desc, tok asc) — the engine's tie-break
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["k"] for r in rows] == [64, 256, 1024, 4096]
+    prev_cov = -1
+    for r in rows:
+        top = ranked[: r["k"]]
+        covered = sum(c for _, c in top)
+        assert r["n_types_total"] == len(freq)
+        assert r["types_used"] == min(r["k"], len(freq))
+        assert r["covered_tokens"] == covered
+        assert r["total_tokens"] == total
+        assert r["coverage_permille"] == _round_half_away(1000.0 * covered / total)
+        # coverage must be monotone in K
+        assert r["coverage_permille"] >= prev_cov
+        prev_cov = r["coverage_permille"]
+
+
+# ---------------------------------------------------------------- heaps --
+def test_heaps_fit_brute_force(spark):
+    rows = {r["source"]: r.asDict()
+            for r in QUERIES["text_heaps_fit"](spark, SF_DIR).collect()}
+    docs = _docs().sort_values("doc_id")
+    for src, grp in docs.groupby("source"):
+        seen: set[str] = set()
+        cum_toks = 0
+        xs, ys = [], []
+        for text in grp["text"]:
+            ts = text.split(" ")
+            cum_toks += len(ts)
+            seen.update(ts)
+            xs.append(math.log(cum_toks))
+            ys.append(math.log(len(seen)))
+        x, y = np.array(xs), np.array(ys)
+        beta = float(np.polyfit(x, y, 1)[0])
+        # engines' regr_r2 defines the constant-y (SStot = 0) case as a
+        # perfect fit; corrcoef would give NaN there
+        if len(x) < 2 or float(np.var(y)) == 0.0:
+            r2 = 1.0
+        else:
+            r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
+        r = rows[src]
+        assert r["n_docs"] == len(grp)
+        assert r["beta_e4"] == pytest.approx(beta * 10000, abs=2)
+        assert r["r2_e4"] == pytest.approx(r2 * 10000, abs=2)
+        # natural-language vocabulary growth: beta in (0, 1) whenever the
+        # vocabulary actually grew past the first doc (a saturated
+        # source legitimately fits beta = 0)
+        assert 0 <= r["beta_e4"] < 10000
+        if len(set(ys)) > 1:
+            assert r["beta_e4"] > 0
+
+
+# --------------------------------------------------------------- impact --
+def test_dedup_impact_brute_force(spark):
+    import re as _re
+
+    rows = {r["source"]: r.asDict()
+            for r in QUERIES["pipeline_dedup_impact_report"](spark, SF_DIR).collect()}
+    docs = _docs()
+    corpus = [(int(d), s, t) for d, s, t in
+              zip(docs["doc_id"], docs["source"], docs["text"])]
+    corpus += [
+        (int(d) + 300000, "mirror", t.replace(" ", "  ").upper() + " !!!")
+        for d, t in zip(docs["doc_id"], docs["text"])
+        if d % 9 == 0
+    ]
+
+    def canon(t: str) -> str:
+        return _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", "", t.lower())).strip()
+
+    keeper: dict[str, int] = {}
+    for d, _s, t in corpus:
+        c = canon(t)
+        keeper[c] = min(keeper.get(c, d), d)
+    per_src: dict[str, list[tuple[int, int, bool]]] = {}
+    for d, s, t in corpus:
+        per_src.setdefault(s, []).append(
+            (d, len(t.split(" ")), d != keeper[canon(t)])
+        )
+    assert set(rows) == set(per_src)
+    for s, items in per_src.items():
+        r = rows[s]
+        assert r["n_docs"] == len(items)
+        assert r["n_tokens"] == sum(n for _, n, _ in items)
+        assert r["docs_removed"] == sum(1 for _, _, dup in items if dup)
+        assert r["tokens_removed"] == sum(n for _, n, dup in items if dup)
+        assert r["docs_removed_permille"] == _round_half_away(
+            1000.0 * r["docs_removed"] / r["n_docs"]
+        )
+    # every mirror doc duplicates an original, so the mirror source must
+    # be 100% removed
+    assert rows["mirror"]["docs_removed_permille"] == 1000

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 301  # r8 late adds: + padding_efficiency, quality_calibration, kneser_ney_lm, source_overlap_matrix, embedding_drift
+EXPECTED_QUERY_COUNT = 304  # r8 late adds (8): padding/calibration/KN-LM/overlap/drift/vocab-coverage/heaps/dedup-impact
 
 
 def test_registry_count_is_authoritative():
