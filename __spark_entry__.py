@@ -40,8 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the cap (tpch_q1, tpch_q3, window_rank_suite, window_rows_frame,
 # window_lag_lead, dedup_minhash_lsh, sim_ivf_ann) all have strong
 # indirect r7 signal — bench headliners or operators re-exercised by
-# the r7 TPC-H/TPC-DS rotation — and head the r9 queue. Names past
-# the cap keep their earlier green rows.
+# the r7 TPC-H/TPC-DS rotation. Names past the cap keep their earlier
+# green rows.
+#
+# Eight more operators landed AFTER the r8 first-50 was frozen (queue
+# positions 50-57 below). They are sweep-green at sf0.01 but never
+# driver-verified, so per the protocol they lead the r9 first-50,
+# ahead of the 7 deferred r2 names.
 _PRIORITY = [
     # --- new in round 8 ---
     "pipeline_quality_scorecard", "pipeline_partition_skew_report",

@@ -54,6 +54,12 @@ EXTRA = [
     "agg_kll_accuracy_report",
     "dedup_threshold_sweep",
     "agg_weighted_percentile",
+    # late round-8 additions — one per new family: LM scoring with
+    # broadcast model tables, posting-bounded source matrix, dedup
+    # pre-flight with the checkpointed canon seam
+    "text_kneser_ney_lm",
+    "pipeline_source_overlap_matrix",
+    "pipeline_dedup_impact_report",
 ]
 
 
