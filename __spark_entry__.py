@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r7 TPC-H/TPC-DS rotation. Names past the cap keep their earlier
 # green rows.
 #
-# Eight more operators landed AFTER the r8 first-50 was frozen (queue
-# positions 50-57 below). They are sweep-green at sf0.01 but never
+# Eleven more operators landed AFTER the r8 first-50 was frozen (queue
+# positions 50-60 below). They are sweep-green at sf0.01 but never
 # driver-verified, so per the protocol they lead the r9 first-50,
 # ahead of the 7 deferred r2 names.
 _PRIORITY = [
@@ -78,6 +78,8 @@ _PRIORITY = [
     "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
     "pipeline_embedding_drift", "text_vocab_coverage_curve",
     "text_heaps_fit", "pipeline_dedup_impact_report",
+    "events_lifecycle_states", "events_engagement_histogram",
+    "pipeline_shard_assignment",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

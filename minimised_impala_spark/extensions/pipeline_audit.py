@@ -608,3 +608,86 @@ def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-balanced training-shard assignment — the data-loader planning
+# step: split the corpus into N contiguous shards (stable doc_id order)
+# with near-equal TOKEN budgets, so no trainer rank starves while
+# another grinds a fat shard. Contiguity in a deterministic order makes
+# shards reproducible and append-friendly (new docs extend the tail).
+#
+# Scale: the running token total is the two-phase distributed prefix
+# scan (no single-task window); shard ids come from exact integer
+# division of each doc's START offset by the shard width, so both
+# engines compute identical BIGINT bucket ids; the report aggregates to
+# N rows.
+_N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_toks,
+         sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+tot AS (
+  SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+         CAST(ceil(sum(n_toks) / {_N_SHARDS}.0) AS BIGINT) AS width
+  FROM t
+)
+SELECT CAST((c.cum - c.n_toks) // tot.width AS INT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c.n_toks) AS BIGINT) AS n_tokens,
+       CAST(min(c.doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(c.doc_id) AS BIGINT) AS max_doc_id,
+       CAST(round(1000.0 * sum(c.n_toks) / tot.total) AS BIGINT)
+         AS share_permille
+FROM c, tot
+GROUP BY shard_id, tot.total
+ORDER BY shard_id
+"""
+
+
+@query("pipeline_shard_assignment", oracle=_SHARD_ORACLE)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-balanced shard plan: docs in doc_id order split
+    into N shards by exact integer division of each doc's start offset
+    by the shard width. Output: (shard_id, n_docs, n_tokens,
+    min_doc_id, max_doc_id, share_permille)."""
+    from minimised_impala_spark.operators.prefix import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    c = distributed_cumsum(t, "doc_id", F.col("n_toks"), "cum")
+    tot = t.agg(
+        F.sum("n_toks").cast("bigint").alias("total"),
+        F.ceil(F.sum("n_toks") / float(_N_SHARDS)).cast("bigint").alias("width"),
+    )
+    shard_id = F.expr("(cum - n_toks) div width").cast("int")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy(shard_id.alias("shard_id"), "total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "min_doc_id",
+            "max_doc_id",
+            F.round(1000.0 * F.col("n_tokens") / F.col("total"))
+            .cast("bigint")
+            .alias("share_permille"),
+        )
+        .orderBy("shard_id")
+    )

@@ -2616,3 +2616,165 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly growth accounting (the new/retained/resurrected/churned state
+# machine — the canonical product-analytics decomposition of active-user
+# change): each user-week is classified against the user's OWN previous
+# active week (new = first ever, retained = active the week before,
+# resurrected = a gap of 2+ weeks), and a churn event is emitted for the
+# week AFTER an active week with no successor. By construction
+# n_new + n_resurrected - n_churned telescopes to the WAU delta.
+#
+# Scale: one DISTINCT (user, week) aggregate bounds everything at
+# user-weeks ≪ events; the lag/lead windows are user-keyed (parallel);
+# the report is |weeks| rows.
+_LIFECYCLE_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+maxw AS (SELECT max(week) AS mw FROM uw),
+seq AS (
+  SELECT user_id, week,
+         lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+  FROM uw
+),
+states AS (
+  SELECT week,
+         CAST(count(*) FILTER (WHERE prev_w IS NULL) AS BIGINT) AS n_new,
+         CAST(count(*) FILTER (WHERE prev_w = week - 7) AS BIGINT)
+           AS n_retained,
+         CAST(count(*) FILTER (WHERE prev_w IS NOT NULL
+                               AND prev_w < week - 7) AS BIGINT)
+           AS n_resurrected
+  FROM seq GROUP BY week
+),
+churns AS (
+  SELECT week + 7 AS week, CAST(count(*) AS BIGINT) AS n_churned
+  FROM seq, maxw
+  WHERE (next_w IS NULL OR next_w > week + 7) AND week + 7 <= maxw.mw
+  GROUP BY week + 7
+)
+SELECT coalesce(s.week, c.week) AS week,
+       coalesce(s.n_new, 0) AS n_new,
+       coalesce(s.n_retained, 0) AS n_retained,
+       coalesce(s.n_resurrected, 0) AS n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM states s FULL OUTER JOIN churns c ON c.week = s.week
+ORDER BY week
+"""
+
+
+@query("events_lifecycle_states", oracle=_LIFECYCLE_ORACLE)
+def events_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: per week the count of new, retained,
+    resurrected, and churned users (churn lands the week after the last
+    active week, capped at the observed horizon). Output: (week, n_new,
+    n_retained, n_resurrected, n_churned)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    maxw = uw.agg(F.max("week").alias("mw"))
+    w = W.partitionBy("user_id").orderBy("week")
+    seq = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+    )
+    states = seq.groupBy("week").agg(
+        F.count_if(F.col("prev_w").isNull()).cast("bigint").alias("n_new"),
+        F.count_if(F.col("prev_w") == F.date_sub(F.col("week"), 7))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.count_if(
+            F.col("prev_w").isNotNull()
+            & (F.col("prev_w") < F.date_sub(F.col("week"), 7))
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churns = (
+        seq.crossJoin(F.broadcast(maxw))
+        .filter(
+            (F.col("next_w").isNull()
+             | (F.col("next_w") > F.date_add(F.col("week"), 7)))
+            & (F.date_add(F.col("week"), 7) <= F.col("mw"))
+        )
+        .groupBy(F.date_add(F.col("week"), 7).alias("week"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        states.join(churns, "week", "full_outer")
+        .select(
+            "week",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+# --------------------------------------------------------------------------
+# Engagement-depth histogram (the "power-user curve": how many distinct
+# days each user was active, bucketed — the L30-style engagement
+# distribution a product/corpus health review reads first). One distinct
+# (user, day) aggregate, one per-user count, a 4-bucket rollup.
+_ENGAGEMENT_ORACLE = """
+WITH ud AS (
+  SELECT user_id, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS active_days
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ud)
+SELECT active_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(round(1000.0 * count(*) / tot.n) AS BIGINT) AS share_permille,
+       CAST(round(1000.0 * sum(count(*)) OVER (ORDER BY active_days DESC
+                                               ROWS UNBOUNDED PRECEDING)
+                  / tot.n) AS BIGINT) AS at_least_permille
+FROM ud, tot
+GROUP BY active_days, tot.n
+ORDER BY active_days
+"""
+
+
+@query("events_engagement_histogram", oracle=_ENGAGEMENT_ORACLE)
+def events_engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: user counts by exact distinct active days,
+    with the complementary-cumulative share (fraction of users active
+    AT LEAST this many days). Output: (active_days, n_users,
+    share_permille, at_least_permille). The histogram height is bounded
+    by the calendar (<= 31 rows/month), so the descending cumulative
+    window runs on a constant-height relation."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint")
+        .alias("active_days")
+    )
+    tot = ud.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wcum = W.orderBy(F.desc("active_days")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ud.crossJoin(F.broadcast(tot))
+        .groupBy("active_days", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            "active_days",
+            "n_users",
+            F.round(1000.0 * F.col("n_users") / F.col("n"))
+            .cast("bigint")
+            .alias("share_permille"),
+            F.round(1000.0 * F.sum("n_users").over(wcum) / F.col("n"))
+            .cast("bigint")
+            .alias("at_least_permille"),
+        )
+        .orderBy("active_days")
+    )

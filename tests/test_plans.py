@@ -722,3 +722,33 @@ def test_dedup_impact_shuffles_digests_only(spark, sf_dir):
     for frag in plan.split("Exchange hashpartitioning"):
         head = frag[:120]
         assert "text#" not in head, head
+
+
+def test_lifecycle_states_user_keyed_windows(spark, sf_dir):
+    """events_lifecycle_states: lag/lead run over user-keyed windows on
+    the DISTINCT user-week relation — no partition-less window, and the
+    horizon cap is a one-row broadcast (BroadcastNestedLoopJoin)."""
+    plan = _physical(fresh("events_lifecycle_states")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert plan.count("Exchange rangepartitioning") == 1  # presentation sort
+
+
+def test_engagement_histogram_bounded_window(spark, sf_dir):
+    """events_engagement_histogram: the cumulative at-least share's
+    global window is legal ONLY because it runs on the calendar-bounded
+    histogram (<= 31 rows) — the corpus-sized stages are the two
+    aggregates before it."""
+    plan = _physical(fresh("events_engagement_histogram")(spark, sf_dir))
+    # two-level distinct (user, day) + per-user count + histogram rollup
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_shard_assignment_uses_prefix_scan(spark, sf_dir):
+    """pipeline_shard_assignment: the running token total is the
+    two-phase prefix scan (one range exchange), and the totals/width
+    table is a one-row broadcast."""
+    plan = _physical(fresh("pipeline_shard_assignment")(spark, sf_dir))
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -311,3 +311,104 @@ def test_dedup_impact_brute_force(spark):
     # every mirror doc duplicates an original, so the mirror source must
     # be 100% removed
     assert rows["mirror"]["docs_removed_permille"] == 1000
+
+
+# ------------------------------------------------------------ lifecycle --
+def test_lifecycle_states_brute_force(spark):
+    rows = {r["week"]: r.asDict()
+            for r in QUERIES["events_lifecycle_states"](spark, SF_DIR).collect()}
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ts = pd.to_datetime(ev["ts"])
+    week = (ts - pd.to_timedelta(ts.dt.dayofweek, unit="D")).dt.date
+    uw = sorted(set(zip(ev["user_id"], week)))
+    by_user: dict[int, list] = {}
+    for u, w in uw:
+        by_user.setdefault(u, []).append(w)
+    import datetime as _dt
+
+    max_w = max(w for _, w in uw)
+    exp: dict = {}
+    for u, weeks in by_user.items():
+        for i, w in enumerate(weeks):
+            e = exp.setdefault(w, dict(n_new=0, n_retained=0,
+                                       n_resurrected=0, n_churned=0))
+            if i == 0:
+                e["n_new"] += 1
+            elif weeks[i - 1] == w - _dt.timedelta(days=7):
+                e["n_retained"] += 1
+            else:
+                e["n_resurrected"] += 1
+            nxt = weeks[i + 1] if i + 1 < len(weeks) else None
+            churn_w = w + _dt.timedelta(days=7)
+            if (nxt is None or nxt > churn_w) and churn_w <= max_w:
+                exp.setdefault(churn_w, dict(n_new=0, n_retained=0,
+                                             n_resurrected=0, n_churned=0))
+                exp[churn_w]["n_churned"] += 1
+    assert set(rows) == set(exp)
+    for w, e in exp.items():
+        got = rows[w]
+        for k, v in e.items():
+            assert got[k] == v, (w, k)
+    # growth accounting telescopes: WAU(w) - WAU(w-7) ==
+    # new + resurrected - churned for every week after the first
+    wau = {}
+    for u, w in uw:
+        wau[w] = wau.get(w, 0) + 1
+    weeks_sorted = sorted(wau)
+    for prev, cur in zip(weeks_sorted, weeks_sorted[1:]):
+        if cur - prev == _dt.timedelta(days=7):
+            r = rows[cur]
+            assert wau[cur] - wau[prev] == (
+                r["n_new"] + r["n_resurrected"] - r["n_churned"]
+            )
+
+
+# ----------------------------------------------------------- engagement --
+def test_engagement_histogram_brute_force(spark):
+    rows = QUERIES["events_engagement_histogram"](spark, SF_DIR).collect()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    days = pd.to_datetime(ev["ts"]).dt.date
+    ad = pd.DataFrame({"u": ev["user_id"], "d": days}).drop_duplicates()
+    per_user = ad.groupby("u").size()
+    hist = per_user.value_counts().sort_index()
+    total = len(per_user)
+    assert [r["active_days"] for r in rows] == list(hist.index)
+    running = 0
+    for r in reversed(rows):
+        running += r["n_users"]
+        assert r["n_users"] == hist[r["active_days"]]
+        assert r["share_permille"] == _round_half_away(
+            1000.0 * r["n_users"] / total
+        )
+        assert r["at_least_permille"] == _round_half_away(
+            1000.0 * running / total
+        )
+    assert sum(r["n_users"] for r in rows) == total
+
+
+# --------------------------------------------------------------- shards --
+def test_shard_assignment_brute_force(spark):
+    rows = QUERIES["pipeline_shard_assignment"](spark, SF_DIR).collect()
+    docs = _docs().sort_values("doc_id")
+    n_toks = docs["text"].str.split(" ").str.len().to_numpy()
+    total = int(n_toks.sum())
+    width = -(-total // 8)  # ceil
+    starts = np.concatenate([[0], np.cumsum(n_toks)[:-1]])
+    shard = starts // width
+    got = {r["shard_id"]: r.asDict() for r in rows}
+    for sid in sorted(set(shard)):
+        sel = shard == sid
+        r = got[sid]
+        assert r["n_docs"] == int(sel.sum())
+        assert r["n_tokens"] == int(n_toks[sel].sum())
+        assert r["min_doc_id"] == int(docs["doc_id"].to_numpy()[sel].min())
+        assert r["max_doc_id"] == int(docs["doc_id"].to_numpy()[sel].max())
+    assert len(got) == len(set(shard))
+    # contiguity: shard id ranges must not interleave
+    maxes = [got[s]["max_doc_id"] for s in sorted(got)]
+    mins = [got[s]["min_doc_id"] for s in sorted(got)]
+    assert all(m < n for m, n in zip(maxes, mins[1:]))
+    # balance: every shard's token load is within one max-doc of width
+    max_doc = int(n_toks.max())
+    for r in got.values():
+        assert r["n_tokens"] <= width + max_doc
