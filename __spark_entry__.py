@@ -43,10 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r7 TPC-H/TPC-DS rotation. Names past the cap keep their earlier
 # green rows.
 #
-# Eleven more operators landed AFTER the r8 first-50 was frozen (queue
-# positions 50-60 below). They are sweep-green at sf0.01 but never
-# driver-verified, so per the protocol they lead the r9 first-50,
-# ahead of the 7 deferred r2 names.
+# Fourteen more operators landed AFTER the r8 first-50 was frozen
+# (queue positions 50-63 below). They are sweep-green at sf0.01 but
+# never driver-verified, so per the protocol they lead the r9
+# first-50, ahead of the 7 deferred r2 names.
 _PRIORITY = [
     # --- new in round 8 ---
     "pipeline_quality_scorecard", "pipeline_partition_skew_report",
@@ -79,7 +79,8 @@ _PRIORITY = [
     "pipeline_embedding_drift", "text_vocab_coverage_curve",
     "text_heaps_fit", "pipeline_dedup_impact_report",
     "events_lifecycle_states", "events_engagement_histogram",
-    "pipeline_shard_assignment",
+    "pipeline_shard_assignment", "events_attribution_time_decay",
+    "text_entropy_rate", "pipeline_benford_audit",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

@@ -30,6 +30,7 @@ numbers.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -690,4 +691,78 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_permille"),
         )
         .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the classic data-quality / fabrication
+# screen over financial-style amounts: naturally occurring multi-scale
+# quantities follow P(d) = log10(1 + 1/d); synthetic, capped, or
+# copy-pasted columns don't. Run over lineitem extended prices, it is
+# the cheap first look a pipeline takes at a new numeric feed before
+# trusting it. First digits are extracted from the INTEGER part's
+# decimal string — never via floor(log10(x)), whose binary rounding at
+# exact powers of ten flips the leading digit.
+#
+# Scale: one narrow map + a 9-row aggregate; expected shares are the
+# same ln-ratio constants in both engines.
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+SELECT CAST(digit AS INT) AS digit,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(1000.0 * count(*) / tot.n) AS BIGINT) AS observed_permille,
+       CAST(round(1000.0 * ln(1 + 1.0 / CAST(digit AS INT)) / ln(10))
+            AS BIGINT) AS benford_permille,
+       CAST(round(1000.0 * count(*) / tot.n)
+            - round(1000.0 * ln(1 + 1.0 / CAST(digit AS INT)) / ln(10))
+            AS BIGINT) AS delta_permille
+FROM d, tot
+GROUP BY digit, tot.n
+ORDER BY digit
+"""
+
+
+@query("pipeline_benford_audit", oracle=_BENFORD_ORACLE)
+def pipeline_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over lineitem extended prices.
+    Output: (digit, n_rows, observed_permille, benford_permille,
+    delta_permille)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    )
+    d = li.select(digit.alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    expected = F.round(
+        1000.0 * F.log(1 + 1.0 / F.col("digit").cast("int")) / math.log(10)
+    ).cast("bigint")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("digit").cast("int").alias("digit"), "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "digit",
+            "n_rows",
+            F.round(1000.0 * F.col("n_rows") / F.col("n"))
+            .cast("bigint")
+            .alias("observed_permille"),
+            expected.alias("benford_permille"),
+            (
+                F.round(1000.0 * F.col("n_rows") / F.col("n"))
+                - F.round(
+                    1000.0 * F.log(1 + 1.0 / F.col("digit").cast("int"))
+                    / math.log(10)
+                )
+            )
+            .cast("bigint")
+            .alias("delta_permille"),
+        )
+        .orderBy("digit")
     )

@@ -7,6 +7,8 @@ parallel per-row transforms (no shuffle except final aggregations).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4244,6 +4246,149 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.round(F.regr_slope(lv, lt) * 10000, 0).cast("bigint").alias("beta_e4"),
             F.round(F.regr_r2(lv, lt) * 10000, 0).cast("bigint").alias("r2_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram conditional-entropy rate per source — the corpus-level
+# complexity signal next to text_char_entropy's per-document gate:
+# H(w2|w1) = -Σ p(w1,w2) ln p(w2|w1) in bits/token. Natural text sits
+# in a characteristic band; near-zero means templated/boilerplate
+# content (the next word is predictable), near-H(w1) means shuffled/
+# id-like noise (the previous word tells you nothing). Reported beside
+# the unigram entropy H(w1) so the conditioning GAIN is visible.
+#
+# Determinism: both entropies are Σ c·ln(c/N) over integer count
+# tables; engines may disagree at ulp level on the grouped-sum order,
+# which the e4 rounding absorbs (the text_zipf_fit regr convention).
+# Scale: two (source, gram)-keyed count aggregates (|vocab|- and
+# |bigram-vocab|-bounded) and a per-source rollup; only count tables
+# shuffle.
+_ENTROPY_RATE_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+uni AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(toks) AS tok FROM t) u
+  GROUP BY source, tok
+),
+bg AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, n - 1),
+                               i -> toks[i] || chr(9) || toks[i + 1])) AS bigram
+  FROM t WHERE n >= 2
+),
+c12 AS (SELECT source, bigram, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY source, bigram),
+c1 AS (SELECT source, split_part(bigram, chr(9), 1) AS w1,
+              CAST(count(*) AS BIGINT) AS c1
+       FROM bg GROUP BY source, w1),
+hu AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         -sum(c * ln(c * 1.0 / (SELECT sum(c) FROM uni u2
+                                WHERE u2.source = uni.source)))
+           / sum(c) / ln(2) AS h1
+  FROM uni GROUP BY source
+),
+hb AS (
+  SELECT x.source, CAST(sum(x.c12) AS BIGINT) AS n_bigrams,
+         -sum(x.c12 * ln(x.c12 * 1.0 / h.c1)) / sum(x.c12) / ln(2) AS h2
+  FROM c12 x
+  JOIN c1 h ON h.source = x.source
+           AND h.w1 = split_part(x.bigram, chr(9), 1)
+  GROUP BY x.source
+)
+SELECT hu.source, hu.n_tokens, hb.n_bigrams,
+       CAST(round(hu.h1 * 10000) AS BIGINT) AS unigram_bits_e4,
+       CAST(round(hb.h2 * 10000) AS BIGINT) AS cond_bits_e4,
+       CAST(round((hu.h1 - hb.h2) * 10000) AS BIGINT) AS info_gain_e4
+FROM hu JOIN hb ON hb.source = hu.source
+ORDER BY hu.source
+"""
+
+
+@query("text_entropy_rate", oracle=_ENTROPY_RATE_ORACLE)
+def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy and bigram conditional-entropy rate
+    (bits/token), plus the conditioning information gain. Output:
+    (source, n_tokens, n_bigrams, unigram_bits_e4, cond_bits_e4,
+    info_gain_e4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.split("text", " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    uni = (
+        t.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot_u = uni.groupBy("source").agg(F.sum("c").alias("nt"))
+    hu = (
+        uni.join(F.broadcast(tot_u), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            (
+                -F.sum(F.col("c") * F.log(F.col("c") * 1.0 / F.col("nt")))
+                / F.sum("c")
+                / math.log(2)
+            ).alias("h1"),
+        )
+    )
+    bg = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - 2),
+                    lambda i: F.concat_ws(
+                        "\t",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    w1_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1))
+    c12 = bg.groupBy("source", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = (
+        bg.select("source", w1_of.alias("w1"))
+        .groupBy("source", "w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    hb = (
+        c12.withColumn("w1", w1_of)
+        .join(F.broadcast(c1), ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.sum("c12").cast("bigint").alias("n_bigrams"),
+            (
+                -F.sum(F.col("c12") * F.log(F.col("c12") * 1.0 / F.col("c1")))
+                / F.sum("c12")
+                / math.log(2)
+            ).alias("h2"),
+        )
+    )
+    return (
+        hu.join(hb, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_bigrams",
+            F.round(F.col("h1") * 10000).cast("bigint").alias("unigram_bits_e4"),
+            F.round(F.col("h2") * 10000).cast("bigint").alias("cond_bits_e4"),
+            F.round((F.col("h1") - F.col("h2")) * 10000)
+            .cast("bigint")
+            .alias("info_gain_e4"),
         )
         .orderBy("source")
     )

@@ -2778,3 +2778,119 @@ def events_engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("active_days")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decay multi-touch attribution — the recency-weighted sibling of
+# events_multitouch_attribution's linear split: each purchase's value is
+# divided across the distinct touch channels in its 7-day window in
+# proportion to exp(-Δt/τ) of each channel's LAST touch (τ = 2 days), so
+# a touch an hour before the purchase out-earns one from last week. The
+# marketing stack runs linear + time-decay side by side; the two
+# operators share the same time-band join shape.
+#
+# Determinism: Δt comes from integer microseconds, the decay weight is
+# immediately scaled to an e6 BIGINT (sub-ulp exp() differences between
+# engines cannot survive the round), the share denominator is then an
+# exact integer sum, and per-row micro-cent shares are floored to
+# BIGINT before the final sum (the accumulation-order lesson pinned in
+# events_multitouch_attribution).
+_TDA_ORACLE = """
+WITH purch AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.event_id, t.event_type AS channel, max(t.ts) AS last_ts
+  FROM purch p JOIN events t
+    ON t.user_id = p.user_id
+   AND t.event_type <> 'purchase'
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL 7 DAY
+  GROUP BY p.event_id, t.event_type
+),
+weighted AS (
+  SELECT p.event_id, p.value,
+         coalesce(t.channel, '(direct)') AS channel,
+         CAST(CASE WHEN t.channel IS NULL THEN 1000000
+              ELSE round(exp(-((epoch_us(p.ts) - epoch_us(t.last_ts))
+                              / 1000000.0) / 172800.0) * 1000000)
+              END AS BIGINT) AS w_e6
+  FROM purch p LEFT JOIN touch t ON t.event_id = p.event_id
+),
+fan AS (
+  SELECT event_id, value, channel, w_e6,
+         sum(w_e6) OVER (PARTITION BY event_id) AS w_tot
+  FROM weighted
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(round(sum(CAST(round(value * 100000 * w_e6 / w_tot) AS BIGINT))
+                  / 1000.0) AS BIGINT) AS attributed_e2
+FROM fan
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@query("events_attribution_time_decay", oracle=_TDA_ORACLE)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: purchase value split across
+    the window's distinct channels in proportion to exp(-Δt/2d) of each
+    channel's last touch. Output: (channel, n_purchases,
+    attributed_e2)."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    touch = (
+        purch.join(
+            t,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_ts") < F.col("ts"))
+            & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("event_id", "channel")
+        .agg(F.max("t_ts").alias("last_ts"))
+    )
+    w_e6 = F.when(F.col("channel").isNull(), F.lit(1000000).cast("bigint")).otherwise(
+        F.round(
+            F.exp(
+                -((F.unix_micros("ts") - F.unix_micros("last_ts")) / 1000000.0)
+                / 172800.0
+            )
+            * 1000000
+        ).cast("bigint")
+    )
+    weighted = purch.join(touch, "event_id", "left").select(
+        "event_id",
+        "value",
+        F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"),
+        w_e6.alias("w_e6"),
+    )
+    fan = weighted.withColumn(
+        "w_tot", F.sum("w_e6").over(W.partitionBy("event_id"))
+    )
+    return (
+        fan.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("value") * 100000 * F.col("w_e6") / F.col("w_tot"), 0
+                    ).cast("bigint")
+                )
+                / 1000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("attributed_e2"),
+        )
+        .orderBy("channel")
+    )

@@ -752,3 +752,31 @@ def test_shard_assignment_uses_prefix_scan(spark, sf_dir):
     assert plan.count("Exchange rangepartitioning") == 1, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_time_decay_attribution_band_join_and_bounded_window(spark, sf_dir):
+    """events_attribution_time_decay: same time-band join shape as the
+    linear model; the share-denominator window is keyed by purchase
+    event_id (never partition-less)."""
+    plan = _physical(fresh("events_attribution_time_decay")(spark, sf_dir))
+    assert "Window" in plan
+    # the band join degenerates to a broadcast at fixture scale; pin
+    # only that nothing cartesian slipped in
+    assert "CartesianProduct" not in plan
+
+
+def test_entropy_rate_count_tables_broadcast(spark, sf_dir):
+    """text_entropy_rate: the per-source unigram total and bigram head
+    tables broadcast into the entropy sums (they are vocab-bounded);
+    the corpus-sized token/bigram streams only ever feed aggregates."""
+    plan = _physical(fresh("text_entropy_rate")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_audit_single_shuffle_family(spark, sf_dir):
+    """pipeline_benford_audit: a narrow digit map + one 9-row group —
+    no joins except the one-row total broadcast."""
+    plan = _physical(fresh("pipeline_benford_audit")(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

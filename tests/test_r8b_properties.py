@@ -412,3 +412,107 @@ def test_shard_assignment_brute_force(spark):
     max_doc = int(n_toks.max())
     for r in got.values():
         assert r["n_tokens"] <= width + max_doc
+
+
+# ------------------------------------------------------------ time-decay --
+def test_attribution_time_decay_brute_force(spark):
+    rows = {r["channel"]: r.asDict()
+            for r in QUERIES["events_attribution_time_decay"](spark, SF_DIR).collect()}
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    purch = ev[ev["event_type"] == "purchase"]
+    other = ev[ev["event_type"] != "purchase"]
+    per_channel: dict[str, list[float]] = {}
+    counts: dict[str, int] = {}
+    for _, p in purch.iterrows():
+        win = other[(other["user_id"] == p["user_id"])
+                    & (other["ts"] < p["ts"])
+                    & (other["ts"] >= p["ts"] - pd.Timedelta(days=7))]
+        if win.empty:
+            counts["(direct)"] = counts.get("(direct)", 0) + 1
+            per_channel.setdefault("(direct)", []).append(
+                _round_half_away(p["value"] * 100000 * 1000000 / 1000000)
+            )
+            continue
+        last = win.groupby("event_type")["ts"].max()
+        w = {
+            ch: _round_half_away(
+                math.exp(-((p["ts"] - t).value / 1000) / 1e6 / 172800.0) * 1e6
+            )
+            for ch, t in last.items()
+        }
+        tot = sum(w.values())
+        for ch, we in w.items():
+            counts[ch] = counts.get(ch, 0) + 1
+            per_channel.setdefault(ch, []).append(
+                _round_half_away(p["value"] * 100000 * we / tot)
+            )
+    assert set(rows) == set(per_channel)
+    total_attr = 0
+    for ch, micros in per_channel.items():
+        r = rows[ch]
+        assert r["n_purchases"] == counts[ch]
+        assert r["attributed_e2"] == _round_half_away(sum(micros) / 1000.0)
+        total_attr += r["attributed_e2"]
+    # conservation: total attributed value ~= total purchase value
+    # (micro-cent floor loses < n_shares/1000 cents)
+    total_e2 = purch["value"].sum() * 100
+    assert abs(total_attr - total_e2) <= max(2, len(purch) * 5 / 100)
+
+
+# --------------------------------------------------------------- entropy --
+def test_entropy_rate_brute_force(spark):
+    rows = {r["source"]: r.asDict()
+            for r in QUERIES["text_entropy_rate"](spark, SF_DIR).collect()}
+    docs = _docs()
+    from collections import Counter
+
+    for src, grp in docs.groupby("source"):
+        uni: Counter = Counter()
+        bg: Counter = Counter()
+        for text in grp["text"]:
+            ts = text.split(" ")
+            uni.update(ts)
+            bg.update(zip(ts, ts[1:]))
+        n = sum(uni.values())
+        h1 = -sum(c * math.log(c / n) for c in uni.values()) / n / math.log(2)
+        c1: Counter = Counter()
+        for (w1, _), c in bg.items():
+            c1[w1] += c
+        nb = sum(bg.values())
+        h2 = (
+            -sum(c * math.log(c / c1[w1]) for (w1, _), c in bg.items())
+            / nb / math.log(2)
+        )
+        r = rows[src]
+        assert r["n_tokens"] == n
+        assert r["n_bigrams"] == nb
+        assert r["unigram_bits_e4"] == pytest.approx(h1 * 10000, abs=2)
+        assert r["cond_bits_e4"] == pytest.approx(h2 * 10000, abs=2)
+        assert r["info_gain_e4"] == pytest.approx((h1 - h2) * 10000, abs=3)
+        # conditioning can only reduce entropy
+        assert r["cond_bits_e4"] <= r["unigram_bits_e4"]
+        assert r["info_gain_e4"] >= 0
+
+
+# --------------------------------------------------------------- benford --
+def test_benford_audit_brute_force(spark):
+    rows = {r["digit"]: r.asDict()
+            for r in QUERIES["pipeline_benford_audit"](spark, SF_DIR).collect()}
+    li = pd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    price = li["l_extendedprice"]
+    digits = price[price >= 1].apply(lambda x: int(str(int(math.floor(x)))[0]))
+    total = len(digits)
+    from collections import Counter
+
+    hist = Counter(digits)
+    assert set(rows) == set(hist)
+    for d, n in hist.items():
+        r = rows[d]
+        assert r["n_rows"] == n
+        assert r["observed_permille"] == _round_half_away(1000.0 * n / total)
+        assert r["benford_permille"] == _round_half_away(
+            1000.0 * math.log10(1 + 1.0 / d)
+        )
+        assert r["delta_permille"] == r["observed_permille"] - r["benford_permille"]
+    assert sum(r["n_rows"] for r in rows.values()) == total
