@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.queries.registry import QUERIES, query
 from minimised_impala_spark.tables import load_table
 
 P = 2147483647  # Mersenne prime 2^31-1
@@ -2023,4 +2023,58 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
         .orderBy("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the dedup TUNING artifact read off
+# the connected-components collapse (dedup_cluster_cc): a healthy
+# near-dup pass shows most clusters at size 2-3 with a thin tail; a fat
+# tail of huge clusters means the threshold is merging template families
+# (and keep-best is about to delete real content). Composes the
+# CC labels, so its oracle wraps the same recursive-CTE oracle.
+#
+# Scale: the label table is corpus-sized but the histogram aggregates
+# to |distinct cluster sizes| rows; cost is dedup_cluster_cc + two
+# small aggregates.
+def _cluster_hist_oracle() -> str:
+    return f"""
+WITH cc AS ({_CC_ORACLE.replace("ORDER BY doc_id", "")}),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST(cluster_size * count(*) - count(*) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_size_histogram", oracle=_cluster_hist_oracle())
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of duplicate-cluster sizes from the CC collapse, with
+    the removable-doc count (size - 1 per cluster under keep-one).
+    Output: (cluster_size, n_clusters, n_docs, n_removable)."""
+    labels = QUERIES["dedup_cluster_cc"](spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.col("cluster_size") * F.col("n_clusters") - F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
     )

@@ -766,3 +766,71 @@ def pipeline_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the structured-privacy counterpart of the
+# PII-redaction wing (pipeline_pii_redaction scrubs free text; this
+# measures re-identification risk in the METADATA): group the corpus by
+# its quasi-identifier tuple (lang, source, size bucket) and report the
+# equivalence-class size distribution. Classes smaller than k are
+# re-identifiable; a release gate requires zero rows in the at-risk
+# bands (or generalizes the QI until none remain).
+#
+# Scale: one QI-keyed count, then statistics over |classes| rows.
+_K_ANON = 5
+
+_K_ANON_ORACLE = f"""
+WITH classes AS (
+  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM documents GROUP BY lang, source, size_bucket
+),
+banded AS (
+  SELECT CASE WHEN class_size = 1 THEN '1 (unique)'
+              WHEN class_size < {_K_ANON} THEN '2-4 (small)'
+              WHEN class_size < 20 THEN '5-19'
+              ELSE '20+' END AS class_size_band,
+         class_size < {_K_ANON} AS at_risk,
+         class_size
+  FROM classes
+)
+SELECT class_size_band, at_risk,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_docs
+FROM banded
+GROUP BY class_size_band, at_risk
+ORDER BY class_size_band
+"""
+
+
+@query("pipeline_k_anonymity_audit", oracle=_K_ANON_ORACLE)
+def pipeline_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over the (lang, source, size-bucket)
+    quasi-identifier: equivalence-class size bands with at-risk flags
+    (k=5). Output: (class_size_band, at_risk, n_classes, n_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        # integer `div`, not floor(x/100): double division can land a
+        # hair below the true quotient at large n and floor one too low
+        F.expr("n_chars div 100").cast("bigint").alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    band = (
+        F.when(F.col("class_size") == 1, "1 (unique)")
+        .when(F.col("class_size") < _K_ANON, "2-4 (small)")
+        .when(F.col("class_size") < 20, "5-19")
+        .otherwise("20+")
+    )
+    return (
+        classes.groupBy(
+            band.alias("class_size_band"),
+            (F.col("class_size") < _K_ANON).alias("at_risk"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("class_size_band")
+    )

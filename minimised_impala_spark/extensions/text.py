@@ -4392,3 +4392,105 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen–Shannon divergence between source unigram
+# distributions — the DISTRIBUTIONAL companion to
+# pipeline_source_overlap_matrix's set-overlap view: two sources can
+# share most of their vocabulary (high Jaccard) while using it with
+# completely different frequencies (high JSD), and mixing weights care
+# about the latter. JSD is symmetric and bounded in [0, 1] bit.
+#
+# The disjoint-support mass never needs an outer join: tokens present
+# in only one source contribute exactly (p/2)·ln 2 each, so
+#   JSD = Σ_common [ p/2·ln(2p/(p+q)) + q/2·ln(2q/(p+q)) ]
+#         + ln2/2 · ((1 − Σ_common p) + (1 − Σ_common q))
+# and the pair join is an INNER join on the token posting lists
+# (df ≤ |sources| per token — the overlap-matrix bound).
+#
+# Determinism: p, q are integer-count ratios; the Σ is a grouped sum
+# whose accumulation order the e4 rounding absorbs (zipf/centroid
+# convention). Scale: one (source, tok) census, posting-bounded join,
+# |sources|²/2-row output.
+_JSD_ORACLE = """
+WITH uni AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t
+  GROUP BY source, tok
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY source),
+pq AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.c * 1.0 / ta.n AS p, b.c * 1.0 / tb.n AS q
+  FROM uni a
+  JOIN uni b ON b.tok = a.tok AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+),
+core AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS n_common_types,
+         sum(0.5 * p * ln(2 * p / (p + q))
+             + 0.5 * q * ln(2 * q / (p + q))) AS common_term,
+         sum(p) AS mass_a, sum(q) AS mass_b
+  FROM pq GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_common_types,
+       CAST(round((common_term
+                   + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b)))
+                  / ln(2) * 10000) AS BIGINT) AS jsd_bits_e4
+FROM core
+ORDER BY source_a, source_b
+"""
+
+
+@query("text_jsd_source_divergence", oracle=_JSD_ORACLE)
+def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (bits, e4) between source
+    unigram distributions; disjoint-support mass handled in closed form
+    so the pair join stays inner/posting-bounded. Output: (source_a,
+    source_b, n_common_types, jsd_bits_e4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = uni.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("source_a"),
+        "tok",
+        (F.col("c") * 1.0 / F.col("n")).alias("p"),
+    )
+    b = uni.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("source_b"),
+        "tok",
+        (F.col("c") * 1.0 / F.col("n")).alias("q"),
+    )
+    pq = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b"))
+    core = pq.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_types"),
+        F.sum(
+            0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+            + 0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+        ).alias("common_term"),
+        F.sum("p").alias("mass_a"),
+        F.sum("q").alias("mass_b"),
+    )
+    return core.select(
+        "source_a",
+        "source_b",
+        "n_common_types",
+        F.round(
+            (
+                F.col("common_term")
+                + 0.5 * math.log(2) * ((1 - F.col("mass_a")) + (1 - F.col("mass_b")))
+            )
+            / math.log(2)
+            * 10000
+        )
+        .cast("bigint")
+        .alias("jsd_bits_e4"),
+    ).orderBy("source_a", "source_b")

@@ -780,3 +780,20 @@ def test_benford_audit_single_shuffle_family(spark, sf_dir):
     plan = _physical(fresh("pipeline_benford_audit")(spark, sf_dir))
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_k_anonymity_single_shuffle(spark, sf_dir):
+    """pipeline_k_anonymity_audit: one QI-keyed count, one band rollup
+    — two hash exchanges, no joins."""
+    plan = _physical(fresh("pipeline_k_anonymity_audit")(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_jsd_joins_posting_lists_with_broadcast_totals(spark, sf_dir):
+    """text_jsd_source_divergence: source totals broadcast into both
+    probability sides; the pair join runs on the (source, tok) census
+    (posting lists bounded by |sources|); no cartesian product."""
+    plan = _physical(fresh("text_jsd_source_divergence")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan

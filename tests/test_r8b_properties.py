@@ -516,3 +516,78 @@ def test_benford_audit_brute_force(spark):
         )
         assert r["delta_permille"] == r["observed_permille"] - r["benford_permille"]
     assert sum(r["n_rows"] for r in rows.values()) == total
+
+
+# ------------------------------------------------------------ k-anonymity --
+def test_k_anonymity_brute_force(spark):
+    rows = {r["class_size_band"]: r.asDict()
+            for r in QUERIES["pipeline_k_anonymity_audit"](spark, SF_DIR).collect()}
+    docs = _docs()
+    qi = docs.groupby(
+        ["lang", "source", docs["n_chars"] // 100]
+    ).size()
+    from collections import Counter
+
+    bands: Counter = Counter()
+    docs_in: Counter = Counter()
+    for size in qi:
+        band = ("1 (unique)" if size == 1 else "2-4 (small)" if size < 5
+                else "5-19" if size < 20 else "20+")
+        bands[band] += 1
+        docs_in[band] += size
+    assert set(rows) == set(bands)
+    for band, n_classes in bands.items():
+        r = rows[band]
+        assert r["n_classes"] == n_classes
+        assert r["n_docs"] == docs_in[band]
+        assert r["at_risk"] == (band in ("1 (unique)", "2-4 (small)"))
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+
+
+# ------------------------------------------------------- cluster histogram --
+def test_cluster_size_histogram_consistent_with_cc(spark):
+    hist = QUERIES["dedup_cluster_size_histogram"](spark, SF_DIR).collect()
+    labels = QUERIES["dedup_cluster_cc"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    comp_sizes = Counter(r["component"] for r in labels)
+    size_hist = Counter(comp_sizes.values())
+    assert {r["cluster_size"]: r["n_clusters"] for r in hist} == dict(size_hist)
+    for r in hist:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+    # total docs across the histogram equals the label-table height
+    assert sum(r["n_docs"] for r in hist) == len(labels)
+
+
+# ------------------------------------------------------------------- jsd --
+def test_jsd_brute_force(spark):
+    rows = {(r["source_a"], r["source_b"]): r.asDict()
+            for r in QUERIES["text_jsd_source_divergence"](spark, SF_DIR).collect()}
+    docs = _docs()
+    from collections import Counter
+
+    dist: dict[str, Counter] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        dist.setdefault(src, Counter()).update(text.split(" "))
+    srcs = sorted(dist)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            ca, cb = dist[sa], dist[sb]
+            na, nb = sum(ca.values()), sum(cb.values())
+            jsd = 0.0
+            for tok in set(ca) | set(cb):
+                p = ca.get(tok, 0) / na
+                q = cb.get(tok, 0) / nb
+                m = (p + q) / 2
+                if p:
+                    jsd += 0.5 * p * math.log(p / m)
+                if q:
+                    jsd += 0.5 * q * math.log(q / m)
+            r = rows[(sa, sb)]
+            assert r["n_common_types"] == len(set(ca) & set(cb))
+            assert r["jsd_bits_e4"] == pytest.approx(
+                jsd / math.log(2) * 10000, abs=2
+            )
+            # bounded in [0, 1] bit
+            assert 0 <= r["jsd_bits_e4"] <= 10000
