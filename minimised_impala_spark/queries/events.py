@@ -2894,3 +2894,88 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution of the user co-occurrence graph — the graph-
+# health artifact that completes the graph wing (triangles, wedges,
+# link prediction, components, PageRank all assume a heavy-tailed but
+# CAPPED degree profile; this op measures it): the degree histogram
+# plus a Zipf-style power-law fit of ln(count) on ln(degree)
+# (text_zipf_fit's e4 regr convention). A fit collapsing toward 0 means
+# the cell cap flattened the graph; a very steep slope with a hub row
+# means the cap is leaking (Σ occupancy² risk returning).
+#
+# Scale: shares the capped `_cooccurrence_edges` build (WindowGroupLimit
+# cells, weight-4 threshold); degrees are one node-keyed count; the
+# histogram and fit run on |distinct degrees| rows.
+_DEGREE_DIST_ORACLE = """
+WITH cells_all AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+cells AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT event_type, h, user_id,
+           row_number() OVER (PARTITION BY event_type, h
+                              ORDER BY user_id) AS rn
+    FROM cells_all) t WHERE rn <= 16
+),
+edges_raw AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM cells a JOIN cells b
+    ON b.event_type = a.event_type AND b.h = a.h AND b.user_id > a.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= 4
+),
+deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u FROM edges_raw UNION ALL SELECT v FROM edges_raw
+  ) t(u) GROUP BY u
+),
+hist AS (
+  SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY d
+),
+fit AS (
+  SELECT CAST(round(regr_slope(ln(n_nodes), ln(degree)) * 10000) AS BIGINT)
+           AS slope_e4,
+         CAST(round(regr_r2(ln(n_nodes), ln(degree)) * 10000) AS BIGINT)
+           AS r2_e4
+  FROM hist
+)
+SELECT h.degree, h.n_nodes, f.slope_e4, f.r2_e4
+FROM hist h CROSS JOIN fit f
+ORDER BY h.degree
+"""
+
+
+@query("events_degree_distribution", oracle=_DEGREE_DIST_ORACLE)
+def events_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the capped co-occurrence graph with a
+    power-law regr fit broadcast onto every row. Output: (degree,
+    n_nodes, slope_e4, r2_e4)."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = _cooccurrence_edges(ev).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    ln_n = F.log(F.col("n_nodes").cast("double"))
+    ln_d = F.log(F.col("degree").cast("double"))
+    fit = hist.agg(
+        F.round(F.regr_slope(ln_n, ln_d) * 10000, 0)
+        .cast("bigint")
+        .alias("slope_e4"),
+        F.round(F.regr_r2(ln_n, ln_d) * 10000, 0).cast("bigint").alias("r2_e4"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(fit))
+        .select("degree", "n_nodes", "slope_e4", "r2_e4")
+        .orderBy("degree")
+    )

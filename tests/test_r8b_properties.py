@@ -591,3 +591,38 @@ def test_jsd_brute_force(spark):
             )
             # bounded in [0, 1] bit
             assert 0 <= r["jsd_bits_e4"] <= 10000
+
+
+# -------------------------------------------------------- degree profile --
+def test_degree_distribution_consistent_with_graph_ops(spark):
+    """The histogram must tally exactly the degree table the triangle/
+    link-prediction ops orient by: recompute degrees from the raw
+    events with the same cell-cap rule."""
+    rows = QUERIES["events_degree_distribution"](spark, SF_DIR).collect()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev["h"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    cells = ev[["event_type", "h", "user_id"]].drop_duplicates()
+    cells = (
+        cells.sort_values("user_id")
+        .groupby(["event_type", "h"])
+        .head(16)
+    )
+    from collections import Counter
+    from itertools import combinations
+
+    pair_w: Counter = Counter()
+    for _, grp in cells.groupby(["event_type", "h"]):
+        for u, v in combinations(sorted(grp["user_id"]), 2):
+            pair_w[(u, v)] += 1
+    deg: Counter = Counter()
+    for (u, v), w in pair_w.items():
+        if w >= 4:
+            deg[u] += 1
+            deg[v] += 1
+    hist = Counter(deg.values())
+    assert {r["degree"]: r["n_nodes"] for r in rows} == dict(hist)
+    # the fit is constant across rows and finite
+    slopes = {r["slope_e4"] for r in rows}
+    r2s = {r["r2_e4"] for r in rows}
+    assert len(slopes) == 1 and len(r2s) == 1
+    assert sum(r["n_nodes"] for r in rows) == len(deg)
