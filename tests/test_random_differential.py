@@ -729,6 +729,53 @@ def _gen_rollup_query(rng: random.Random) -> str:
 N_ROLLUP_QUERIES = 12
 
 
+def _gen_setop_query(rng: random.Random) -> str:
+    """Set-operation differential branch: UNION / INTERSECT / EXCEPT
+    with ALL vs DISTINCT multiplicity over low-cardinality projections
+    (duplicates everywhere, so bag semantics actually bite). Classic
+    disagreement corners: EXCEPT ALL multiplicity (count subtraction,
+    not set removal), INTERSECT ALL min-count semantics, NULL-equality
+    inside set ops, and the standard INTERSECT-binds-tighter precedence
+    when chains are left unparenthesized. Row comparison is
+    order-insensitive so no ORDER BY is emitted."""
+    fam = rng.choice(["orders", "lineitem", "customer"])
+    if fam == "orders":
+        cols = "o_orderstatus, o_orderpriority"
+        branch = lambda: (  # noqa: E731
+            f"SELECT {cols} FROM orders "
+            f"WHERE o_totalprice < {rng.randint(40000, 450000)}"
+        )
+    elif fam == "lineitem":
+        cols = "l_returnflag, l_linestatus"
+        branch = lambda: (  # noqa: E731
+            f"SELECT {cols} FROM lineitem "
+            f"WHERE l_quantity < {rng.randint(5, 48)}"
+        )
+    else:
+        cols = "c_mktsegment"
+        branch = lambda: (  # noqa: E731
+            f"SELECT {cols} FROM customer "
+            f"WHERE c_acctbal < {rng.randint(-500, 9500)}"
+        )
+    ops = ["UNION ALL", "UNION", "INTERSECT", "INTERSECT ALL",
+           "EXCEPT", "EXCEPT ALL"]
+    n_branches = rng.choice([2, 3])
+    q = branch()
+    for _ in range(n_branches - 1):
+        op = rng.choice(ops)
+        if rng.random() < 0.3:
+            # parenthesized left side pins the association explicitly
+            q = f"({q}) {op} {branch()}"
+        else:
+            # unparenthesized chain exercises standard precedence
+            # (INTERSECT binds tighter than UNION/EXCEPT)
+            q = f"{q} {op} {branch()}"
+    return q
+
+
+N_SETOP_QUERIES = 14
+
+
 def _gen_subquery_query(rng: random.Random) -> str:
     """Subquery branch: correlated EXISTS/NOT EXISTS, [NOT] IN with a
     filtered subquery, correlated scalar compare, and IN inside a
@@ -1289,6 +1336,8 @@ _IFRNG = random.Random(20260829)
 QUERIES += [
     _gen_interval_frame_query(_IFRNG) for _ in range(N_INTERVAL_FRAME_QUERIES)
 ]
+_SORNG = random.Random(20260902)
+QUERIES += [_gen_setop_query(_SORNG) for _ in range(N_SETOP_QUERIES)]
 _SRNG = random.Random(20260821)
 QUERIES += [_gen_subquery_query(_SRNG) for _ in range(N_SUBQ_QUERIES)]
 _SFRNG = random.Random(20260822)

@@ -40,6 +40,7 @@ def main() -> int:
         _gen_outer_join_query,
         _gen_query,
         _gen_rollup_query,
+        _gen_setop_query,
         _gen_star_join_query,
         _gen_string_fn_query,
         _gen_subquery_query,
@@ -69,6 +70,7 @@ def main() -> int:
         (_gen_query, 1),
         (_gen_outer_join_query, 1),
         (_gen_rollup_query, 1),
+        (_gen_setop_query, 2),
         (_gen_subquery_query, 2),
         (_gen_string_fn_query, 2),
         (_gen_date_fn_query, 2),
