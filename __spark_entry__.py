@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r7 TPC-H/TPC-DS rotation. Names past the cap keep their earlier
 # green rows.
 #
-# Eighteen more operators landed AFTER the r8 first-50 was frozen
-# (queue positions 50-67 below). They are sweep-green at sf0.01 but
+# Nineteen more operators landed AFTER the r8 first-50 was frozen
+# (queue positions 50-68 below). They are sweep-green at sf0.01 but
 # never driver-verified, so per the protocol they lead the r9
 # first-50, ahead of the 7 deferred r2 names.
 _PRIORITY = [
@@ -83,6 +83,7 @@ _PRIORITY = [
     "text_entropy_rate", "pipeline_benford_audit",
     "pipeline_k_anonymity_audit", "dedup_cluster_size_histogram",
     "text_jsd_source_divergence", "events_degree_distribution",
+    "multimodal_phash_neardup",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

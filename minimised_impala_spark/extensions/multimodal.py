@@ -497,3 +497,138 @@ def multimodal_pair_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection over binary payloads — the
+# LAION-style media dedup shape: a compact content hash whose Hamming
+# distance tracks perceptual similarity, banded so candidate pairs come
+# from an equi-join, exact Hamming verified only on collisions. Real
+# perceptual hashes (pHash DCT, aHash) need the codec libs this
+# container lacks; the stand-in is a STRIDE-PARITY hash with the same
+# locality property — bit i = parity of the sum of payload bytes at
+# positions ≡ i (mod 64) — so a small byte edit flips few bits, packed
+# into 4 SIXTEEN-bit chunks for pigeonhole banding (Hamming ≤ 3 touches
+# at most 3 chunks, so ≥ 1 of the 4 band joins still collides). Band
+# width is the scale dial: 8-bit chunks have only 256 values per band,
+# which at 10× corpus put Σ occupancy² ≈ n²/256 pairs through the join
+# (the first cut smoked 9.6×); 16-bit bands cut collisions 256× while
+# keeping the pigeonhole guarantee. The hash is an
+# Arrow-batched numpy kernel over the BINARY column (vectorized
+# byte-matrix parity — exactly how a real pHash UDF would batch); the
+# corpus is ASCII-only (lang = 'en') so the oracle can replay byte
+# values as SQL char codes.
+#
+# Scale: hash is a narrow map (one kernel pass per payload); candidates
+# come from the 4-way (chunk_idx, chunk_val) self-equi-join; the exact
+# Hamming rescore is a 4-element fold on collision pairs only.
+_PHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id + 500000,
+         substr(text, 1, 10) || 'Z' || substr(text, 12)
+  FROM documents WHERE lang = 'en' AND doc_id % 7 = 0
+),
+bytes AS (
+  SELECT doc_id, (i - 1) % 64 AS stride,
+         unicode(substr(text, CAST(i AS INT), 1)) AS b
+  FROM corpus, LATERAL unnest(generate_series(1, length(text))) t(i)
+),
+bits AS (
+  SELECT doc_id, stride, CAST(sum(b) % 2 AS BIGINT) AS bit
+  FROM bytes GROUP BY doc_id, stride
+),
+chunks AS (
+  SELECT doc_id, stride // 16 AS k,
+         CAST(sum(bit << (stride % 16)) AS BIGINT) AS chunk
+  FROM bits GROUP BY doc_id, stride // 16
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON b.k = a.k AND b.chunk = a.chunk AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(bit_count(xor(ca.chunk, cb.chunk))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN chunks ca ON ca.doc_id = c.doc_a
+  JOIN chunks cb ON cb.doc_id = c.doc_b AND cb.k = ca.k
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def _phash_chunks_kernel(payloads: pd.Series) -> pd.Series:
+    """Vectorized stride-parity hash: payload bytes → 4 chunk values
+    (each packing 16 parity bits). numpy does the whole Arrow batch in
+    one padded byte-matrix reduction per row."""
+    import numpy as np
+
+    out = []
+    for p in payloads:
+        a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        pad = (-len(a)) % 64
+        if pad:
+            a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+        bits = a.reshape(-1, 64).sum(axis=0) & 1
+        weights = 1 << np.arange(16)
+        chunks = (bits.reshape(4, 16) * weights).sum(axis=1)
+        out.append([int(c) for c in chunks])
+    return pd.Series(out)
+
+
+@query("multimodal_phash_neardup", oracle=_PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded perceptual-hash near-dup over binary payloads: stride-
+    parity hash chunks from an Arrow kernel, 4-way 16-bit band join,
+    exact Hamming <= 3 on collisions. Output: (doc_a, doc_b,
+    hamming)."""
+    from pyspark.sql import functions as SF
+
+    phash_udf = SF.pandas_udf(_phash_chunks_kernel, "array<bigint>")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    pert = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10), F.lit("Z"), F.expr("substring(text, 12)")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(pert)
+    hashed = corpus.select(
+        "doc_id",
+        phash_udf(F.col("text").cast("binary")).alias("chunks"),
+    ).localCheckpoint(eager=False)
+    bands = hashed.select(
+        "doc_id", F.posexplode("chunks").alias("k", "chunk")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("b.k") == F.col("a.k"))
+            & (F.col("b.chunk") == F.col("a.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ca = hashed.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ca"))
+    cb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("cb"))
+    hamming = F.expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> bit_count(x ^ y)), "
+        "0L, (acc, v) -> acc + v)"
+    ).cast("bigint")
+    return (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

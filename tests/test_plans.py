@@ -797,3 +797,13 @@ def test_jsd_joins_posting_lists_with_broadcast_totals(spark, sf_dir):
     plan = _physical(fresh("text_jsd_source_divergence")(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_phash_neardup_band_join_shape(spark, sf_dir):
+    """multimodal_phash_neardup: candidates come from the (chunk_idx,
+    chunk_val) self-equi-join over the Arrow-kernel hash table — never
+    a cartesian pairing of payloads; the Hamming rescore is a bounded
+    fold on collision pairs."""
+    plan = _physical(fresh("multimodal_phash_neardup")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan or "ExistingRDD" in plan  # kernel stage

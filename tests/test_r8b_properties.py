@@ -626,3 +626,48 @@ def test_degree_distribution_consistent_with_graph_ops(spark):
     r2s = {r["r2_e4"] for r in rows}
     assert len(slopes) == 1 and len(r2s) == 1
     assert sum(r["n_nodes"] for r in rows) == len(deg)
+
+
+# ----------------------------------------------------------------- phash --
+def _stride_parity_chunks(data: bytes) -> list[int]:
+    import numpy as np
+
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    pad = (-len(a)) % 64
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+    bits = a.reshape(-1, 64).sum(axis=0) & 1
+    return [int((bits[16 * k : 16 * k + 16] * (1 << np.arange(16))).sum())
+            for k in range(4)]
+
+
+def test_phash_neardup_brute_force(spark):
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in QUERIES["multimodal_phash_neardup"](spark, SF_DIR).collect()}
+    docs = _docs()
+    en = docs[docs["lang"] == "en"]
+    corpus = {int(d): t.encode() for d, t in zip(en["doc_id"], en["text"])}
+    corpus.update({
+        int(d) + 500000: (t[:10] + "Z" + t[11:]).encode()
+        for d, t in zip(en["doc_id"], en["text"]) if d % 7 == 0
+    })
+    chunks = {d: _stride_parity_chunks(p) for d, p in corpus.items()}
+    ids = sorted(chunks)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            # banding: at least one identical chunk at the same index
+            if not any(x == y for x, y in zip(chunks[a], chunks[b])):
+                continue
+            ham = sum(bin(x ^ y).count("1")
+                      for x, y in zip(chunks[a], chunks[b]))
+            if ham <= 3:
+                expected[(a, b)] = ham
+    assert rows == expected
+    # every planted single-char edit differs in at most one stride parity
+    for d in corpus:
+        if d >= 500000 and (d - 500000) in chunks:
+            ham = sum(bin(x ^ y).count("1") for x, y in
+                      zip(chunks[d], chunks[d - 500000]))
+            assert ham <= 1
+            assert (d - 500000, d) in rows
