@@ -84,6 +84,11 @@ _PRIORITY = [
     "pipeline_k_anonymity_audit", "dedup_cluster_size_histogram",
     "text_jsd_source_divergence", "events_degree_distribution",
     "multimodal_phash_neardup",
+    # semantics changed late in r8 (32-bit/8-bit-band simhash upgraded
+    # to the published 64-bit/16-bit-band config) — its old green row
+    # no longer describes the current spec, so it queues with the
+    # never-verified block per the protocol
+    "dedup_simhash",
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     # remaining greens follow in registration order via _ordered_names

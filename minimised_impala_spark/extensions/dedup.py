@@ -352,98 +352,148 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 def _simhash_oracle() -> str:
-    # 32-bit simhash from shingle hashes; banded hamming join (4×8-bit
-    # chunks cover hamming distance ≤ 3 by pigeonhole).
+    # 64-bit simhash (Manku et al. 2007's production config: f=64, k=3)
+    # from two md5-derived 32-bit words per shingle; banded hamming join
+    # on 4×16-bit chunks (pigeonhole still covers hamming ≤ 3, and a
+    # 16-bit band has 65536 values where the former 8-bit band had 256 —
+    # the band-occupancy self-join stays out of the Σ occupancy² regime
+    # as the corpus grows). The signature lives as 4 chunk ROWS, never a
+    # packed 64-bit scalar, so bit 63 cannot touch the BIGINT sign bit.
     return f"""
 WITH {CORPUS_SQL.strip()},
 {SHINGLES_SQL.strip().lstrip(',').strip()},
-hashed AS (SELECT doc_id, {SHINGLE_HASH_SQL} AS h FROM shingles),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+  FROM shingles
+),
 bits AS (
   SELECT doc_id, b.bit,
-         CAST(sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
-  FROM hashed, (SELECT unnest(range(32)) AS bit) b
+         CAST(sum(CASE WHEN (CASE WHEN b.bit < 32 THEN (h1 >> b.bit) & 1
+                             ELSE (h2 >> (b.bit - 32)) & 1 END) = 1
+                  THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM hashed, (SELECT unnest(range(64)) AS bit) b
   GROUP BY doc_id, b.bit
 ),
-sim AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
-           AS simhash
-  FROM bits GROUP BY doc_id
-),
 chunks AS (
-  SELECT doc_id, simhash, c.chunk,
-         (simhash >> (8 * c.chunk)) & 255 AS ck
-  FROM sim, (SELECT unnest(range(4)) AS chunk) c
+  SELECT doc_id, bit // 16 AS chunk,
+         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << (bit % 16)
+                  ELSE 0 END) AS BIGINT) AS ck
+  FROM bits GROUP BY doc_id, bit // 16
 ),
 cand AS (
-  SELECT DISTINCT c1.doc_id AS d1, c2.doc_id AS d2,
-         c1.simhash AS sh1, c2.simhash AS sh2
+  SELECT DISTINCT c1.doc_id AS d1, c2.doc_id AS d2
   FROM chunks c1 JOIN chunks c2
     ON c1.chunk = c2.chunk AND c1.ck = c2.ck AND c1.doc_id < c2.doc_id
+),
+ham AS (
+  SELECT c.d1, c.d2,
+         CAST(sum(bit_count(xor(ca.ck, cb.ck))) AS INT) AS hamming
+  FROM cand c
+  JOIN chunks ca ON ca.doc_id = c.d1
+  JOIN chunks cb ON cb.doc_id = c.d2 AND cb.chunk = ca.chunk
+  GROUP BY c.d1, c.d2
 )
-SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
-FROM cand
-WHERE bit_count(xor(sh1, sh2)) <= 3
+SELECT d1, d2, hamming FROM ham
+WHERE hamming <= 3
 ORDER BY d1, d2
 """
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature per doc, candidates via 8-bit
-    chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), exact
-    hamming filter on candidates. All-integer → bit-identical across
-    engines."""
-    hashed = shingles(spark, sf_dir).select("doc_id", _shingle_hash(F.col("sh")))
-    bits = (
-        hashed.join(F.broadcast(
-            spark.range(32).select(F.col("id").cast("int").alias("bit"))
-        ))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
+    """SimHash near-dup at the published production configuration
+    (Manku et al. 2007, WWW: f=64 bits, k=3): 64-bit signature per doc
+    from two md5-derived 32-bit words per shingle, candidates via
+    4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk
+    equal), exact hamming on candidates. All-integer → bit-identical
+    across engines.
+
+    Band width is the scale dial: the former 32-bit/8-bit-band form
+    had 256 values per band, so the band self-join carried
+    Σ occupancy² ≈ n²/256 candidate pairs (5.9× at the 10× smoke);
+    16-bit bands cut random collisions 256×. The signature stays as 4
+    chunk ROWS (never a packed 64-bit scalar — bit 63 would wrap the
+    BIGINT sign in both engines)."""
+    hashed = shingles(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.col("sh")), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("h2"),
     )
-    sim = bits.groupBy("doc_id").agg(
+    # 64 columnar ± sums in ONE doc-keyed aggregate — never a 64×-row
+    # bit explosion through the shuffle (the exploded form tripled the
+    # op's wall time; the shuffle here carries |docs| rows of 64 ints,
+    # map-side combined)
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(0)
-        ).alias("simhash")
+            F.when(
+                F.expr(
+                    f"(h1 >> {b}) & 1" if b < 32 else f"(h2 >> {b - 32}) & 1"
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+
+    def _chunk(k: int) -> F.Column:
+        ck = F.lit(0)
+        for j in range(16):
+            ck = ck + F.when(
+                F.col(f"s{16 * k + j}") > 0, F.lit(1 << j)
+            ).otherwise(0)
+        return ck.cast("bigint")
+
+    chunks = sums.select(
+        "doc_id",
+        F.posexplode(F.array(*[_chunk(k) for k in range(4)])).alias(
+            "chunk", "ck"
+        ),
     )
-    chunks = (
-        sim.join(F.broadcast(
-            spark.range(4).select(F.col("id").cast("int").alias("chunk"))
-        ))
-        .select(
-            "doc_id",
-            "simhash",
-            "chunk",
-            F.expr("(simhash >> (8 * chunk)) & 255").alias("ck"),
-        )
-    )
-    c1 = chunks.select(
-        F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"), "chunk", "ck"
-    )
+    c1 = chunks.select(F.col("doc_id").alias("d1"), "chunk", "ck")
     c2 = chunks.select(
         F.col("doc_id").alias("d2"),
-        F.col("simhash").alias("sh2"),
         F.col("chunk").alias("chunk2"),
         F.col("ck").alias("ck2"),
     )
-    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return (
+    cand = (
         c1.join(
             c2,
             (F.col("chunk") == F.col("chunk2"))
             & (F.col("ck") == F.col("ck2"))
             & (F.col("d1") < F.col("d2")),
         )
-        .select("d1", "d2", "sh1", "sh2")
+        .select("d1", "d2")
         .distinct()
-        .filter(hamming <= 3)
-        .select("d1", "d2", hamming.cast("int").alias("hamming"))
+    )
+    ca = chunks.select(
+        F.col("doc_id").alias("d1"), "chunk", F.col("ck").alias("cka")
+    )
+    cb = chunks.select(
+        F.col("doc_id").alias("d2b"),
+        F.col("chunk").alias("chunkb"),
+        F.col("ck").alias("ckb"),
+    )
+    return (
+        cand.join(ca, "d1")
+        .join(
+            cb,
+            (F.col("d2") == F.col("d2b")) & (F.col("chunk") == F.col("chunkb")),
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.bit_count(F.col("cka").bitwiseXOR(F.col("ckb"))))
+            .cast("int")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= 3)
         .orderBy("d1", "d2")
     )
 
