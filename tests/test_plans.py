@@ -807,3 +807,15 @@ def test_phash_neardup_band_join_shape(spark, sf_dir):
     plan = _physical(fresh("multimodal_phash_neardup")(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan or "ExistingRDD" in plan  # kernel stage
+
+
+def test_simhash_columnar_bit_sums(spark, sf_dir):
+    """dedup_simhash: the 64 bit sums are columnar aggregates in ONE
+    doc-keyed groupBy — the plan must not contain the 64x-row bit
+    explosion (a join against a 64-row range before the signature
+    aggregate; the exploded form measured ~3x slower)."""
+    plan = _physical(fresh("dedup_simhash")(spark, sf_dir))
+    assert "posexplode" in plan or "Generate" in plan  # 4-chunk fan-out only
+    # signature stage: one aggregate keyed on doc_id with 64 sum exprs —
+    # no range join feeding it
+    assert "Range (0, 64" not in plan, plan[:2000]
