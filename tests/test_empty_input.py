@@ -103,6 +103,28 @@ EMPTY_ZERO = [
     "text_code_detection",
     "dedup_cross_source",
     "dedup_normalized_exact",
+    # late round-8 additions (text_padding_efficiency and
+    # text_vocab_coverage_curve are excluded: their single_max / K-axis
+    # arms are global aggregates that produce rows by construction,
+    # like select_values)
+    "text_quality_calibration",
+    "text_kneser_ney_lm",
+    "pipeline_source_overlap_matrix",
+    "pipeline_embedding_drift",
+    "text_heaps_fit",
+    "pipeline_dedup_impact_report",
+    "events_lifecycle_states",
+    "events_engagement_histogram",
+    "pipeline_shard_assignment",
+    "events_attribution_time_decay",
+    "text_entropy_rate",
+    "pipeline_benford_audit",
+    "pipeline_k_anonymity_audit",
+    "dedup_cluster_size_histogram",
+    "text_jsd_source_divergence",
+    "events_degree_distribution",
+    "multimodal_phash_neardup",
+    "dedup_simhash",
 ]
 
 
