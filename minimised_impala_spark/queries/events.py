@@ -676,14 +676,14 @@ iv AS (
 pts AS (
   SELECT st AS t, 1 AS delta,
          lpad(CAST(epoch_us(st) AS VARCHAR), 18, '0') || '_1_' ||
-         lpad(CAST(user_id AS VARCHAR), 6, '0') || '_' ||
-         lpad(CAST(sess AS VARCHAR), 6, '0') AS k
+         lpad(CAST(user_id AS VARCHAR), 20, '0') || '_' ||
+         lpad(CAST(sess AS VARCHAR), 12, '0') AS k
   FROM iv
   UNION ALL
   SELECT en AS t, -1 AS delta,
          lpad(CAST(epoch_us(en) AS VARCHAR), 18, '0') || '_0_' ||
-         lpad(CAST(user_id AS VARCHAR), 6, '0') || '_' ||
-         lpad(CAST(sess AS VARCHAR), 6, '0') AS k
+         lpad(CAST(user_id AS VARCHAR), 20, '0') || '_' ||
+         lpad(CAST(sess AS VARCHAR), 12, '0') AS k
   FROM iv
 ),
 lv AS (
@@ -731,9 +731,13 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 F.concat(
             F.lpad(F.unix_micros("st").cast("string"), 18, "0"),
             F.lit("_1_"),
-            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+            # lpad TRUNCATES overlong input in both engines: 6-digit
+            # pads silently merged distinct (user, sess) keys once ids
+            # pass 1e6, making the prefix-scan order non-unique. 20/12
+            # digits cover the full BIGINT range.
+            F.lpad(F.col("user_id").cast("string"), 20, "0"),
             F.lit("_"),
-            F.lpad(F.col("sess").cast("string"), 6, "0"),
+            F.lpad(F.col("sess").cast("string"), 12, "0"),
         ).alias("k"),
     )
     ends = iv.select(
@@ -742,9 +746,9 @@ F.concat(
 F.concat(
             F.lpad(F.unix_micros("en").cast("string"), 18, "0"),
             F.lit("_0_"),
-            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+            F.lpad(F.col("user_id").cast("string"), 20, "0"),
             F.lit("_"),
-            F.lpad(F.col("sess").cast("string"), 6, "0"),
+            F.lpad(F.col("sess").cast("string"), 12, "0"),
         ).alias("k"),
     )
     lv = distributed_cumsum(starts.unionByName(ends), "k", "delta", "level")

@@ -671,3 +671,52 @@ def test_phash_neardup_brute_force(spark):
                       zip(chunks[d], chunks[d - 500000]))
             assert ham <= 1
             assert (d - 500000, d) in rows
+
+
+# ----------------------------------------------------- concurrency key --
+def _concurrency_fixture(tmp_path, offset: int) -> str:
+    """Sessions engineered so several start/end endpoints share exact
+    timestamps across users — the regime where the sweep's composite
+    ordering key must stay UNIQUE (lpad truncation at 6 digits merged
+    keys once user ids passed 1e6)."""
+    rows = []
+    eid = 0
+    for u in range(12):
+        uid = offset + u
+        for s in range(3):
+            base = pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(
+                hours=2 * s
+            )
+            for m in (0, 5, 10):
+                rows.append((eid, base + pd.Timedelta(minutes=m), uid,
+                             "view", 1.0, "{}"))
+                eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = tmp_path / f"conc{offset}"
+    out.mkdir()
+    df.to_parquet(out / "events.parquet", index=False)
+    return str(out)
+
+
+def test_concurrency_curve_id_translation_invariance(spark, tmp_path):
+    """The hourly concurrency curve depends only on interval geometry,
+    never on user-id magnitude: shifting every id by +1e12 (ids far past
+    any fixed-width pad) must leave the curve bit-identical. The former
+    6-digit lpad key truncated those ids to their FIRST six digits —
+    all '100000' at +1e12 — collapsing the prefix-scan order to
+    duplicate keys."""
+    small = QUERIES["events_concurrency_curve"](
+        spark, _concurrency_fixture(tmp_path, 1)
+    ).collect()
+    huge = QUERIES["events_concurrency_curve"](
+        spark, _concurrency_fixture(tmp_path, 10**12)
+    ).collect()
+    assert [tuple(r) for r in small] == [tuple(r) for r in huge]
+    assert len(small) > 0
+    # 12 users all concurrently in session during each burst
+    assert max(r["peak_concurrency"] for r in small) == 12
