@@ -383,8 +383,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
     c = distributed_cumsum(t, "doc_id", "n_tokens", "cum")
-    first = F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_CAP).cast("bigint")
-    last = F.floor((F.col("cum") - 1) / _PACK_CAP).cast("bigint")
+    # exact integer `div`, matching the oracle's `//`: floor of a DOUBLE
+    # division can land one below/above the true quotient once the
+    # corpus-wide cumsum outgrows double precision (the same trap the
+    # k-anonymity bucket dodged)
+    first = F.expr(f"(cum - n_tokens) div {_PACK_CAP}").cast("bigint")
+    last = F.expr(f"(cum - 1) div {_PACK_CAP}").cast("bigint")
     return c.select(
         "doc_id",
         "n_tokens",
