@@ -43,10 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r7 TPC-H/TPC-DS rotation. Names past the cap keep their earlier
 # green rows.
 #
-# Nineteen more operators landed AFTER the r8 first-50 was frozen
-# (queue positions 50-68 below). They are sweep-green at sf0.01 but
-# never driver-verified, so per the protocol they lead the r9
-# first-50, ahead of the 7 deferred r2 names.
+# Twenty-one more operators landed AFTER the r8 first-50 was frozen
+# (queue positions 50-70 below), plus two existing ops whose code
+# changed (simhash re-spec, concurrency key widening). All are
+# sweep-green at sf0.01 (most also at sf0.1 and sf0.001) but the new
+# ones were never driver-verified, so per the protocol they lead the
+# r9 first-50, ahead of the 7 deferred r2 names.
 _PRIORITY = [
     # --- new in round 8 ---
     "pipeline_quality_scorecard", "pipeline_partition_skew_report",
@@ -83,7 +85,8 @@ _PRIORITY = [
     "text_entropy_rate", "pipeline_benford_audit",
     "pipeline_k_anonymity_audit", "dedup_cluster_size_histogram",
     "text_jsd_source_divergence", "events_degree_distribution",
-    "multimodal_phash_neardup",
+    "multimodal_phash_neardup", "pipeline_market_basket",
+    "events_hourly_seasonality",
     # semantics changed late in r8 (32-bit/8-bit-band simhash upgraded
     # to the published 64-bit/16-bit-band config) — its old green row
     # no longer describes the current spec, so it queues with the

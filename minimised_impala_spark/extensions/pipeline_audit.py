@@ -834,3 +834,92 @@ def pipeline_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size_band")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association mining (support / confidence / lift over
+# brand pairs co-purchased in one order) — the classic frequent-itemset
+# primitive (Agrawal & Srikant 1994's building block) the reference's
+# retail-style TPC-H workload invites but never ships. Items are rolled
+# to p_brand (25 values) so pair statistics are dense; the per-order
+# pair expansion is bounded by C(lines per order, 2) ≤ C(7,2) in TPC-H
+# shape — never a corpus-sized self-join.
+#
+# Scale: one distinct (order, brand) projection (broadcast part dim
+# feeds the brand), a per-order bounded pair fan-out, |brands|²/2-row
+# statistics. lift_e4 = 1e4 · N·n_ab / (n_a·n_b) — all-integer inputs,
+# rounded identically in both engines.
+_BASKET_MIN_PAIRS = 20
+
+_BASKET_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM ob),
+singles AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_b
+            FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a, p.brand_b, p.n_ab,
+       sa.n_b AS n_a, sb.n_b AS n_b,
+       CAST(round(10000.0 * p.n_ab * n_orders.n / (sa.n_b * sb.n_b))
+            AS BIGINT) AS lift_e4,
+       CAST(round(1000.0 * p.n_ab / sa.n_b) AS BIGINT)
+         AS confidence_a_to_b_permille
+FROM pairs p
+JOIN singles sa ON sa.brand = p.brand_a
+JOIN singles sb ON sb.brand = p.brand_b
+CROSS JOIN n_orders
+WHERE p.n_ab >= {_BASKET_MIN_PAIRS}
+ORDER BY brand_a, brand_b
+"""
+
+
+@query("pipeline_market_basket", oracle=_BASKET_ORACLE)
+def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-pair association statistics over orders: co-purchase
+    count, singles, lift (e4) and A→B confidence (permille), for pairs
+    with support >= 20 orders. Output: (brand_a, brand_b, n_ab, n_a,
+    n_b, lift_e4, confidence_a_to_b_permille)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
+    singles = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey").alias("okey2"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("okey2") == F.col("okey"))
+               & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    )
+    sa = F.broadcast(singles.select(F.col("brand").alias("brand_a"),
+                                    F.col("n_b").alias("n_a")))
+    sb = F.broadcast(singles.select(F.col("brand").alias("brand_b"),
+                                    F.col("n_b").alias("n_b")))
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b",
+            F.round(10000.0 * F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b")))
+            .cast("bigint")
+            .alias("lift_e4"),
+            F.round(1000.0 * F.col("n_ab") / F.col("n_a"))
+            .cast("bigint")
+            .alias("confidence_a_to_b_permille"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

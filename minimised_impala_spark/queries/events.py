@@ -2983,3 +2983,69 @@ def events_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("degree", "n_nodes", "slope_e4", "r2_e4")
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-week seasonality profile — the descriptive capacity-planning
+# artifact beside the seasonal FORECAST ops (events_seasonal_baseline
+# models error; this reports the shape): event counts per (ISO weekday,
+# hour) cell with each cell's share of its weekday and a global share,
+# plus the weekday peak hour. DOW convention pinned explicitly: Spark's
+# dayofweek() is Sunday=1 while DuckDB's isodow() is Monday=1 — the
+# engine converts to ISO (Mon=1..Sun=7) so both engines group on the
+# identical key.
+#
+# Scale: one (dow, hour) count aggregate (168 cells), window ranks on
+# the 168-row result.
+_SEASONALITY_ORACLE = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS INT) AS dow,
+         CAST(extract(hour FROM ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY dow, hour
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n FROM cells)
+SELECT c.dow, c.hour, c.n_events,
+       CAST(round(1000.0 * c.n_events / sum(c.n_events)
+                  OVER (PARTITION BY c.dow)) AS BIGINT) AS dow_share_permille,
+       CAST(round(10000.0 * c.n_events / tot.n) AS BIGINT)
+         AS global_share_e4,
+       (row_number() OVER (PARTITION BY c.dow
+                           ORDER BY c.n_events DESC, c.hour) = 1)
+         AS is_dow_peak
+FROM cells c CROSS JOIN tot
+ORDER BY dow, hour
+"""
+
+
+@query("events_hourly_seasonality", oracle=_SEASONALITY_ORACLE)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity profile: per (ISO weekday, hour) cell the
+    event count, weekday share (permille), global share (e4), and the
+    weekday peak-hour flag. Output: (dow, hour, n_events,
+    dow_share_permille, global_share_e4, is_dow_peak)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1 ... Saturday=7 → ISO Mon=1 ... Sun=7
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    cells = ev.groupBy(
+        iso_dow.alias("dow"), F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("n"))
+    w_dow = W.partitionBy("dow")
+    w_rank = W.partitionBy("dow").orderBy(F.desc("n_events"), F.asc("hour"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(1000.0 * F.col("n_events") / F.sum("n_events").over(w_dow))
+            .cast("bigint")
+            .alias("dow_share_permille"),
+            F.round(10000.0 * F.col("n_events") / F.col("n"))
+            .cast("bigint")
+            .alias("global_share_e4"),
+            (F.row_number().over(w_rank) == 1).alias("is_dow_peak"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -720,3 +720,63 @@ def test_concurrency_curve_id_translation_invariance(spark, tmp_path):
     assert len(small) > 0
     # 12 users all concurrently in session during each burst
     assert max(r["peak_concurrency"] for r in small) == 12
+
+
+# ---------------------------------------------------------------- basket --
+def test_market_basket_brute_force(spark):
+    rows = {(r["brand_a"], r["brand_b"]): r.asDict()
+            for r in QUERIES["pipeline_market_basket"](spark, SF_DIR).collect()}
+    li = pd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    part = pd.read_parquet(os.path.join(SF_DIR, "part.parquet"))
+    ob = li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    n_orders = ob["l_orderkey"].nunique()
+    singles = ob.groupby("p_brand").size()
+    from collections import Counter
+    from itertools import combinations
+
+    pair_n: Counter = Counter()
+    for _, grp in ob.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["p_brand"]), 2):
+            pair_n[(a, b)] += 1
+    expected = {k: v for k, v in pair_n.items() if v >= 20}
+    assert set(rows) == set(expected)
+    for (a, b), n_ab in expected.items():
+        r = rows[(a, b)]
+        assert r["n_ab"] == n_ab
+        assert r["n_a"] == singles[a]
+        assert r["n_b"] == singles[b]
+        assert r["lift_e4"] == _round_half_away(
+            10000.0 * n_ab * n_orders / (singles[a] * singles[b])
+        )
+        assert r["confidence_a_to_b_permille"] == _round_half_away(
+            1000.0 * n_ab / singles[a]
+        )
+
+
+# ----------------------------------------------------------- seasonality --
+def test_hourly_seasonality_brute_force(spark):
+    rows = QUERIES["events_hourly_seasonality"](spark, SF_DIR).collect()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ts = pd.to_datetime(ev["ts"])
+    cells = (
+        pd.DataFrame({"dow": ts.dt.dayofweek + 1, "hour": ts.dt.hour})
+        .groupby(["dow", "hour"]).size()
+    )
+    total = int(cells.sum())
+    got = {(r["dow"], r["hour"]): r.asDict() for r in rows}
+    assert set(got) == set(cells.index)
+    dow_tot = cells.groupby(level=0).sum()
+    for (dow, hour), n in cells.items():
+        r = got[(dow, hour)]
+        assert r["n_events"] == n
+        assert r["dow_share_permille"] == _round_half_away(
+            1000.0 * n / dow_tot[dow]
+        )
+        assert r["global_share_e4"] == _round_half_away(10000.0 * n / total)
+    # exactly one peak per weekday, and it carries that weekday's max
+    for dow in dow_tot.index:
+        peaks = [r for (d, _), r in got.items() if d == dow and r["is_dow_peak"]]
+        assert len(peaks) == 1
+        assert peaks[0]["n_events"] == cells[dow].max()

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 315  # r8 late adds (19): see the r9 block at the head of __spark_entry__._PRIORITY
+EXPECTED_QUERY_COUNT = 317  # r8 late adds (21): see the r9 block at the head of __spark_entry__._PRIORITY
 
 
 def test_registry_count_is_authoritative():
