@@ -10,7 +10,8 @@ pipeline with a full SQL oracle:
 - minhash_lsh:    16-perm MinHash signatures → 4-band LSH bucket join
                   (the 100 TB path: candidate pairs ∝ true near-dups, not
                   n²; each stage is a narrow shuffle on doc_id / band key)
-- simhash:        32-bit SimHash + banded hamming-distance join
+- simhash:        64-bit SimHash (Manku et al. 2007, k=3) with 4×16-bit
+                  band join + exact-Hamming rescore on collisions
 - embedding:      cosine near-dup over the embeddings table
 - keep_best:      duplicate-group resolution policy (keep highest quality)
 - cluster_cc:     pairwise candidates → clusters via distributed

@@ -524,11 +524,12 @@ def multimodal_pair_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hamming rescore is a 4-element fold on collision pairs only.
 _PHASH_ORACLE = """
 WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE lang = 'en'
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND length(text) > 0
   UNION ALL
   SELECT doc_id + 500000,
          substr(text, 1, 10) || 'Z' || substr(text, 12)
-  FROM documents WHERE lang = 'en' AND doc_id % 7 = 0
+  FROM documents WHERE lang = 'en' AND length(text) > 0 AND doc_id % 7 = 0
 ),
 bytes AS (
   SELECT doc_id, (i - 1) % 64 AS stride,
@@ -591,7 +592,13 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as SF
 
     phash_udf = SF.pandas_udf(_phash_chunks_kernel, "array<bigint>")
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    # length > 0 on BOTH engine and oracle sides: the kernel would hash
+    # an empty payload to chunks [0,0,0,0] while the oracle's
+    # generate_series(1, 0) replay drops the doc entirely — the compare
+    # can only stay aligned if neither side ever sees an empty text
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.length("text") > 0)
+    )
     pert = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.concat(

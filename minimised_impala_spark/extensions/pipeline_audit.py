@@ -800,7 +800,8 @@ SELECT class_size_band, at_risk,
        CAST(sum(class_size) AS BIGINT) AS n_docs
 FROM banded
 GROUP BY class_size_band, at_risk
-ORDER BY class_size_band
+ORDER BY CASE class_size_band WHEN '1 (unique)' THEN 1
+         WHEN '2-4 (small)' THEN 2 WHEN '5-19' THEN 3 ELSE 4 END
 """
 
 
@@ -832,7 +833,14 @@ def pipeline_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_classes"),
             F.sum("class_size").cast("bigint").alias("n_docs"),
         )
-        .orderBy("class_size_band")
+        # semantic band order (by risk severity), not lexicographic —
+        # '20+' would otherwise sort before '5-19'
+        .orderBy(
+            F.when(F.col("class_size_band") == "1 (unique)", 1)
+            .when(F.col("class_size_band") == "2-4 (small)", 2)
+            .when(F.col("class_size_band") == "5-19", 3)
+            .otherwise(4)
+        )
     )
 
 

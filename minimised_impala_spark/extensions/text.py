@@ -1951,15 +1951,11 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll")
         )
     )
-    # pack (avg_nll, doc_id) into one unique BIGINT ordering key:
-    # round-4 NLL is integer-valued ×10000 and bounded (< 9×10^4 here);
-    # doc_id occupies the low 10 digits
-    keyed = scored.withColumn(
-        "__ord",
-        (F.round(F.col("avg_nll") * 10000).cast("bigint") * F.lit(10_000_000_000))
-        + F.col("doc_id"),
-    )
-    ranked = distributed_cumsum(keyed, "__ord", F.lit(1), "rnk")
+    # rank by the (avg_nll, doc_id) TUPLE — avg_nll is already rounded
+    # to 4 decimals so both engines order identical values; no packed
+    # scalar key (the banned fixed-width class — the old
+    # round(nll*1e4)*1e10+doc_id form collided once doc_id reached 1e10)
+    ranked = distributed_cumsum(scored, ["avg_nll", "doc_id"], F.lit(1), "rnk")
     n_docs = scored.agg(F.count(F.lit(1)).alias("n"))
     return (
         ranked.crossJoin(F.broadcast(n_docs))
@@ -3815,10 +3811,11 @@ def text_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: the score is rounded to e6 integers per row BEFORE
 # ranking (repo convention — sub-ulp exp() differences cannot reorder),
-# the rank key packs (score_e6, doc_id) into one unique BIGINT, the
-# global rank is the distributed prefix scan (no single-task window),
-# and the decile is floor((rank-1)*10/n)+1 — pure integer math that
-# DuckDB's row_number replays exactly.
+# the rank key is the (score_e6, doc_id) TUPLE — never a packed scalar
+# (the banned fixed-width-packing class: score_e6*1e10+doc_id collides
+# once doc_id reaches 1e10) — the global rank is the distributed prefix
+# scan (no single-task window), and the decile is floor((rank-1)*10/n)+1
+# — pure integer math that DuckDB's row_number replays exactly.
 #
 # Scale: score+gold are narrow maps; the rank is the two-phase prefix
 # scan; the report is a 10-row aggregate.
@@ -3851,7 +3848,7 @@ scored AS (
 ),
 ranked AS (
   SELECT score_e6, gold,
-         row_number() OVER (ORDER BY score_e6 * 10000000000 + doc_id)
+         row_number() OVER (ORDER BY score_e6, doc_id)
            AS rnk,
          count(*) OVER () AS n
   FROM scored
@@ -3907,11 +3904,8 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         score_e6.alias("score_e6"),
         (flesch_e2 >= 5000).alias("gold"),
-    ).withColumn(
-        "__ord",
-        F.col("score_e6") * F.lit(10_000_000_000) + F.col("doc_id"),
     )
-    ranked = distributed_cumsum(scored, "__ord", F.lit(1), "rnk")
+    ranked = distributed_cumsum(scored, ["score_e6", "doc_id"], F.lit(1), "rnk")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     decile = F.floor((F.col("rnk") - 1) * 10.0 / F.col("n")).cast("int") + 1
     return (

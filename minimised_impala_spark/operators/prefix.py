@@ -35,7 +35,7 @@ _OFF = "__prefix_off"
 
 def distributed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str | Column,
     out_col: str,
     num_partitions: int | None = None,
@@ -43,9 +43,15 @@ def distributed_cumsum(
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
     ``order_col`` order, computed with the two-phase parallel scan above.
 
-    ``order_col`` must be a unique (total-order) key; ``value_col`` may be
-    any numeric column or expression.
+    ``order_col`` is a unique (total-order) key: one column name or a
+    list of names forming a composite key. Pass the tuple form rather
+    than packing multiple columns into one scalar — fixed-width scalar
+    packing (d*1000+node, score*1e10+id, lpad concat) is the banned
+    key-collision class; range partitioning and windows order lexically
+    over the column list natively. ``value_col`` may be any numeric
+    column or expression.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint PINS the bucket assignment: `ranged` feeds both the
@@ -57,13 +63,13 @@ def distributed_cumsum(
     # bucket contents (observed as a ±2 drift in the concurrency sweep:
     # rows that switched buckets get double/never-counted in the offset).
     ranged = (
-        df.repartitionByRange(n, F.col(order_col))
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     local_w = (
         Window.partitionBy(_PID)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn(_LOCAL, F.sum(value).over(local_w))

@@ -718,10 +718,25 @@ def test_dedup_impact_shuffles_digests_only(spark, sf_dir):
     df = fresh("pipeline_dedup_impact_report")(spark, sf_dir)
     plan = _physical(df)
     # the canon checkpoint truncates lineage; what remains must key
-    # every hash exchange on fp/source, not text
-    for frag in plan.split("Exchange hashpartitioning"):
-        head = frag[:120]
-        assert "text#" not in head, head
+    # every hash exchange on fp/source, not text — extract the FULL
+    # balanced hashpartitioning(...) argument list per exchange (a
+    # fixed-width prefix would miss a text# column late in a long
+    # partitioning expression list)
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        depth, args = 0, []
+        for ch in frag:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            args.append(ch)
+        arglist = "".join(args)
+        assert arglist, frag[:80]  # the split token is always followed by (
+        assert "text#" not in arglist, arglist
 
 
 def test_lifecycle_states_user_keyed_windows(spark, sf_dir):

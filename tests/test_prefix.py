@@ -38,6 +38,28 @@ def test_sparse_and_skewed_keys(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_composite_tuple_order_key(spark):
+    """Multi-column order keys rank lexicographically over the column
+    LIST (range partition + window both take the tuple natively) — the
+    replacement for the banned fixed-width scalar packing (score*1e10+id
+    style), which collides once the low column outgrows its width. The
+    test's (a, b) domain is exactly a collision case for 1000*a+b
+    packing: b spans past 1000."""
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 5), rng.randint(0, 5000), 1) for _ in range(3000)]
+    # make (a, b) unique by dropping dup keys
+    seen, uniq = set(), []
+    for a, b, v in rows:
+        if (a, b) not in seen:
+            seen.add((a, b))
+            uniq.append((a, b, v))
+    df = spark.createDataFrame(uniq, "a bigint, b bigint, v bigint").repartition(8)
+    got = distributed_cumsum(df, ["a", "b"], "v", "cum", num_partitions=8)
+    w = Window.orderBy("a", "b").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_no_global_window_over_input(spark):
     """The only partitionless window in the plan must be over the tiny
     per-bucket totals, never over the input: the input-side window must be
