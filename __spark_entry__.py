@@ -32,50 +32,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first 50 registry entries per round.
-# After r7, all 291 then-registered names were green at their latest
-# driver check, but 14 rows dated from r1 and 38 from r2. Round 8
-# leads with its 5 new queries (registered pre-snapshot, per the r6
-# rule), then drains the full 14-name r1 rotation debt, then fills the
-# remaining 31 slots from the 38-name r2 block. The 7 r2 names cut by
-# the cap (tpch_q1, tpch_q3, window_rank_suite, window_rows_frame,
-# window_lag_lead, dedup_minhash_lsh, sim_ivf_ann) all have strong
-# indirect r7 signal — bench headliners or operators re-exercised by
-# the r7 TPC-H/TPC-DS rotation. Names past the cap keep their earlier
-# green rows.
-#
-# Twenty-one more operators landed AFTER the r8 first-50 was frozen
-# (queue positions 50-70 below), plus two existing ops whose code
-# changed (simhash re-spec, concurrency key widening). All are
-# sweep-green at sf0.01 (most also at sf0.1 and sf0.001) but the new
-# ones were never driver-verified, so per the protocol they lead the
-# r9 first-50, ahead of the 7 deferred r2 names.
+# Round-9 queue, per the protocol (never-driver-verified first, then
+# this round's new queries, then changed-code rows, then rotation onto
+# the oldest green rows):
+#   1-23  the r9 block staged at the end of r8 — 21 late-r8 operators
+#         (builder-sweep-green at up to three scales, never
+#         driver-verified) plus dedup_simhash (64-bit re-spec) and
+#         events_concurrency_curve (ordering key widened);
+#   24-27 new in r9: tpch_q2 + tpch_q11 (the last two reference TPC-H
+#         workload files, runnable via the in-query derived partsupp)
+#         and two new SubplanNode compositions (nested_tpch_q20
+#         multi-collection correlated aggregate;
+#         nested_tpch_order_topn per-row ORDER BY/LIMIT + OUTER unnest);
+#   28    text_ccnet_buckets — rank key moved from packed scalar to the
+#         (avg_nll, doc_id) tuple this round (same results at fixture
+#         ids; changed code earns a fresh row);
+#   29-35 the 7 r2-era rows deferred by the r8 cap;
+#   36-50 rotation onto the oldest r3-era rows (15 of 42; the rest are
+#         listed after the cap and queue for r10 — rotation horizon is
+#         tracked in NOTES.md).
 _PRIORITY = [
-    # --- new in round 8 ---
-    "pipeline_quality_scorecard", "pipeline_partition_skew_report",
-    "pipeline_compaction_plan", "events_rolling_active",
-    "text_readability_scores",
-    # --- r1 rotation debt (the last 14 rows older than r2) ---
-    "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
-    "tpcds_q51_cumulative_compare", "tpcds_q6_price_above_type_avg",
-    "tpcds_q8_intersect_gate",
-    "join_right_outer", "join_right_semi", "join_left_anti",
-    "join_cross", "join_theta", "agg_stats", "agg_group_concat",
-    "agg_percentile_exact", "agg_having",
-    # --- r2-era rotation (31 of 38; the other 7 head the r9 queue) ---
-    "agg_distinct_multi", "agg_ndv_sketches", "agg_pivot", "agg_rollup",
-    "agg_sketch_suite", "dedup_cluster_cc", "dedup_exact",
-    "join_full_outer", "join_null_aware_anti", "join_null_safe_eq",
-    "multimodal_audio_chunks", "multimodal_binary_meta",
-    "nested_explode_tokens", "nested_map_access",
-    "nested_struct_roundtrip", "scalar_cast", "scalar_char_varchar",
-    "scalar_conditional", "scalar_datetime", "scalar_parity_fns",
-    "scalar_string", "select_values", "set_intersect_except",
-    "set_union", "sort_nulls_limit_offset", "source_ext_kv_scan",
-    "source_text_scan", "subq_not_in_null_semantics",
-    "subq_scalar_correlated", "text_quality", "window_topk_per_group",
-    # --- r9 queue starts here: late-r8 registrations (never driver-
-    # verified — slot-1 priority next round per the protocol), then the
-    # 7 deferred r2 names ---
+    # --- r9 block: late-r8 registrations, never driver-verified ---
     "text_padding_efficiency", "text_quality_calibration",
     "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
     "pipeline_embedding_drift", "text_vocab_coverage_curve",
@@ -87,18 +64,35 @@ _PRIORITY = [
     "text_jsd_source_divergence", "events_degree_distribution",
     "multimodal_phash_neardup", "pipeline_market_basket",
     "events_hourly_seasonality",
-    # semantics changed late in r8 (32-bit/8-bit-band simhash upgraded
-    # to the published 64-bit/16-bit-band config) — its old green row
-    # no longer describes the current spec, so it queues with the
-    # never-verified block per the protocol
-    "dedup_simhash",
-    # implementation changed late in r8 (concurrency sweep's ordering
-    # key widened: lpad truncation at 6 digits merged keys past user
-    # id 1e6) — results identical at fixture ids, but the changed code
-    # earns a fresh driver row
-    "events_concurrency_curve",
+    # changed late in r8: simhash re-specced to 64-bit/16-bit bands;
+    # concurrency ordering key widened past the lpad truncation bug
+    "dedup_simhash", "events_concurrency_curve",
+    # --- new in round 9 ---
+    "tpch_q2", "tpch_q11", "nested_tpch_q20", "nested_tpch_order_topn",
+    # --- changed in round 9 (tuple rank key replaces packed scalar) ---
+    "text_ccnet_buckets",
+    # --- r2-era rows deferred by the r8 cap ---
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
+    # --- r3-era rotation (15 slots to the cap; remainder queued) ---
+    "window_range_numeric", "scalar_math", "events_sessionize",
+    "events_asof_join", "events_range_join", "pipeline_corpus_curation",
+    "streaming_window_counts", "streaming_dedup_exact",
+    "source_avro_scan", "source_sequencefile_scan", "agg_minmax_types",
+    "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
+    "window_range_frame",
+    # --- past the 50-cap: rest of the r3-era block in age order, so a
+    # deeper sweep (or the r10 rebuild) starts from the oldest ---
+    "window_first_last", "subq_scalar_uncorrelated",
+    "subq_exists_correlated", "subq_not_exists_correlated",
+    "subq_in_aggregated", "subq_in_disjunction", "nested_explode_outer",
+    "nested_tpch_q18", "nested_tpch_pricing", "nested_exists_predicate",
+    "nested_tpch_double_unnest", "events_window_agg",
+    "events_json_extract", "events_funnel", "events_funnel_ordered",
+    "events_retention", "events_gapfill", "events_zscore_anomaly",
+    "events_path_mining", "dedup_ngram_jaccard", "dedup_keep_best",
+    "sim_lsh_buckets", "sim_quantized_topk", "text_langid",
+    "text_tokens", "text_fingerprint", "text_sample_deterministic",
     # remaining greens follow in registration order via _ordered_names
 ]
 

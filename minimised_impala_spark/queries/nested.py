@@ -518,3 +518,211 @@ def nested_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_LATERAL_VIEW_SQL)
+
+
+# --------------------------------------------------------------------------
+# Nested TPC-H Q20 shape (tpch_nested/queries/tpch-q20.test): "potential
+# part promotion" — unnest each supplier's parts collection and keep
+# elements whose stocked quantity beats 0.5 × the part's demand from a
+# CORRELATED aggregate over a DIFFERENT, doubly-nested collection
+# (customer.c_orders.o_lineitems in the reference). This is the
+# SubplanNode composition the other nested shapes don't exercise: an
+# UnnestNode feeding a join against an aggregate of a second unnest
+# chain (be/src/exec/subplan-node.h:30; unnest-node.h:50).
+#
+# Fixture adaptation (module doc): no partsupp, so the supplier's parts
+# collection is built from lineitem (qty shipped in 1997 H2 = the stock
+# proxy), and the demand side is the doubly-nested customer → orders →
+# lineitems chain flattened back — 'forest%' becomes 'small%'.
+#
+# Scale: both collections nest via keyed groupBys (map-side combinable);
+# the demand aggregate is |parts|-bounded and broadcast back; DISTINCT
+# keeps the output |suppliers|-bounded.
+_NESTED_Q20_ORACLE = """
+WITH supp_parts AS (
+  SELECT l_suppkey AS s_key,
+         list(struct_pack(partkey := l_partkey, stocked := qty)) AS parts
+  FROM (
+    SELECT l_suppkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+  ) GROUP BY l_suppkey
+),
+cust_orders AS (
+  SELECT o_custkey,
+         list(struct_pack(okey := l_orderkey,
+                          items := items)) AS orders
+  FROM (
+    SELECT o_custkey, l_orderkey,
+           list(struct_pack(partkey := l_partkey, q := l_quantity)) AS items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY o_custkey, l_orderkey
+  ) GROUP BY o_custkey
+),
+demand AS (
+  SELECT it.partkey AS partkey, CAST(sum(it.q) AS BIGINT) AS total_q
+  FROM (
+    SELECT unnest(o.items) AS it
+    FROM (SELECT unnest(orders) AS o FROM cust_orders)
+  ) GROUP BY it.partkey
+)
+SELECT DISTINCT s.s_name, n.n_name
+FROM supp_parts sp
+JOIN supplier s ON s.s_suppkey = sp.s_key
+JOIN nation n   ON n.n_nationkey = s.s_nationkey,
+LATERAL unnest(sp.parts) AS u(ps)
+JOIN demand d ON d.partkey = ps.partkey
+JOIN part p   ON p.p_partkey = ps.partkey
+WHERE p.p_name LIKE 'small%'
+  AND ps.stocked * 2 > total_q
+ORDER BY s_name, n_name
+"""
+
+
+@query("nested_tpch_q20", oracle=_NESTED_Q20_ORACLE)
+def nested_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    h2 = F.col("l_shipdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp")
+    h1 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    # supplier → parts collection (stock proxy: qty shipped in H2)
+    supp_parts = (
+        li.filter(h2)
+        .groupBy(F.col("l_suppkey").alias("s_key"), "l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("s_key")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("qty").alias("stocked"),
+                )
+            ).alias("parts")
+        )
+    )
+    # customer → orders → lineitems, doubly nested then doubly unnested
+    cust_orders = (
+        orders.join(li.filter(h1), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("l_quantity").alias("q"),
+                )
+            ).alias("items")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("l_orderkey").alias("okey"), F.col("items"))
+            ).alias("orders")
+        )
+    )
+    demand = (
+        cust_orders.select(F.explode("orders").alias("o"))
+        .select(F.explode("o.items").alias("it"))
+        .groupBy(F.col("it.partkey").alias("partkey"))
+        .agg(F.sum("it.q").cast("bigint").alias("total_q"))
+    )
+    ps = supp_parts.select("s_key", F.explode("parts").alias("ps")).select(
+        "s_key",
+        F.col("ps.partkey").alias("ps_partkey"),
+        F.col("ps.stocked").alias("stocked"),
+    )
+    return (
+        ps.join(demand, F.col("ps_partkey") == F.col("partkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("small%"))),
+            F.col("p_partkey") == F.col("partkey"),
+        )
+        .filter(F.col("stocked") * 2 > F.col("total_q"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("s_key"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-row ORDER BY ... LIMIT inside a subplan, with OUTER unnest — the
+# reference's SelectNode-above-subplan case (be/src/exec/select-node.h:32
+# sits above a SubplanNode to apply conjuncts + a LIMIT to each row's
+# unnested collection; tpch_nested exercises it as
+# `FROM customer c, (SELECT * FROM c.c_orders WHERE ... ORDER BY ...
+# LIMIT k) v`). Spark spelling: filter the collection while nesting,
+# sort it per row (sort_array over a struct whose FIRST field is the
+# negated sort key so ties break ASCENDING on o_orderkey), slice() the
+# top-k, explode_outer so customers whose collection filtered to empty
+# STILL emit one all-NULL row — the OUTER semantics of the reference's
+# UnnestNode. The oracle replays with a LEFT JOIN + row_number.
+#
+# Scale: one keyed groupBy builds the collection; sort/slice are per-row
+# array kernels (no shuffle); the k=2 cap bounds the explode fan-out.
+_NESTED_TOPN_ORACLE = """
+WITH ranked AS (
+  SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS rn
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM ranked
+WHERE o_orderkey IS NULL OR rn <= 2
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@query("nested_tpch_order_topn", oracle=_NESTED_TOPN_ORACLE)
+def nested_tpch_order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nested = (
+        cust.join(
+            orders.filter(F.col("o_totalprice") > 400000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("o_orderkey").isNotNull(),
+                        F.struct(
+                            (-F.col("o_totalprice")).alias("np"),
+                            F.col("o_orderkey").alias("okey"),
+                            F.col("o_totalprice").alias("price"),
+                        ),
+                    )
+                )
+            ).alias("top_orders")
+        )
+        .withColumn("top_orders", F.slice("top_orders", 1, 2))
+    )
+    return (
+        nested.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.explode_outer("top_orders").alias("o"),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("o.okey").alias("o_orderkey"),
+            F.col("o.price").alias("o_totalprice"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 317  # r8 late adds (21): see the r9 block at the head of __spark_entry__._PRIORITY
+EXPECTED_QUERY_COUNT = 319  # r9: +nested_tpch_q20, +nested_tpch_order_topn; tpch_q2/q11 REPLACED (derived partsupp)
 
 
 def test_registry_count_is_authoritative():
@@ -38,22 +38,37 @@ def test_priority_names_all_registered():
 
 def test_priority_covers_never_verified_first():
     # the first 50 driver slots must include every name with no driver
-    # row through r7 (the r8 additions) plus the full r1-era rotation
-    # debt — guards against queue re-ordering regressions
+    # row through r8 (the 21 late-r8 operators), the two late-r8
+    # re-specs, r9's new/replaced queries, the r9 changed-code row, and
+    # the 7 r2-era rows deferred by the r8 cap — guards against queue
+    # re-ordering regressions
     import __spark_entry__ as entrymod
 
     never = {
-        "pipeline_quality_scorecard", "pipeline_partition_skew_report",
-        "pipeline_compaction_plan", "events_rolling_active",
-        "text_readability_scores",
+        "text_padding_efficiency", "text_quality_calibration",
+        "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
+        "pipeline_embedding_drift", "text_vocab_coverage_curve",
+        "text_heaps_fit", "pipeline_dedup_impact_report",
+        "events_lifecycle_states", "events_engagement_histogram",
+        "pipeline_shard_assignment", "events_attribution_time_decay",
+        "text_entropy_rate", "pipeline_benford_audit",
+        "pipeline_k_anonymity_audit", "dedup_cluster_size_histogram",
+        "text_jsd_source_divergence", "events_degree_distribution",
+        "multimodal_phash_neardup", "pipeline_market_basket",
+        "events_hourly_seasonality", "dedup_simhash",
+        "events_concurrency_curve",
     }
-    r1_debt = {
-        "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
-        "tpcds_q51_cumulative_compare", "tpcds_q6_price_above_type_avg",
-        "tpcds_q8_intersect_gate", "join_right_outer", "join_right_semi",
-        "join_left_anti", "join_cross", "join_theta", "agg_stats",
-        "agg_group_concat", "agg_percentile_exact", "agg_having",
+    r9_new_or_changed = {
+        "tpch_q2", "tpch_q11", "nested_tpch_q20",
+        "nested_tpch_order_topn", "text_ccnet_buckets",
+    }
+    r2_deferred = {
+        "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
+        "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
     }
     first50 = set(list(entrymod.queries())[:50])
     assert never <= first50, f"missing from cap: {never - first50}"
-    assert r1_debt <= first50, f"rotation debt cut: {r1_debt - first50}"
+    assert r9_new_or_changed <= first50, (
+        f"new/changed cut: {r9_new_or_changed - first50}"
+    )
+    assert r2_deferred <= first50, f"rotation debt cut: {r2_deferred - first50}"
