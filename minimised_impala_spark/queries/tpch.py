@@ -910,11 +910,19 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # partsupp — derived deterministically (the driver fixture ships no
-# partsupp table; FIXTURES.md §1). Four suppliers per part via the dbgen
-# assignment formula (TPC-H spec §4.2.3, as the reference's data loader
-# replays it for testdata/workloads/tpch): for i ∈ 0..3 and S suppliers,
-#   ps_suppkey = (p_partkey + i*(S/4 + (p_partkey-1)/S)) % S + 1
-# which is injective per part (the four offsets are distinct mod S).
+# partsupp table; FIXTURES.md §1). Four suppliers per part, modeled on
+# the dbgen assignment (TPC-H spec §4.2.3, as the reference's data
+# loader replays it for testdata/workloads/tpch): for i ∈ 0..3 and S
+# suppliers,
+#   ps_suppkey = (p_partkey + (p_partkey-1)/S + i*(S/4)) % S + 1
+# dbgen's exact form folds the (p_partkey-1)/S rotation into the STEP,
+# which is only injective for dbgen's own large S (at the fixture's
+# sf0.001, S = 10 makes the step 5 and offsets {0,5,0,5} collide); here
+# the rotation moves to the per-part BASE and the step is exactly
+# S div 4, so the four offsets {0, s, 2s, 3s} with s ≥ 1 and 3s < S are
+# distinct mod S for ANY S ≥ 4 (pinned by
+# tests/test_r9_properties.py::test_partsupp_four_distinct_suppliers_per_part
+# at two scales).
 # availqty and supplycost are deterministic integer functions of the key
 # pair; supplycost is carried in CENTS (BIGINT) so every comparison,
 # min() and sum() both engines run is exact integer math — the single
@@ -927,7 +935,7 @@ _PS_CTE = """
 s_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
 ps0 AS (
   SELECT p_partkey AS ps_partkey,
-         (p_partkey + j * (n // 4 + (p_partkey - 1) // n)) % n + 1
+         (p_partkey + (p_partkey - 1) // n + j * (n // 4)) % n + 1
            AS ps_suppkey
   FROM part CROSS JOIN s_n
   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) gen
@@ -959,8 +967,8 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.col("p_partkey")
-                    + F.col("j")
-                    * (F.expr("n div 4") + F.expr("(p_partkey - 1) div n"))
+                    + F.expr("(p_partkey - 1) div n")
+                    + F.col("j") * F.expr("n div 4")
                 )
                 % F.col("n")
                 + 1
@@ -1013,11 +1021,12 @@ LIMIT 100
 """,
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # min-cost is computed once per part over the region-filtered
-    # partsupp and equi-joined back — the standard decorrelation of the
-    # spec's correlated scalar subquery (one extra agg on ps_partkey
-    # instead of a per-row subplan). nation/region broadcast (constant
-    # dims); the TopN is TakeOrderedAndProject.
+    # The spec's correlated scalar subquery decorrelates to min-cost per
+    # part; a ps_partkey-keyed WINDOW computes it in the SAME shuffle
+    # that would feed a groupBy+self-join (one exchange on the big
+    # relation instead of two plus a sort-merge join — the plan test
+    # pins zero SortMergeJoin). nation/region broadcast (constant dims);
+    # the TopN is TakeOrderedAndProject.
     part, supplier, nation, region = _t(
         spark, sf_dir, "part", "supplier", "nation", "region"
     )
@@ -1033,14 +1042,14 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", "ps_supplycost_c", "s_name", "s_acctbal", "n_name")
     )
-    mincost = euro.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost_c").alias("min_c")
-    )
+    from pyspark.sql import Window
+
+    w_min = Window.partitionBy("ps_partkey")
     p = part.filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_type")
     return (
-        euro.join(mincost, "ps_partkey")
+        euro.withColumn("min_c", F.min("ps_supplycost_c").over(w_min))
         .filter(F.col("ps_supplycost_c") == F.col("min_c"))
         .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select(

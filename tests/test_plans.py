@@ -834,3 +834,44 @@ def test_simhash_columnar_bit_sums(spark, sf_dir):
     # signature stage: one aggregate keyed on doc_id with 64 sum exprs —
     # no range join feeding it
     assert "Range (0, 64" not in plan, plan[:2000]
+
+
+def test_tpch_q2_single_shuffle_window_min(spark, sf_dir):
+    """tpch_q2: the decorrelated min-cost-per-part must come from a
+    ps_partkey window sharing ONE exchange with the filter — never a
+    groupBy + self-join (which re-shuffles the derived partsupp and
+    sort-merges it against itself). Dims broadcast; TopN is top-k."""
+    plan = _physical(fresh("tpch_q2")(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q11_broadcast_total(spark, sf_dir):
+    """tpch_q11: the global total must reach the per-part HAVING as a
+    one-row broadcast (BroadcastNestedLoopJoin), never a shuffled join;
+    supplier/nation dims broadcast."""
+    plan = _physical(fresh("tpch_q11")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_nested_topn_no_partitionless_window(spark, sf_dir):
+    """nested_tpch_order_topn: the per-customer top-k comes from
+    sort_array/slice kernels on the nested collection — the plan must
+    not contain a window at all (the oracle's row_number is DuckDB's
+    replay, not the engine's plan), and the only range exchange is the
+    presentation sort."""
+    plan = _physical(fresh("nested_tpch_order_topn")(spark, sf_dir))
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_nested_q20_demand_joined_not_recomputed(spark, sf_dir):
+    """nested_tpch_q20: part dim broadcasts; the element-vs-demand
+    comparison is an equi-join on partkey (candidate-bounded), with no
+    cartesian stage."""
+    plan = _physical(fresh("nested_tpch_q20")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
