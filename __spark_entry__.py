@@ -39,16 +39,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #         (builder-sweep-green at up to three scales, never
 #         driver-verified) plus dedup_simhash (64-bit re-spec) and
 #         events_concurrency_curve (ordering key widened);
-#   24-27 new in r9: tpch_q2 + tpch_q11 (the last two reference TPC-H
+#   24-28 new in r9: tpch_q2 + tpch_q11 (the last two reference TPC-H
 #         workload files, runnable via the in-query derived partsupp)
-#         and two new SubplanNode compositions (nested_tpch_q20
-#         multi-collection correlated aggregate;
-#         nested_tpch_order_topn per-row ORDER BY/LIMIT + OUTER unnest);
-#   28    text_ccnet_buckets — rank key moved from packed scalar to the
+#         and three new SubplanNode compositions (nested_tpch_q20
+#         multi-collection correlated aggregate; nested_tpch_order_topn
+#         per-row ORDER BY/LIMIT + OUTER unnest; nested_tpch_q21 dual
+#         correlated existence over one collection);
+#   29    text_ccnet_buckets — rank key moved from packed scalar to the
 #         (avg_nll, doc_id) tuple this round (same results at fixture
 #         ids; changed code earns a fresh row);
-#   29-35 the 7 r2-era rows deferred by the r8 cap;
-#   36-50 rotation onto the oldest r3-era rows (15 of 42; the rest are
+#   30-36 the 7 r2-era rows deferred by the r8 cap;
+#   37-50 rotation onto the oldest r3-era rows (14 of 42; the rest are
 #         listed after the cap and queue for r10 — rotation horizon is
 #         tracked in NOTES.md).
 _PRIORITY = [
@@ -69,6 +70,7 @@ _PRIORITY = [
     "dedup_simhash", "events_concurrency_curve",
     # --- new in round 9 ---
     "tpch_q2", "tpch_q11", "nested_tpch_q20", "nested_tpch_order_topn",
+    "nested_tpch_q21",
     # --- changed in round 9 (tuple rank key replaces packed scalar) ---
     "text_ccnet_buckets",
     # --- r2-era rows deferred by the r8 cap ---

@@ -726,3 +726,89 @@ def nested_tpch_order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Nested TPC-H Q21 shape (tpch_nested/queries/tpch-q21.test): for each
+# late element l1 of an order's lineitems collection, a correlated
+# EXISTS over the SAME collection ("another supplier contributed") and
+# a correlated NOT EXISTS over it ("no OTHER supplier was late") — the
+# reference plans this as a SubplanNode whose inner plan re-reads the
+# row's collection twice with different conjuncts. In Spark both
+# predicates fuse into higher-order exists() calls whose lambdas
+# capture the unnested element — the whole dual-subquery pattern is a
+# single projection + filter, ZERO self-joins (contrast tpch_q21,
+# which algebraizes the flat form into one per-order aggregate: two
+# formulations of the same semantics, cross-checked by their oracles).
+#
+# Fixture adaptation (as flat q21): late = shipped > 90 days after the
+# order date; fixture lacks receipt/commit dates.
+#
+# Scale: one keyed groupBy builds the collection (bounded by lines per
+# order); the HOF filter is a narrow map; the output aggregate is
+# |suppliers|-bounded. The oracle deliberately replays the FLAT
+# EXISTS/NOT-EXISTS SQL — a structurally different evaluation path.
+_NESTED_Q21_ORACLE = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("nested_tpch_q21", oracle=_NESTED_Q21_ORACLE)
+def nested_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    nested = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("l_suppkey").alias("supp"), late.alias("late"))
+            ).alias("items")
+        )
+    )
+    el = nested.select(
+        "items",
+        F.explode(F.filter("items", lambda x: x["late"])).alias("l1"),
+    )
+    other_supplier = F.exists(
+        "items", lambda l2: l2["supp"] != F.col("l1.supp")
+    )
+    other_late = F.exists(
+        "items",
+        lambda l3: (l3["supp"] != F.col("l1.supp")) & l3["late"],
+    )
+    return (
+        el.filter(other_supplier & ~other_late)
+        .groupBy(F.col("l1.supp").alias("supp"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supp"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -875,3 +875,14 @@ def test_nested_q20_demand_joined_not_recomputed(spark, sf_dir):
     plan = _physical(fresh("nested_tpch_q20")(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_nested_q21_existence_fused_to_hofs(spark, sf_dir):
+    """nested_tpch_q21: both correlated existence predicates must fuse
+    into higher-order exists() expressions over the row's collection —
+    never decorrelate into semi/anti joins (the flat tpch_q21 path) or
+    re-execute a subplan per row."""
+    plan = _optimized(fresh("nested_tpch_q21")(spark, sf_dir))
+    assert "exists(" in plan, plan[:2000]
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan

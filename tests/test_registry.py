@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 319  # r9: +nested_tpch_q20, +nested_tpch_order_topn; tpch_q2/q11 REPLACED (derived partsupp)
+EXPECTED_QUERY_COUNT = 320  # r9: +nested_tpch_q20/q21, +nested_tpch_order_topn; tpch_q2/q11 REPLACED (derived partsupp)
 
 
 def test_registry_count_is_authoritative():
@@ -59,7 +59,7 @@ def test_priority_covers_never_verified_first():
         "events_concurrency_curve",
     }
     r9_new_or_changed = {
-        "tpch_q2", "tpch_q11", "nested_tpch_q20",
+        "tpch_q2", "tpch_q11", "nested_tpch_q20", "nested_tpch_q21",
         "nested_tpch_order_topn", "text_ccnet_buckets",
     }
     r2_deferred = {
