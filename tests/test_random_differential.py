@@ -334,6 +334,73 @@ N_PART_QUERIES = 10
 
 
 # ---------------------------------------------------------------------------
+# derived-partsupp branch (r9): randomized coverage of the in-query
+# partsupp family behind the real tpch_q2/q11 ports — the relation both
+# engines construct from part × the supplier count (queries/tpch.py
+# `_PS_CTE`). All metrics are exact integer cents, so any disagreement
+# is structural (the modular supplier assignment, div semantics, window
+# tie-breaks), never FP. Dialect seams handled by to_duck_dialect:
+# Spark `div` → DuckDB `//`, Spark `array(` → DuckDB `list_value(`.
+
+_PS_FUZZ_CTE = (
+    "WITH s_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier), "
+    "ps0 AS (SELECT p_partkey AS ps_partkey, p_size, "
+    "(p_partkey + (p_partkey - 1) div n + j * (n div 4)) % n + 1 AS ps_suppkey "
+    "FROM part CROSS JOIN s_n "
+    "CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS j) g), "
+    "ps AS (SELECT ps_partkey, ps_suppkey, p_size, "
+    "(ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty, "
+    "(ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100 AS ps_cost_c "
+    "FROM ps0) "
+)
+
+
+def _gen_partsupp_query(rng: random.Random) -> str:
+    branch = rng.random()
+    if branch < 0.3:
+        op = rng.choice(["<", ">=", "="])
+        return (
+            f"{_PS_FUZZ_CTE}"
+            f"SELECT ps_suppkey, CAST(count(*) AS BIGINT) AS n_parts, "
+            f"CAST(sum(ps_cost_c * ps_availqty) AS BIGINT) AS v "
+            f"FROM ps WHERE p_size {op} {rng.randint(1, 50)} "
+            f"GROUP BY ps_suppkey ORDER BY v DESC, ps_suppkey "
+            f"LIMIT {rng.randint(5, 60)}"
+        )
+    if branch < 0.55:
+        return (
+            f"{_PS_FUZZ_CTE}"
+            f"SELECT ps_partkey, CAST(min(ps_cost_c) AS BIGINT) AS mc, "
+            f"CAST(max(ps_availqty) AS BIGINT) AS mq "
+            f"FROM ps GROUP BY ps_partkey "
+            f"HAVING min(ps_cost_c) < {rng.randint(5000, 95000)} "
+            f"ORDER BY ps_partkey LIMIT {rng.randint(20, 200)}"
+        )
+    if branch < 0.8:
+        return (
+            f"{_PS_FUZZ_CTE}"
+            f"SELECT s_nationkey, "
+            f"CAST(sum(ps_cost_c * ps_availqty) AS BIGINT) AS v, "
+            f"CAST(count(DISTINCT ps_partkey) AS BIGINT) AS np "
+            f"FROM ps JOIN supplier ON s_suppkey = ps_suppkey "
+            f"WHERE ps_availqty {rng.choice(['<', '>='])} {rng.randint(1000, 9000)} "
+            f"GROUP BY s_nationkey ORDER BY s_nationkey"
+        )
+    return (
+        f"{_PS_FUZZ_CTE}"
+        f"SELECT ps_partkey, ps_suppkey, ps_cost_c FROM ("
+        f"SELECT ps_partkey, ps_suppkey, ps_cost_c, "
+        f"row_number() OVER (PARTITION BY ps_partkey "
+        f"ORDER BY ps_cost_c, ps_suppkey) AS rn FROM ps) t "
+        f"WHERE rn = {rng.randint(1, 4)} "
+        f"ORDER BY ps_partkey LIMIT {rng.randint(20, 200)}"
+    )
+
+
+N_PARTSUPP_QUERIES = 12
+
+
+# ---------------------------------------------------------------------------
 # events WINDOW branch (VERDICT r3 §next.8): analytic functions over
 # (user, time) orderings are where engine disagreement hides — frame
 # boundary inclusion, tie handling, and windowed-aggregate accumulation
@@ -636,6 +703,11 @@ def to_duck_dialect(sql: str) -> str:
     # Spark get_json_object(col, '$.k') → DuckDB json_extract_string —
     # same path syntax, same NULL-on-missing; a pure name map.
     sql = _re.sub(r"\bget_json_object\(", "json_extract_string(", sql)
+    # partsupp branch seams: Spark's integer-division keyword and array
+    # constructor (word-boundary + literal paren, so array_join /
+    # array_distinct never match)
+    sql = _re.sub(r"\bdiv\b", "//", sql)
+    sql = _re.sub(r"\barray\(", "list_value(", sql)
     return sql
 
 
@@ -1324,6 +1396,8 @@ _DRNG = random.Random(20260815)
 QUERIES += [_gen_docs_query(_DRNG) for _ in range(N_DOC_QUERIES)]
 _PRNG = random.Random(20260816)
 QUERIES += [_gen_part_query(_PRNG) for _ in range(N_PART_QUERIES)]
+_PSRNG = random.Random(20260915)
+QUERIES += [_gen_partsupp_query(_PSRNG) for _ in range(N_PARTSUPP_QUERIES)]
 _WRNG = random.Random(20260817)
 QUERIES += [_gen_window_query(_WRNG) for _ in range(N_WINDOW_QUERIES)]
 _ORNG = random.Random(20260818)

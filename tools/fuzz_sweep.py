@@ -38,6 +38,7 @@ def main() -> int:
         _gen_json_query,
         _gen_nested_query,
         _gen_outer_join_query,
+        _gen_partsupp_query,
         _gen_query,
         _gen_rollup_query,
         _gen_setop_query,
@@ -80,6 +81,7 @@ def main() -> int:
         (_gen_nested_query, 3),
         (_gen_json_query, 2),
         (_gen_dialect_pair, 2),
+        (_gen_partsupp_query, 2),
     ]
     # optional branch-only mode: `fuzz_sweep.py N SEED dialect` restricts
     # the pool to the dialect-pair generator (r7 directive: ≥100 fresh
