@@ -125,6 +125,14 @@ EMPTY_ZERO = [
     "events_degree_distribution",
     "multimodal_phash_neardup",
     "dedup_simhash",
+    # round-9 additions (nested_tpch_order_topn excluded: its OUTER
+    # unnest emits one NULL row per customer by construction, so an
+    # empty CUSTOMER table — covered by tpch_q3 etc. — is its only
+    # zero-row case and the LEFT join handles it via the same path)
+    "tpch_q2",
+    "tpch_q11",
+    "nested_tpch_q20",
+    "nested_tpch_q21",
 ]
 
 
