@@ -60,6 +60,11 @@ EXTRA = [
     "text_kneser_ney_lm",
     "pipeline_source_overlap_matrix",
     "pipeline_dedup_impact_report",
+    # round-9 additions — one per new family: derived-dim min-cost
+    # (window-in-one-exchange q2) and collection-HOF existence (q21
+    # fused to exists() lambdas, zero joins for the subqueries)
+    "tpch_q2",
+    "nested_tpch_q21",
 ]
 
 
