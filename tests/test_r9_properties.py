@@ -97,6 +97,28 @@ def test_q11_threshold_matches_brute_force(spark):
     assert got == want
 
 
+def test_supplier_assignment_injective_for_any_s():
+    """Pure-math property of the partsupp formula (no Spark): for ANY
+    supplier count S >= 4 and ANY part key, the four assigned suppliers
+    are distinct and in [1, S]. This is exactly the property dbgen's
+    folded form loses at small S (S=10, partkey=33 → step 5 → offsets
+    {0,5,0,5}), which the fixture's sf0.001 scale exposed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        s=st.integers(min_value=4, max_value=100_000),
+        pk=st.integers(min_value=1, max_value=10**12),
+    )
+    def check(s: int, pk: int) -> None:
+        supps = {(pk + (pk - 1) // s + j * (s // 4)) % s + 1 for j in range(4)}
+        assert len(supps) == 4
+        assert all(1 <= x <= s for x in supps)
+
+    check()
+
+
 def test_nested_topn_outer_rows_preserved(spark):
     """nested_tpch_order_topn: customers whose collection filters to
     empty emit exactly one all-NULL row; no customer emits more than 2
