@@ -48,10 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   29    text_ccnet_buckets — rank key moved from packed scalar to the
 #         (avg_nll, doc_id) tuple this round (same results at fixture
 #         ids; changed code earns a fresh row);
-#   30-36 the 7 r2-era rows deferred by the r8 cap;
-#   37-50 rotation onto the oldest r3-era rows (14 of 42; the rest are
-#         listed after the cap and queue for r10 — rotation horizon is
-#         tracked in NOTES.md).
+#   30-34 five queries de-vacuoused this round (they were green on
+#         empty results — see the block comment below) — changed
+#         semantics, fresh rows;
+#   35-41 the 7 r2-era rows deferred by the r8 cap;
+#   42-50 rotation onto the oldest r3-era rows (9 of 39 not already
+#         forced above; the rest are listed after the cap and queue for
+#         r10 — rotation horizon is tracked in NOTES.md).
 _PRIORITY = [
     # --- r9 block: late-r8 registrations, never driver-verified ---
     "text_padding_efficiency", "text_quality_calibration",
@@ -73,21 +76,28 @@ _PRIORITY = [
     "nested_tpch_q21",
     # --- changed in round 9 (tuple rank key replaces packed scalar) ---
     "text_ccnet_buckets",
+    # --- de-vacuoused in round 9: these five were green on EMPTY
+    # results at every scale (thresholds outside the fixture's data
+    # range — the same class as the replaced q11's 'GERMANY' filter),
+    # found by a zero-row sweep over all 320 registered queries. Their
+    # predicates now select non-trivial survivor sets at all three
+    # scales, so the changed semantics earn fresh driver rows ---
+    "subq_scalar_uncorrelated", "subq_not_exists_correlated",
+    "subq_in_aggregated", "tpch_q22", "join_left_anti",
     # --- r2-era rows deferred by the r8 cap ---
     "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
     "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
-    # --- r3-era rotation (15 slots to the cap; remainder queued) ---
+    # --- r3-era rotation (9 slots to the cap; remainder queued) ---
     "window_range_numeric", "scalar_math", "events_sessionize",
     "events_asof_join", "events_range_join", "pipeline_corpus_curation",
     "streaming_window_counts", "streaming_dedup_exact",
-    "source_avro_scan", "source_sequencefile_scan", "agg_minmax_types",
-    "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
-    "window_range_frame",
+    "source_avro_scan",
     # --- past the 50-cap: rest of the r3-era block in age order, so a
     # deeper sweep (or the r10 rebuild) starts from the oldest ---
-    "window_first_last", "subq_scalar_uncorrelated",
-    "subq_exists_correlated", "subq_not_exists_correlated",
-    "subq_in_aggregated", "subq_in_disjunction", "nested_explode_outer",
+    "source_sequencefile_scan", "agg_minmax_types",
+    "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
+    "window_range_frame", "window_first_last",
+    "subq_exists_correlated", "subq_in_disjunction", "nested_explode_outer",
     "nested_tpch_q18", "nested_tpch_pricing", "nested_exists_predicate",
     "nested_tpch_double_unnest", "events_window_agg",
     "events_json_extract", "events_funnel", "events_funnel_ordered",

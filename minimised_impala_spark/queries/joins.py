@@ -124,15 +124,21 @@ def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey, p_brand
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
-                  AND l_returnflag = 'R')
+                  AND l_returnflag = 'R' AND l_quantity > 48)
 ORDER BY p_partkey
 """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 de-vacuousing: with ~30 lines/part, every part had at least one
+    # plain 'R' line at every scale, so the anti join kept nothing (the
+    # compare was green on empty). The added near-max-quantity conjunct
+    # leaves ~2/3 of parts surviving — a real anti-join frontier.
     part, li = _t(spark, sf_dir, "part", "lineitem")
     return (
         part.join(
-            li.filter(F.col("l_returnflag") == "R"),
+            li.filter(
+                (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 48)
+            ),
             F.col("p_partkey") == F.col("l_partkey"),
             "left_anti",
         )

@@ -29,11 +29,16 @@ from minimised_impala_spark.tables import register_tables
 # --------------------------------------------------------------------------
 # Uncorrelated scalar subquery: global-average threshold. Deterministic avg
 # via the scaled-sum shim (see queries/tpch.py module doc).
+# r9 de-vacuousing: the old 2x-average threshold exceeded the fixture's
+# o_totalprice maximum, so the query was green on an EMPTY result at
+# every scale (both engines agreeing on zero rows tests nothing). 1.5x
+# keeps the scalar-subquery shape and yields 380+ rows at sf0.001.
 _SCALAR_UNCORR = """
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (SELECT round(sum(o_totalprice) * 100) / 100 / count(*)
-                          FROM orders)
+WHERE o_totalprice > 1.5 * (SELECT round(sum(o_totalprice) * 100) / 100
+                                   / count(*)
+                            FROM orders)
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
@@ -86,12 +91,18 @@ def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Correlated NOT EXISTS → LEFT ANTI JOIN.
+# r9 de-vacuousing: every supplier ships after 1998-01-01 at every
+# fixture scale (shipdates run to 2001-11), so the old predicate
+# anti-joined to an EMPTY result everywhere. The tightened inner
+# (late-2001 ship of a near-max quantity) leaves 1/10, 26/100 and
+# 207/1000 suppliers surviving — a real anti-join frontier.
 _NOT_EXISTS = """
 SELECT s_suppkey, s_name
 FROM supplier s
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_suppkey = s.s_suppkey
-                    AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00')
+                    AND l.l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+                    AND l.l_quantity >= 49)
 ORDER BY s_suppkey
 """
 
@@ -106,11 +117,15 @@ def subq_not_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Uncorrelated IN with an aggregating subquery → LEFT SEMI JOIN over a
 # grouped build side (the reference plans IN-subqueries the same way,
 # tpch-q18 "large volume customer" pattern).
+# r9 de-vacuousing: the fixture's per-part quantity sums top out at
+# ~1350 (≈30 lines/part × avg qty 25 at every scale), so HAVING > 1500
+# selected nothing anywhere. 900 sits inside the distribution's tail
+# (31 parts at sf0.001, 373 at sf0.01, 3917 at sf0.1).
 _IN = """
 SELECT p_partkey, p_name
 FROM part
 WHERE p_partkey IN (SELECT l_partkey FROM lineitem
-                    GROUP BY l_partkey HAVING sum(l_quantity) > 1500)
+                    GROUP BY l_partkey HAVING sum(l_quantity) > 900)
 ORDER BY p_partkey
 """
 

@@ -61,6 +61,9 @@ def test_priority_covers_never_verified_first():
     r9_new_or_changed = {
         "tpch_q2", "tpch_q11", "nested_tpch_q20", "nested_tpch_q21",
         "nested_tpch_order_topn", "text_ccnet_buckets",
+        # de-vacuoused (were green on empty results)
+        "subq_scalar_uncorrelated", "subq_not_exists_correlated",
+        "subq_in_aggregated", "tpch_q22", "join_left_anti",
     }
     r2_deferred = {
         "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
