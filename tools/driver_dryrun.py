@@ -42,6 +42,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs)[lo:hi]
     bad: list[str] = []
+    empty: list[str] = []
     for i, n in enumerate(names, start=lo + 1):
         t0 = time.time()
         try:
@@ -54,10 +55,19 @@ def main() -> int:
             )
             if not ok:
                 bad.append(n)
+            if ok and r["spark_rows"] == 0:
+                empty.append(n)
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             print(f"{i:3d} {n:34s} ERROR {str(ex).splitlines()[0][:120]}", flush=True)
             bad.append(n)
     print("BAD:", bad)
+    if empty:
+        # standing r9 audit class: a green compare over an EMPTY result
+        # is vacuous (both engines agreeing on zero rows tests nothing).
+        # Inspect each name — either the threshold drifted outside the
+        # fixture's data range (fix it) or the emptiness is a reviewed
+        # small-fixture sparsity effect (document it in NOTES.md).
+        print("EMPTY-BUT-GREEN (review per the zero-row audit):", empty)
     return 1 if bad else 0
 
 
