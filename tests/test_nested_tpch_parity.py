@@ -1,0 +1,723 @@
+"""Nested TPC-H parity: the rest of the reference's tpch_nested workload.
+
+The reference re-roots all 22 TPC-H queries on Parquet collections
+(testdata/workloads/tpch_nested/queries/tpch-q1.test … tpch-q22.test) over
+the nested schema customer.c_orders.o_lineitems / supplier.s_partsupps /
+region.r_nations, planned as SubplanNode + UnnestNode chains
+(be/src/exec/subplan-node.h:30, be/src/exec/unnest-node.h:50). Six shapes
+are registered oracle-gated queries (nested_tpch_q18 / _pricing /
+_double_unnest / _q20 / _order_topn / _q21); this suite covers the REMAINING
+19 files: each query is spelled in nested form — build the collection roots
+in-query (the fixture ships flat parquet only), then explode / HOF through
+them — and asserted row-identical to the flat oracle-verified port
+(queries/tpch.py), which carries the same fixture adaptations. Collection-
+level predicates that the reference plans as subplans over a row's
+collection are expressed as higher-order exists()/filter()/size() where the
+nesting is semantically load-bearing (q4, q13, q22), and as unnest+flat-body
+where the nested file itself is just "unnest everything, then the flat
+query" (q1, q3, q5…).
+
+Scale notes: the collection roots are one keyed groupBy each (bounded by
+lines-per-order / orders-per-customer / 4 partsupps-per-supplier); the
+explode path adds no shuffle beyond the flat query's own. These are parity
+tests, not the scale path — the registered flat ports are.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from minimised_impala_spark.queries import load_all
+from minimised_impala_spark.queries.registry import QUERIES
+from minimised_impala_spark.queries.tpch import _partsupp, davg, dsum, ts
+from minimised_impala_spark.tables import load_table
+
+load_all()
+
+
+# --------------------------------------------------------------------------
+# Nested roots (built once per session; the fixture has no nested parquet).
+
+@pytest.fixture(scope="module")
+def nested_cust(spark, sf_dir) -> DataFrame:
+    """customer ▷ c_orders: array<struct order ▷ o_lineitems: array<struct>>.
+
+    LEFT joins at both levels so customers without orders / orders without
+    lines carry EMPTY collections — the reference's nested loader does the
+    same (an absent collection reads as an empty array, and !empty() /
+    OUTER unnest distinguish the cases).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oli = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_suppkey").alias("suppkey"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_extendedprice").alias("extprice"),
+                F.col("l_discount").alias("discount"),
+                F.col("l_tax").alias("tax"),
+                F.col("l_returnflag").alias("returnflag"),
+                F.col("l_linestatus").alias("linestatus"),
+                F.col("l_shipdate").alias("shipdate"),
+            )
+        ).alias("o_lineitems")
+    )
+    ords = (
+        orders.join(oli, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("totalprice"),
+                    F.col("o_orderdate").alias("odate"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.coalesce(
+                        F.col("o_lineitems"),
+                        F.array().cast(oli.schema["o_lineitems"].dataType),
+                    ).alias("lines"),
+                )
+            ).alias("c_orders")
+        )
+    )
+    nested = cust.join(
+        ords, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.coalesce(
+            F.col("c_orders"), F.array().cast(ords.schema["c_orders"].dataType)
+        ).alias("c_orders"),
+    )
+    nested.cache().count()
+    yield nested
+    nested.unpersist()
+
+
+@pytest.fixture(scope="module")
+def nested_supp(spark, sf_dir) -> DataFrame:
+    """supplier ▷ s_partsupps (the derived partsupp relation, nested)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = _partsupp(spark, sf_dir).groupBy("ps_suppkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("ps_partkey").alias("partkey"),
+                F.col("ps_availqty").alias("availqty"),
+                F.col("ps_supplycost_c").alias("cost_c"),
+            )
+        ).alias("s_partsupps")
+    )
+    nested = supp.join(ps, F.col("ps_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "s_partsupps"
+    )
+    nested.cache().count()
+    yield nested
+    nested.unpersist()
+
+
+@pytest.fixture(scope="module")
+def nested_region(spark, sf_dir) -> DataFrame:
+    """region ▷ r_nations."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    nats = nation.groupBy("n_regionkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("n_nationkey").alias("nationkey"),
+                F.col("n_name").alias("name"),
+            )
+        ).alias("r_nations")
+    )
+    return region.join(
+        nats, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("r_regionkey", "r_name", "r_nations")
+
+
+def _flat_lines(nested_cust: DataFrame) -> DataFrame:
+    """Fully unnest customer ▷ orders ▷ lineitems back to flat column names
+    (the spelling tpch_nested uses for queries with no collection-level
+    predicate: `from customer c, c.c_orders o, o.o_lineitems l`)."""
+    return (
+        nested_cust.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.explode("c_orders").alias("o"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.col("o.okey").alias("o_orderkey"),
+            F.col("o.status").alias("o_orderstatus"),
+            F.col("o.totalprice").alias("o_totalprice"),
+            F.col("o.odate").alias("o_orderdate"),
+            F.col("o.priority").alias("o_orderpriority"),
+            F.explode("o.lines").alias("l"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("l.partkey").alias("l_partkey"),
+            F.col("l.suppkey").alias("l_suppkey"),
+            F.col("l.qty").alias("l_quantity"),
+            F.col("l.extprice").alias("l_extendedprice"),
+            F.col("l.discount").alias("l_discount"),
+            F.col("l.tax").alias("l_tax"),
+            F.col("l.returnflag").alias("l_returnflag"),
+            F.col("l.linestatus").alias("l_linestatus"),
+            F.col("l.shipdate").alias("l_shipdate"),
+        )
+    )
+
+
+def _rows(df: DataFrame) -> list[tuple]:
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    return sorted((tuple(r) for r in df.collect()), key=key)
+
+
+def _cells_match(a, b) -> bool:
+    # Floats: tolerate summation-order noise at the dsum rounding boundary
+    # (nested explode+groupBy adds in a different order than the flat scan;
+    # at sf0.01 q1's 6-decimal sum_charge lands 1 scaled-ulp apart). 1e-12
+    # relative still catches any semantic divergence, which shows at ≥1e-6.
+    if isinstance(a, float) and isinstance(b, float):
+        return abs(a - b) <= 1e-9 + 1e-12 * abs(b)
+    return a == b
+
+
+def _assert_matches_flat(nested_df: DataFrame, name: str, spark, sf_dir):
+    flat = QUERIES[name](spark, sf_dir)
+    got, want = _rows(nested_df), _rows(flat)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for g, w in zip(got, want):
+        assert len(g) == len(w) and all(
+            _cells_match(x, y) for x, y in zip(g, w)
+        ), f"{name}: nested form diverges from flat port: {g} != {w}"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# tpch_nested q1/q3/q5/q6/q7/q8/q9/q10/q12/q14/q15/q16/q17/q19 — unnest
+# through the collections, then the flat body (the nested files' own shape).
+
+def test_nested_q1(nested_cust, spark, sf_dir):
+    li = _flat_lines(nested_cust)
+    got = (
+        li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(_rev(), 4).alias("sum_disc_price"),
+            dsum(_rev() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    _assert_matches_flat(got, "tpch_q1", spark, sf_dir)
+
+
+def test_nested_q3(nested_cust, spark, sf_dir):
+    cutoff = ts("1997-03-15 00:00:00")
+    li = _flat_lines(nested_cust.filter(F.col("c_mktsegment") == "BUILDING"))
+    got = (
+        li.filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+    _assert_matches_flat(got, "tpch_q3", spark, sf_dir)
+
+
+def test_nested_q4(nested_cust, spark, sf_dir):
+    """Collection-level EXISTS — the tpch_nested q4 shape (`exists (select *
+    from o.o_lineitems where ...)`) as a higher-order exists() over the
+    order's OWN collection: the SubplanNode becomes one projection."""
+    o = nested_cust.select(F.explode("c_orders").alias("o")).filter(
+        (F.col("o.odate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o.odate") < ts("1997-04-01 00:00:00"))
+    )
+    got = (
+        o.filter(
+            F.exists("o.lines", lambda l: l["shipdate"] > F.col("o.odate"))
+        )
+        .groupBy(F.col("o.priority").alias("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    _assert_matches_flat(got, "tpch_q4", spark, sf_dir)
+
+
+def test_nested_q5(nested_cust, spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    li = _flat_lines(nested_cust).filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    got = (
+        li.join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+    _assert_matches_flat(got, "tpch_q5", spark, sf_dir)
+
+
+def test_nested_q6(nested_cust, spark, sf_dir):
+    li = _flat_lines(nested_cust)
+    got = li.filter(
+        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    _assert_matches_flat(got, "tpch_q6", spark, sf_dir)
+
+
+def test_nested_q7(nested_cust, spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = _flat_lines(nested_cust).filter(
+        F.col("l_shipdate").between(
+            ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")
+        )
+    )
+    got = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+    _assert_matches_flat(got, "tpch_q7", spark, sf_dir)
+
+
+def test_nested_q8(nested_cust, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    li = _flat_lines(nested_cust).filter(
+        F.col("o_orderdate").between(
+            ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")
+        )
+    )
+    got = (
+        li.join(
+            part.filter(F.col("p_type") == "ECONOMY"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0),
+                    4,
+                )
+                / dsum(F.col("volume"), 4)
+            ).alias("mkt_share")
+        )
+    )
+    _assert_matches_flat(got, "tpch_q8", spark, sf_dir)
+
+
+def test_nested_q9(nested_cust, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = _flat_lines(nested_cust)
+    got = (
+        li.join(
+            part.filter(F.col("p_name").like("%red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), 4).alias("sum_profit"))
+    )
+    _assert_matches_flat(got, "tpch_q9", spark, sf_dir)
+
+
+def test_nested_q10(nested_cust, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    li = _flat_lines(nested_cust).filter(
+        (F.col("o_orderdate") >= ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        & (F.col("l_returnflag") == "R")
+    )
+    got = (
+        li.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+    _assert_matches_flat(got, "tpch_q10", spark, sf_dir)
+
+
+def test_nested_q12(nested_cust, spark, sf_dir):
+    li = _flat_lines(nested_cust).filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    got = (
+        li.withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                "LATE",
+            ).otherwise("ONTIME"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+    _assert_matches_flat(got, "tpch_q12", spark, sf_dir)
+
+
+def test_nested_q13(nested_cust, spark, sf_dir):
+    """q13 is where nesting pays: per-customer order count is size(filter())
+    over the row's own collection — zero joins, zero extra shuffles."""
+    got = (
+        nested_cust.select(
+            F.size(
+                F.filter("c_orders", lambda o: o["priority"] != F.lit("1-URGENT"))
+            )
+            .cast("bigint")
+            .alias("c_count")
+        )
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+    _assert_matches_flat(got, "tpch_q13", spark, sf_dir)
+
+
+def test_nested_q14(nested_cust, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = _flat_lines(nested_cust).filter(
+        (F.col("l_shipdate") >= ts("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+    )
+    got = li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        (
+            F.lit(100.0)
+            * dsum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0), 4)
+            / dsum(_rev(), 4)
+        ).alias("promo_revenue")
+    )
+    _assert_matches_flat(got, "tpch_q14", spark, sf_dir)
+
+
+def test_nested_q15(nested_cust, spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        _flat_lines(nested_cust)
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev(), 4).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    got = (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    _assert_matches_flat(got, "tpch_q15", spark, sf_dir)
+
+
+def test_nested_q16(nested_cust, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = _flat_lines(nested_cust)
+    got = (
+        li.join(
+            part.filter(
+                (F.col("p_brand") != "Brand#5")
+                & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    _assert_matches_flat(got, "tpch_q16", spark, sf_dir)
+
+
+def test_nested_q17(nested_cust, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = _flat_lines(nested_cust)
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    got = (
+        li.join(
+            part.filter(F.col("p_brand") == "Brand#3"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )
+    _assert_matches_flat(got, "tpch_q17", spark, sf_dir)
+
+
+def test_nested_q19(nested_cust, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = _flat_lines(nested_cust)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    got = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+    _assert_matches_flat(got, "tpch_q19", spark, sf_dir)
+
+
+def test_nested_q18_shape(nested_cust, spark, sf_dir):
+    """tpch_nested q18's defining move — the IN-subquery over order totals
+    becomes an aggregate over the row's OWN collection (sum over o.lines),
+    no self-join at all."""
+    o = nested_cust.select(
+        "c_name", "c_custkey", F.explode("c_orders").alias("o")
+    ).withColumn(
+        "sum_qty", F.aggregate("o.lines", F.lit(0.0), lambda acc, l: acc + l["qty"])
+    )
+    got = (
+        o.filter(F.col("sum_qty") > 160)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("o.okey").alias("o_orderkey"),
+            F.col("o.odate").alias("o_orderdate"),
+            F.col("o.totalprice").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+    _assert_matches_flat(got, "tpch_q18", spark, sf_dir)
+
+
+def test_nested_q20_shape(nested_cust, spark, sf_dir):
+    """q20's qualifying-supplier subquery from the nested root (flatten →
+    keyed agg), matching the flat port's semi-join result."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    qual = (
+        _flat_lines(nested_cust)
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        )
+        .join(
+            part.filter(F.col("p_name").like("red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("tot"))
+        .filter(F.col("tot") > 100)
+        .select("l_suppkey")
+    )
+    got = supp.join(
+        qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+    _assert_matches_flat(got, "tpch_q20", spark, sf_dir)
+
+
+def test_nested_q22(nested_cust, spark, sf_dir):
+    """Collection-level NOT EXISTS (`not exists (select * from c.c_orders
+    where ...)`) as a negated higher-order exists() — no anti join."""
+    avg_bal = nested_cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    got = (
+        nested_cust.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD")
+        )
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(
+            ~F.exists("c_orders", lambda o: o["odate"] >= ts("2001-01-01 00:00:00"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+    _assert_matches_flat(got, "tpch_q22", spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q2 / q11 — rooted at supplier.s_partsupps and region.r_nations
+# (tpch_nested spells both FROM supplier s, s.s_partsupps ps and
+# region r, r.r_nations n; the correlated min-cost subquery decorrelates
+# to a per-part min exactly as the flat port's window does).
+
+def test_nested_q2(nested_supp, nested_region, spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    nations = nested_region.filter(F.col("r_name") == "EUROPE").select(
+        F.explode("r_nations").alias("n")
+    ).select(
+        F.col("n.nationkey").alias("nationkey"), F.col("n.name").alias("n_name")
+    )
+    euro = (
+        nested_supp.join(
+            F.broadcast(nations), F.col("nationkey") == F.col("s_nationkey")
+        )
+        .select(
+            "s_name", "s_acctbal", "n_name", F.explode("s_partsupps").alias("ps")
+        )
+        .select(
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.col("ps.partkey").alias("ps_partkey"),
+            F.col("ps.cost_c").alias("ps_supplycost_c"),
+        )
+    )
+    w_min = Window.partitionBy("ps_partkey")
+    p = part.filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    got = (
+        euro.withColumn("min_c", F.min("ps_supplycost_c").over(w_min))
+        .filter(F.col("ps_supplycost_c") == F.col("min_c"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("ps_supplycost_c").cast("double") / 100.0).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+    _assert_matches_flat(got, "tpch_q2", spark, sf_dir)
+
+
+def test_nested_q11(nested_supp, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    gs = (
+        nested_supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(F.explode("s_partsupps").alias("ps"))
+        .select(
+            F.col("ps.partkey").alias("ps_partkey"),
+            (F.col("ps.cost_c") * F.col("ps.availqty")).alias("v_c"),
+        )
+    )
+    tot = gs.agg(
+        F.sum("v_c").cast("bigint").alias("total_c"),
+        F.countDistinct("ps_partkey").cast("bigint").alias("n_parts"),
+    )
+    got = (
+        gs.groupBy("ps_partkey")
+        .agg(F.sum("v_c").cast("bigint").alias("value_c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * F.col("n_parts") > F.col("total_c"))
+        .select(
+            "ps_partkey",
+            (F.col("value_c").cast("double") / 100.0).alias("value"),
+        )
+    )
+    _assert_matches_flat(got, "tpch_q11", spark, sf_dir)
