@@ -29,6 +29,9 @@ double aggregate here is therefore wrapped as round(sum(x)*10^k)/10^k,
 which recovers the exact rational sum bit-identically in both engines
 (total FP error ≪ 0.5 ulp of the scaled integer at correctness scale).
 Integer-valued sums (quantities, counts) are exact in FP and stay bare.
+At k=6 the round-after-FP-sum form runs out of margin (q1's sum_charge:
+scaled magnitude ~3e14 at sf0.01 vs add-order noise of one scaled ulp), so
+it uses isum() — per-term integer scaling, exact BIGINT sum — instead.
 
 Scale notes: nation/region are broadcast explicitly (constant-size dims);
 other join strategies are left to Catalyst/AQE, which at 100 TB picks
@@ -59,6 +62,19 @@ def dsum(expr: Column, dec: int) -> Column:
     return F.round(F.sum(expr) * s, 0) / s
 
 
+def isum(expr: Column, dec: int) -> Column:
+    """EXACT sum of a k-decimal fixed-point column: scale each term to its
+    integer numerator (round() recovers it exactly — the term's FP error is
+    ≪ 0.5 at the scaled magnitude), sum as BIGINT (order-independent,
+    overflow-free below 9.2e18), divide once at the boundary. Used where
+    dsum's round-after-FP-sum has no margin left: at k=6 the scaled q1
+    sum_charge is ~3e14 at sf0.01 while the FP sum's add-order noise is
+    ~1e-5 unscaled — i.e. one scaled ulp, observed flipping between plan
+    shapes (tests/test_nested_tpch_parity.py found it)."""
+    s = float(10**dec)
+    return F.sum(F.round(expr * s, 0).cast("bigint")) / s
+
+
 def davg(expr: Column, dec: int) -> Column:
     """Deterministic avg: exact scaled sum divided by count."""
     s = float(10**dec)
@@ -85,8 +101,8 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice) * 100) / 100                AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
                                                               AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000)
-         / 1000000                                            AS sum_charge,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000) AS BIGINT)) / 1000000        AS sum_charge,
        avg(l_quantity)                                        AS avg_qty,
        round(sum(l_extendedprice) * 100) / 100 / count(l_extendedprice)
                                                               AS avg_price,
@@ -107,7 +123,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
             dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             dsum(_rev(), 4).alias("sum_disc_price"),
-            dsum(_rev() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            isum(_rev() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
             davg(F.col("l_extendedprice"), 2).alias("avg_price"),
             davg(F.col("l_discount"), 2).alias("avg_disc"),

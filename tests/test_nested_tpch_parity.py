@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 
 from minimised_impala_spark.queries import load_all
 from minimised_impala_spark.queries.registry import QUERIES
-from minimised_impala_spark.queries.tpch import _partsupp, davg, dsum, ts
+from minimised_impala_spark.queries.tpch import _partsupp, davg, dsum, isum, ts
 from minimised_impala_spark.tables import load_table
 
 load_all()
@@ -234,7 +234,7 @@ def test_nested_q1(nested_cust, spark, sf_dir):
             F.sum("l_quantity").alias("sum_qty"),
             dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             dsum(_rev(), 4).alias("sum_disc_price"),
-            dsum(_rev() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            isum(_rev() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
             davg(F.col("l_extendedprice"), 2).alias("avg_price"),
             davg(F.col("l_discount"), 2).alias("avg_disc"),
