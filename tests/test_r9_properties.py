@@ -135,3 +135,32 @@ def test_nested_topn_outer_rows_preserved(spark):
             continue
         assert 1 <= len(orders) <= 2, (c, orders)
         assert None not in orders, (c, orders)
+
+
+def test_isum_exact_under_any_partitioning(spark):
+    """isum (tpch.py): the exact integer-scaled sum must be BIT-IDENTICAL
+    to the true rational sum regardless of partition count / add order —
+    the guarantee the k=6 sum_charge relies on after the r9 fix (the
+    round-after-FP-sum form was one scaled-ulp plan-dependent at sf0.01,
+    caught by tests/test_nested_tpch_parity.py)."""
+    from fractions import Fraction
+
+    from minimised_impala_spark.queries.tpch import isum
+
+    # 6-decimal rationals shaped like q1's charge terms (price*(1-d)*(1+t)):
+    # adversarial magnitudes — large values, tiny values, sign-mixed noise.
+    vals = [
+        round(((i * 9973) % 120000) + (i % 997) / 1e2 + (i % 101) / 1e6, 6)
+        for i in range(1, 20_001)
+    ]
+    exact = Fraction(0)
+    for v in vals:
+        exact += Fraction(f"{v:.6f}")
+    want = float(exact)
+
+    df0 = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = set()
+    for parts in (1, 3, 8, 64):
+        df = df0.repartition(parts)
+        got.add(df.agg(isum(F.col("x"), 6).alias("s")).collect()[0]["s"])
+    assert got == {want}, f"isum drifted across partitionings: {got} vs {want}"
