@@ -41,6 +41,7 @@ def read_text(
     header: bool = False,
     compression: str | None = None,
     mode: str = "PERMISSIVE",
+    encoding: str = "UTF-8",
 ) -> DataFrame:
     """Delimited-text scan (csv source). Infers schema when not given —
     the reference instead required declared schemas (schema-on-read from
@@ -49,13 +50,15 @@ def read_text(
     ``mode`` controls malformed-row handling like the reference's text
     scanner error tolerance (hdfs-text-scanner.h parse-error counters):
     PERMISSIVE nulls unparseable fields, DROPMALFORMED skips bad rows,
-    FAILFAST raises."""
+    FAILFAST raises. ``encoding`` covers non-UTF8 corpora (the
+    reference's delimited-latin-text.test reads ISO-8859-1)."""
     reader = (
         spark.read.option("sep", sep)
         .option("escape", escape)
         .option("quote", quote)
         .option("header", str(header).lower())
         .option("mode", mode)
+        .option("encoding", encoding)
     )
     if schema is not None:
         reader = reader.schema(schema)

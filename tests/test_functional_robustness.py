@@ -126,3 +126,32 @@ def test_large_strings_flow(spark):
     assert all(r["len"] == mb * 1024 * 1024 for r in out)
     assert all(r["tail3"] == "xxx" for r in out)
     assert out[0]["h"] != out[1]["h"]  # id suffix differentiates hashes
+
+
+def test_latin1_delimited_text(spark, tmp_path):
+    """delimited-latin-text.test: the text scanner reads non-UTF8
+    (ISO-8859-1) delimited files via the encoding option."""
+    from minimised_impala_spark.sources.formats import read_text
+
+    path = tmp_path / "latin1"
+    path.mkdir()
+    rows = [(1, "café"), (2, "naïve"), (3, "über")]
+    with open(path / "part-0.csv", "wb") as f:
+        for k, s in rows:
+            f.write(f"{k},{s}\n".encode("iso-8859-1"))
+    df = read_text(
+        spark, str(path), schema="k INT, s STRING", encoding="ISO-8859-1"
+    )
+    assert sorted(map(tuple, df.collect())) == rows
+
+
+def test_hidden_files_skipped(spark, tmp_path):
+    """hidden-files.test: files starting with '_' or '.' in a table
+    directory are metadata, not data — the scan must skip them."""
+    path = tmp_path / "hidden"
+    path.mkdir()
+    (path / "data.csv").write_text("1\n2\n")
+    (path / "_metadata.csv").write_text("98\n")
+    (path / ".hidden.csv").write_text("99\n")
+    df = spark.read.schema("v INT").csv(str(path))
+    assert sorted(r["v"] for r in df.collect()) == [1, 2]
