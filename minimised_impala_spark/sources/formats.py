@@ -196,6 +196,50 @@ def read_sequencefile(
     return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
 
 
+def read_mixed_partitions(
+    spark: SparkSession,
+    partitions: list[tuple[str, str, dict]],
+    schema: StructType | str,
+) -> DataFrame:
+    """Mixed-format table scan: the reference's HdfsScanNode dispatches a
+    per-PARTITION scanner chosen by the partition's stored format
+    (be/src/exec/hdfs-scan-node.h; exercised by functional-query
+    mixed-format.test over alltypesmixedformat). Spark has no single-table
+    equivalent without a Hive metastore, so this reads each partition with
+    its format's reader and unions by NAME under one declared schema —
+    downstream operators stay source-agnostic, exactly like the
+    scanner→exec-node seam.
+
+    ``partitions``: (path, format, partition_values) triples; formats:
+    parquet | text | json | orc | sequencefile. Partition-key columns from
+    ``partition_values`` are attached as literals (the reference stores
+    them in the partition metadata, not the files).
+
+    Scale notes: each branch keeps its own pushdown/pruning; the union is
+    plan-level only (no shuffle). Partition pruning = pruning the list
+    before calling (the metastore's job in the reference).
+    """
+    readers = {
+        "parquet": lambda p: read_parquet(spark, p),
+        "text": lambda p: read_text(spark, p, schema=schema),
+        "json": lambda p: read_json(spark, p, schema=schema),
+        "orc": lambda p: read_orc(spark, p),
+        "sequencefile": lambda p: read_sequencefile(spark, p, schema),
+    }
+    parts = []
+    for path, fmt, pvals in partitions:
+        if fmt not in readers:
+            raise ValueError(f"unsupported partition format: {fmt}")
+        df = readers[fmt](path)
+        for k, v in pvals.items():
+            df = df.withColumn(k, F.lit(v))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — Spark-native columnar alternative (fills the role the
     legacy RCFile scanner held in the reference's format matrix,

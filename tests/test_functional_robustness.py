@@ -155,3 +155,45 @@ def test_hidden_files_skipped(spark, tmp_path):
     (path / ".hidden.csv").write_text("99\n")
     df = spark.read.schema("v INT").csv(str(path))
     assert sorted(r["v"] for r in df.collect()) == [1, 2]
+
+
+def test_mixed_format_partitions(spark, tmp_path):
+    """mixed-format.test: one logical table whose partitions live in
+    different file formats reads transparently (per-partition scanner
+    dispatch, HdfsScanNode); aggregates force full deserialization."""
+    from minimised_impala_spark.sources.formats import read_mixed_partitions
+
+    base = tmp_path / "mixed"
+    schema = "id INT, int_col INT"
+    rows = {1: [(1, 10), (2, 20)], 2: [(3, 30)], 3: [(4, 40), (5, 50), (6, 60)]}
+    df1 = spark.createDataFrame(rows[1], schema)
+    df1.write.parquet(str(base / "m1"))
+    (base / "m2").mkdir(parents=True)
+    with open(base / "m2" / "part.csv", "w") as f:
+        for r in rows[2]:
+            f.write(f"{r[0]},{r[1]}\n")
+    spark.createDataFrame(rows[3], schema).write.json(str(base / "m3"))
+
+    parts = [
+        (str(base / "m1"), "parquet", {"month": 1}),
+        (str(base / "m2"), "text", {"month": 2}),
+        (str(base / "m3"), "json", {"month": 3}),
+    ]
+    tbl = read_mixed_partitions(spark, parts, schema)
+
+    full = tbl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("int_col").alias("s")
+    ).collect()[0]
+    assert (full["n"], full["s"]) == (6, 210)
+
+    # restrict to a multi-format subset of partitions
+    sub = (
+        tbl.filter((F.col("month") == 1) | (F.col("month") == 3))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("int_col").alias("s"))
+        .collect()[0]
+    )
+    assert (sub["n"], sub["s"]) == (5, 180)
+
+    # single partition alone
+    one = tbl.filter(F.col("month") == 2).collect()
+    assert [(r["id"], r["int_col"], r["month"]) for r in one] == [(3, 30, 2)]
