@@ -197,3 +197,79 @@ def test_mixed_format_partitions(spark, tmp_path):
     # single partition alone
     one = tbl.filter(F.col("month") == 2).collect()
     assert [(r["id"], r["int_col"], r["month"]) for r in one] == [(3, 30, 2)]
+
+
+def test_inline_view_limit(spark, sf_dir):
+    """inline-view-limit.test: a LIMIT inside an inline view applies
+    BEFORE outer predicates and joins — the outer filter must not push
+    through the limit boundary."""
+    from minimised_impala_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    inner = orders.orderBy("o_orderkey").limit(100)
+    out = inner.filter(F.col("o_orderkey") > 50)
+    got = [r["o_orderkey"] for r in out.orderBy("o_orderkey").collect()]
+    # ground truth: first-100 orderkeys, then filter
+    first100 = [
+        r["o_orderkey"]
+        for r in orders.orderBy("o_orderkey").limit(100).collect()
+    ]
+    assert got == sorted(k for k in first100 if k > 50)
+    # and joining above the limit keeps the 100-row boundary
+    joined = inner.join(
+        load_table(spark, sf_dir, "customer"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    assert joined.count() <= 100
+
+
+def test_null_dynamic_partition_key(spark, tmp_path):
+    """insert_null.test / null_data.test: writing a NULL dynamic
+    partition value lands in the default partition and reads back NULL."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id INT, pk STRING"
+    )
+    path = str(tmp_path / "nullpart")
+    df.write.partitionBy("pk").parquet(path)
+    back = spark.read.parquet(path)
+    got = sorted(
+        ((r["id"], r["pk"]) for r in back.collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, "a"), (2, None), (3, "b")]
+    # the default-partition directory exists on disk (Hive convention)
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("pk=")}
+    assert "pk=__HIVE_DEFAULT_PARTITION__" in dirs, dirs
+
+
+def test_partition_col_types_roundtrip(spark, tmp_path):
+    """partition-col-types.test: partition keys of int/bigint/string/
+    date types round-trip through the partitioned write path with
+    partition pruning intact."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1000000000000, "x", datetime.date(1997, 1, 1)),
+            (2, 20, 2000000000000, "y", datetime.date(1998, 6, 15)),
+        ],
+        "id INT, pi INT, pb BIGINT, ps STRING, pd DATE",
+    )
+    path = str(tmp_path / "ptypes")
+    df.write.partitionBy("pi", "pb", "ps", "pd").parquet(path)
+    back = spark.read.parquet(path)
+    one = back.filter(
+        (F.col("pi") == 20)
+        & (F.col("pb") == 2000000000000)
+        & (F.col("ps") == "y")
+        & (F.col("pd") == F.lit("1998-06-15").cast("date"))
+    ).collect()
+    assert [(r["id"]) for r in one] == [2]
+    # pruning reaches the scan: only one partition dir is read
+    plan = (
+        back.filter(F.col("pi") == 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "pi" in plan
