@@ -341,6 +341,8 @@ _AGG_RENAME = re.compile(
     r"\b(" + "|".join(_AGG_NAMES) + r")\s*(?=\()", re.IGNORECASE
 )
 
+_BOOL_OP = re.compile(r"&&|\|\|")
+
 
 def translate(sql: str) -> str:
     """Rewrite an Impala-dialect statement into Spark SQL text."""
@@ -411,5 +413,22 @@ def translate(sql: str) -> str:
     masked = _mask(out)
     for m in reversed(list(_AGG_RENAME.finditer(masked))):
         out = out[: m.start(1)] + _AGG_NAMES[m.group(1).lower()] + out[m.end(1):]
+
+    # Impala boolean operators: the reference's lexer maps '&&' → KW_AND
+    # and '||' → KW_OR unconditionally (fe/src/main/jflex/
+    # sql-scanner.flex:52,155) — in this dialect '||' is ALWAYS logical OR,
+    # never string concat (that's the concat() function). Spark rejects
+    # '&&' at parse time and reads '||' as concat (a silent wrong answer),
+    # so both rewrite textually; prefix '!' needs no rewrite (Spark accepts
+    # it as NOT). Right-to-left over the mask, after every offset-based
+    # edit (the replacements change lengths).
+    masked = _mask(out)
+    for m in reversed(list(_BOOL_OP.finditer(masked))):
+        word = "AND" if m.group() == "&&" else "OR"
+        left = out[m.start() - 1] if m.start() > 0 else " "
+        right = out[m.end()] if m.end() < len(out) else " "
+        word = ("" if left.isspace() else " ") + word
+        word = word + ("" if right.isspace() else " ")
+        out = out[: m.start()] + word + out[m.end():]
 
     return out

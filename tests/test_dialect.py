@@ -268,3 +268,42 @@ def test_qualify_rejects_window_clause_after_predicate():
         "QUALIFY rn <= 2"
     )
     assert "__qualify__" in out and "WINDOW w AS" in out
+
+
+def test_boolean_operator_spellings():
+    """The reference lexer maps '&&' -> AND and '||' -> OR unconditionally
+    (fe/src/main/jflex/sql-scanner.flex:52,155); '||' is NEVER concat in
+    this dialect. Spark would reject '&&' and silently CONCAT on '||', so
+    both must rewrite — but never inside string literals or comments."""
+    from minimised_impala_spark.dialect import translate
+
+    assert translate("SELECT 1 WHERE a > 1 && b < 2") == (
+        "SELECT 1 WHERE a > 1 AND b < 2"
+    )
+    assert translate("SELECT 1 WHERE a > 1 || b < 2") == (
+        "SELECT 1 WHERE a > 1 OR b < 2"
+    )
+    assert translate("SELECT x&&y, a||b FROM t") == (
+        "SELECT x AND y, a OR b FROM t"
+    )
+    # literals and comments survive untouched
+    assert translate("SELECT '&&' || c FROM t -- a||b") == (
+        "SELECT '&&' OR c FROM t -- a||b"
+    )
+
+
+def test_boolean_operators_execute(spark):
+    """hive-benchmark WEB_Q4 shape: '&&' between range predicates."""
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM (SELECT 12 AS pagerank) r "
+        "WHERE pagerank > 10 && pagerank < 25"
+    ).collect()
+    assert rows[0]["n"] == 1
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM (SELECT 5 AS pagerank) r "
+        "WHERE pagerank > 10 || pagerank < 25"
+    ).collect()
+    assert rows[0]["n"] == 1
