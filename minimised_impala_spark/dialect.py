@@ -343,6 +343,33 @@ _AGG_RENAME = re.compile(
 
 _BOOL_OP = re.compile(r"&&|\|\|")
 
+_IREGEXP = re.compile(r"\bIREGEXP\b", re.IGNORECASE)
+
+
+def _operand_end(masked: str, start: int) -> int:
+    """End offset of the simple expression beginning at ``start``: a masked
+    string literal, a parenthesized group, or an identifier/function-call
+    chain (stops at the first depth-0 whitespace/comma/closing paren)."""
+    n = len(masked)
+    i = start
+    if i < n and masked[i] == "\x00":  # string literal (masked run)
+        while i < n and masked[i] == "\x00":
+            i += 1
+        return i
+    depth = 0
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and (ch.isspace() or ch == ","):
+            break
+        i += 1
+    return i
+
 
 def translate(sql: str) -> str:
     """Rewrite an Impala-dialect statement into Spark SQL text."""
@@ -413,6 +440,23 @@ def translate(sql: str) -> str:
     masked = _mask(out)
     for m in reversed(list(_AGG_RENAME.finditer(masked))):
         out = out[: m.start(1)] + _AGG_NAMES[m.group(1).lower()] + out[m.end(1):]
+
+    # IREGEXP (LikePredicate.java:36): regex match with case sensitivity
+    # OFF (be/src/exprs/like-predicate.cc:136 RegexPrepareInternal(...,
+    # false)). Spark spelling: RLIKE with the inline (?i) flag — injected
+    # into literal patterns, concat('(?i)', x) around non-literal ones.
+    masked = _mask(out)
+    for m in reversed(list(_IREGEXP.finditer(masked))):
+        j = m.end()
+        while j < len(masked) and masked[j].isspace():
+            j += 1
+        end = _operand_end(masked, j)
+        operand = out[j:end]
+        if j < len(masked) and masked[j] == "\x00" and operand.startswith("'"):
+            repl = "RLIKE " + operand[0] + "(?i)" + operand[1:]
+        else:
+            repl = f"RLIKE concat('(?i)', {operand})"
+        out = out[: m.start()] + repl + out[end:]
 
     # Impala boolean operators: the reference's lexer maps '&&' → KW_AND
     # and '||' → KW_OR unconditionally (fe/src/main/jflex/

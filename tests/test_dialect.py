@@ -307,3 +307,28 @@ def test_boolean_operators_execute(spark):
         "WHERE pagerank > 10 || pagerank < 25"
     ).collect()
     assert rows[0]["n"] == 1
+
+
+def test_iregexp_rewrite(spark):
+    """IREGEXP (LikePredicate.java:36) = case-INsensitive regex match
+    (like-predicate.cc RegexPrepareInternal(..., false)). Literal
+    patterns get the inline (?i) flag; non-literal ones wrap in concat."""
+    from minimised_impala_spark.dialect import translate
+    from minimised_impala_spark.engine import Engine
+
+    assert translate("SELECT 'AbC' IREGEXP 'a.c' AS b") == (
+        "SELECT 'AbC' RLIKE '(?i)a.c' AS b"
+    )
+    assert translate("SELECT x IREGEXP p FROM t") == (
+        "SELECT x RLIKE concat('(?i)', p) FROM t"
+    )
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT ('AbC' IREGEXP 'a.c') AS lit, "
+        "(s IREGEXP p) AS col, "
+        "('AbC' REGEXP 'a.c') AS sensitive "
+        "FROM (SELECT 'HeLLo' AS s, 'hel+o' AS p)"
+    ).collect()
+    assert (rows[0]["lit"], rows[0]["col"], rows[0]["sensitive"]) == (
+        True, True, False
+    )
