@@ -1359,6 +1359,37 @@ def _gen_dialect_pair(rng: random.Random) -> tuple[str, str]:
             f"{qualify}ORDER BY o_orderkey"
         )
         return sql, sql
+    if kind < 0.85:
+        # lexer operator spellings (sql-scanner.flex:52,155; r9 dialect
+        # additions): engine text uses Impala '&&'/'||'/'!'/IREGEXP, duck
+        # text the ANSI spellings / (?i) regex. Same precedence on both
+        # sides (&& over ||, like AND over OR).
+        lo, hi = sorted(rng.sample(range(1, 120), 2))
+        st = rng.choice(["F", "O", "P"])
+        if rng.random() < 0.5:
+            eng = (
+                f"SELECT CAST(count(*) AS BIGINT) AS n FROM orders "
+                f"WHERE (o_custkey > {lo} && o_custkey < {hi}) "
+                f"|| o_orderstatus = '{st}' && !(o_orderkey % 7 = 0)"
+            )
+            duck = (
+                f"SELECT CAST(count(*) AS BIGINT) AS n FROM orders "
+                f"WHERE (o_custkey > {lo} AND o_custkey < {hi}) "
+                f"OR o_orderstatus = '{st}' AND NOT (o_orderkey % 7 = 0)"
+            )
+        else:
+            pat = rng.choice(["THE", "A.E", "^T", "ING$", "E{2}"])
+            eng = (
+                f"SELECT doc_id FROM documents "
+                f"WHERE text IREGEXP '{pat}' && doc_id < {hi * 5} "
+                f"ORDER BY doc_id"
+            )
+            duck = (
+                f"SELECT doc_id FROM documents "
+                f"WHERE regexp_matches(text, '(?i){pat}') "
+                f"AND doc_id < {hi * 5} ORDER BY doc_id"
+            )
+        return eng, duck
     # LATERAL VIEW over documents — engine text is HiveQL, duck is unnest
     dthr = rng.randint(10, 60)
     if rng.random() < 0.5:
