@@ -39,6 +39,14 @@ CONF_B = {
     "spark.sql.files.maxPartitionBytes": "262144",
     "spark.sql.adaptive.enabled": "false",
 }
+# Pass C flips the JOIN-STRATEGY axis instead: auto-broadcast disabled, so
+# every non-hinted join becomes SMJ/shuffle-hash (different build sides,
+# different float accumulation order). Select with MIS_INVARIANCE_PASS=C.
+CONF_C = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
 
 
 def _session(conf: dict):
@@ -93,10 +101,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())[lo:hi]
+    alt = CONF_C if os.environ.get("MIS_INVARIANCE_PASS") == "C" else CONF_B
     print(f"pass A ({CONF_A}) over {len(names)} queries at {sf_dir}")
     a = _collect(names, sf_dir, CONF_A)
-    print(f"pass B ({CONF_B})")
-    b = _collect(names, sf_dir, CONF_B)
+    print(f"alt pass ({alt})")
+    b = _collect(names, sf_dir, alt)
 
     bad: list[str] = []
     for n in names:
