@@ -31,7 +31,7 @@ from __future__ import annotations
 import re
 
 _STRING_OR_COMMENT = re.compile(
-    r"""('(?:[^'\\]|\\.)*')|("(?:[^"\\]|\\.)*")|(--[^\n]*)|(/\*.*?\*/)""",
+    r"""('(?:[^'\\]|\\.)*')|("(?:[^"\\]|\\.)*")|(`[^`]*`)|(--[^\n]*)|(/\*.*?\*/)""",
     re.DOTALL,
 )
 

@@ -332,3 +332,15 @@ def test_iregexp_rewrite(spark):
     assert (rows[0]["lit"], rows[0]["col"], rows[0]["sensitive"]) == (
         True, True, False
     )
+
+
+def test_backquoted_identifiers_never_rewritten():
+    """The rewrite mask must cover backquoted identifiers too — an
+    operator spelling or aggregate name INSIDE `...` is part of a name,
+    not a token (same identifier rules as the reference's lexer)."""
+    from minimised_impala_spark.dialect import translate
+
+    assert translate("SELECT `a||b` FROM t WHERE x > 1 && y < 2") == (
+        "SELECT `a||b` FROM t WHERE x > 1 AND y < 2"
+    )
+    assert translate("SELECT `ndv(x)` FROM t") == "SELECT `ndv(x)` FROM t"
