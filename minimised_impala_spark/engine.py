@@ -302,10 +302,29 @@ class Engine:
         handle._thread.start()
         return handle
 
-    def explain(self, text: str) -> str:
+    def explain(self, text: str, level: int | None = None) -> str:
+        """EXPLAIN at the reference's detail levels (SET EXPLAIN_LEVEL 0-3;
+        functional-query explain-level0..3.test). Spark-mode mapping:
+        0/1 → 'simple' (the standard plan outline), 2 → 'formatted'
+        (per-node detail sections, the reference's extended view),
+        3 → 'extended' (all plan phases, the verbose per-fragment dump).
+        ``level`` defaults to the session's SET EXPLAIN_LEVEL (1 unset)."""
+        if level is None:
+            raw = "1"
+            for key in ("EXPLAIN_LEVEL", "explain_level"):
+                try:
+                    raw = self.spark.conf.get(key)
+                    break
+                except Exception:  # noqa: BLE001 — unset key
+                    continue
+            try:
+                level = int(raw)
+            except ValueError:
+                level = 1
+        mode = {0: "simple", 1: "simple", 2: "formatted"}.get(level, "extended")
         df = self.sql(text)
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
-            df._jdf.queryExecution(), "formatted"
+            df._jdf.queryExecution(), mode
         )
 
     def profile(self, text: str) -> str:

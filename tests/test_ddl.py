@@ -306,3 +306,27 @@ def test_show_table_and_column_stats_and_files(spark, tmp_path):
     assert files and all(r["path"].endswith(".parquet") for r in files)
     assert all(r["size_bytes"] > 0 for r in files)
     spark.sql("DROP TABLE show_stats_t")
+
+
+def test_explain_levels(ddl):
+    """EXPLAIN_LEVEL 0-3 (functional-query explain-level0..3.test): the
+    session option changes the detail tier — standard outline at 0/1,
+    per-node sections at 2, all plan phases at 3."""
+    from minimised_impala_spark.engine import Engine
+
+    eng = Engine(ddl)
+    ddl.range(10).createOrReplaceTempView("explain_lvl_t")
+    q = "SELECT count(*) AS n FROM explain_lvl_t WHERE id > 1"
+    lvl1 = eng.explain(q)                       # default level 1
+    assert "== Physical Plan ==" in lvl1
+    assert "== Parsed Logical Plan ==" not in lvl1
+    lvl2 = eng.explain(q, level=2)
+    assert "(1) Scan" in lvl2 or "(1) " in lvl2  # formatted node sections
+    lvl3 = eng.explain(q, level=3)
+    assert "== Parsed Logical Plan ==" in lvl3 and "== Physical Plan ==" in lvl3
+    # SET EXPLAIN_LEVEL drives the default
+    ddl.sql("SET EXPLAIN_LEVEL=3")
+    try:
+        assert "== Parsed Logical Plan ==" in eng.explain(q)
+    finally:
+        ddl.conf.unset("EXPLAIN_LEVEL")
