@@ -330,3 +330,61 @@ def test_explain_levels(ddl):
         assert "== Parsed Logical Plan ==" in eng.explain(q)
     finally:
         ddl.conf.unset("EXPLAIN_LEVEL")
+
+
+def test_partitioned_insert_slices(ddl, sf_dir):
+    """tpcds-insert/partitioned-insert.test: INSERT OVERWRITE with a
+    dynamic partition key, loaded slice by slice (day -> month range),
+    with per-partition row accounting and partition-pruned re-reads.
+    OVERWRITE replaces only the partitions the SELECT produces (dynamic
+    partition overwrite), as the reference's per-partition results show."""
+    from pyspark.sql import functions as F
+
+    from minimised_impala_spark.tables import load_table
+
+    ddl.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        orders = load_table(ddl, sf_dir, "orders")
+        orders.createOrReplaceTempView("orders_src")
+        ddl.sql(
+            "CREATE TABLE orders_ins (o_orderkey BIGINT, o_totalprice DOUBLE, "
+            "ord_month INT) USING parquet PARTITIONED BY (ord_month)"
+        )
+        # single-month slice (the reference's 'day' at fixture scale)
+        ddl.sql(
+            "INSERT OVERWRITE TABLE orders_ins PARTITION (ord_month) "
+            "SELECT o_orderkey, o_totalprice, month(o_orderdate) AS ord_month "
+            "FROM orders_src WHERE o_orderdate >= '1997-03-01' "
+            "AND o_orderdate < '1997-04-01'"
+        )
+        day_n = ddl.table("orders_ins").count()
+        assert day_n > 0
+        # month range overwrite: month-3 partition REPLACED, others added
+        ddl.sql(
+            "INSERT OVERWRITE TABLE orders_ins PARTITION (ord_month) "
+            "SELECT o_orderkey, o_totalprice, month(o_orderdate) AS ord_month "
+            "FROM orders_src WHERE o_orderdate >= '1997-01-01' "
+            "AND o_orderdate < '1997-04-01'"
+        )
+        per_part = {
+            r["ord_month"]: r["n"]
+            for r in ddl.sql(
+                "SELECT ord_month, count(*) AS n FROM orders_ins GROUP BY ord_month"
+            ).collect()
+        }
+        assert sorted(per_part) == [1, 2, 3]
+        expect = {
+            m: orders.filter(
+                (F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == m)
+            ).count()
+            for m in (1, 2, 3)
+        }
+        assert per_part == expect  # month 3 was REPLACED, not appended
+        # partition-pruned single-slice read
+        one = ddl.sql("SELECT count(*) AS n FROM orders_ins WHERE ord_month = 2")
+        assert one.collect()[0]["n"] == expect[2]
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+    finally:
+        ddl.sql("DROP TABLE IF EXISTS orders_ins")
+        ddl.conf.unset("spark.sql.sources.partitionOverwriteMode")
