@@ -42,6 +42,7 @@ def read_text(
     compression: str | None = None,
     mode: str = "PERMISSIVE",
     encoding: str = "UTF-8",
+    null_value: str | None = None,
 ) -> DataFrame:
     """Delimited-text scan (csv source). Infers schema when not given —
     the reference instead required declared schemas (schema-on-read from
@@ -51,7 +52,11 @@ def read_text(
     scanner error tolerance (hdfs-text-scanner.h parse-error counters):
     PERMISSIVE nulls unparseable fields, DROPMALFORMED skips bad rows,
     FAILFAST raises. ``encoding`` covers non-UTF8 corpora (the
-    reference's delimited-latin-text.test reads ISO-8859-1)."""
+    reference's delimited-latin-text.test reads ISO-8859-1).
+    ``null_value`` sets an explicit NULL sentinel — pass r'\\N' for the
+    reference's Hive-convention text tables (functional-query
+    null_data.test); left None, Spark's default applies (empty field →
+    NULL), matching this engine's own write_text round trip."""
     reader = (
         spark.read.option("sep", sep)
         .option("escape", escape)
@@ -60,6 +65,8 @@ def read_text(
         .option("mode", mode)
         .option("encoding", encoding)
     )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if schema is not None:
         reader = reader.schema(schema)
     else:

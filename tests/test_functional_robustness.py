@@ -273,3 +273,45 @@ def test_partition_col_types_roundtrip(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "pi" in plan
+
+
+def test_hive_null_sentinel_text(spark, tmp_path):
+    r"""null_data.test: the reference's text tables encode NULL as '\N'
+    (Hive convention); read_text(null_value=r'\N') honors it for every
+    column type while plain '\N'-free values parse normally."""
+    from minimised_impala_spark.sources.formats import read_text
+
+    path = tmp_path / "nulls"
+    path.mkdir()
+    (path / "d.csv").write_text("1,a,2.5\n\\N,\\N,\\N\n3,\\N,4.5\n")
+    df = read_text(
+        spark, str(path), schema="i INT, s STRING, d DOUBLE", null_value=r"\N"
+    )
+    rows = sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert rows == [(1, "a", 2.5), (3, None, 4.5), (None, None, None)]
+
+
+def test_insert_column_permutation(spark, tmp_path):
+    """insert_permutation.test: INSERT INTO t (cols...) in permuted order
+    maps values by NAME; unmentioned columns fill NULL."""
+    spark.sql("DROP TABLE IF EXISTS perm_nopart")
+    spark.sql(
+        "CREATE TABLE perm_nopart (int_col1 INT, string_col STRING, "
+        f"int_col2 INT) USING parquet LOCATION '{tmp_path}/perm'"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO perm_nopart (int_col2, int_col1, string_col) "
+            "VALUES (2, 1, 'str')"
+        )
+        spark.sql("INSERT INTO perm_nopart (int_col1) VALUES (9)")
+        got = sorted(
+            (tuple(r) for r in spark.table("perm_nopart").collect()),
+            key=lambda t: t[0],
+        )
+        assert got == [(1, "str", 2), (9, None, None)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perm_nopart")
