@@ -346,29 +346,80 @@ _BOOL_OP = re.compile(r"&&|\|\|")
 _IREGEXP = re.compile(r"\bIREGEXP\b", re.IGNORECASE)
 
 
-def _operand_end(masked: str, start: int) -> int:
-    """End offset of the simple expression beginning at ``start``: a masked
-    string literal, a parenthesized group, or an identifier/function-call
-    chain (stops at the first depth-0 whitespace/comma/closing paren)."""
+# Tokens of LOWER precedence than IREGEXP in the reference grammar
+# (fe/src/main/cup/sql-parser.cup ranks like_predicate below the boolean/
+# comparison tiers but ABOVE arithmetic): hitting one of these at depth 0
+# ends the operand. Arithmetic ('p1 + p2') stays inside the operand.
+_IREGEXP_STOP = {
+    "AND", "OR", "NOT", "IS", "IN", "BETWEEN", "LIKE", "ILIKE", "RLIKE",
+    "REGEXP", "IREGEXP", "DIV", "FROM", "WHERE", "GROUP", "ORDER",
+    "HAVING", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "JOIN",
+    "ON", "USING", "WHEN", "THEN", "ELSE", "END", "AS", "ASC", "DESC",
+    "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+}
+
+
+def _skip_ws_comments(masked: str, raw: str, i: int) -> int:
+    """Advance past whitespace and masked COMMENT runs (comments mask to
+    \\x00 exactly like string literals; the original text distinguishes
+    them — a comment run starts '-' or '/', a literal starts a quote)."""
+    n = len(masked)
+    while i < n:
+        if masked[i].isspace():
+            i += 1
+        elif masked[i] == "\x00" and raw[i] in "-/":
+            while i < n and masked[i] == "\x00":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _operand_end(masked: str, raw: str, start: int) -> int:
+    """End offset of the IREGEXP right operand beginning at ``start``.
+    The reference grammar binds IREGEXP LOWER than arithmetic, so the
+    operand spans depth-0 whitespace-separated arithmetic terms
+    ('p1 + p2') and ends only at a boundary of lower precedence: comma,
+    closing paren, a comparison/boolean operator, a stop keyword, or end
+    of text. Interior comment runs are skipped without extending the
+    operand; trailing whitespace/comments are excluded."""
     n = len(masked)
     i = start
-    if i < n and masked[i] == "\x00":  # string literal (masked run)
-        while i < n and masked[i] == "\x00":
-            i += 1
-        return i
+    last_end = start
     depth = 0
     while i < n:
         ch = masked[i]
+        if ch == "\x00":
+            run_start = i
+            while i < n and masked[i] == "\x00":
+                i += 1
+            if raw[run_start] not in "-/":  # string literal, not comment
+                last_end = i
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             if depth == 0:
                 break
             depth -= 1
-        elif depth == 0 and (ch.isspace() or ch == ","):
-            break
+        elif depth == 0:
+            if ch.isspace():
+                i += 1
+                continue
+            if ch in ",;" or ch in "=<>!" or ch in "|&":
+                break
+            if ch.isalpha() or ch == "_":
+                j = i
+                while j < n and (masked[j].isalnum() or masked[j] == "_"):
+                    j += 1
+                if masked[i:j].upper() in _IREGEXP_STOP:
+                    break
+                i = j
+                last_end = i
+                continue
         i += 1
-    return i
+        last_end = i
+    return last_end
 
 
 def translate(sql: str) -> str:
@@ -447,12 +498,16 @@ def translate(sql: str) -> str:
     # into literal patterns, concat('(?i)', x) around non-literal ones.
     masked = _mask(out)
     for m in reversed(list(_IREGEXP.finditer(masked))):
-        j = m.end()
-        while j < len(masked) and masked[j].isspace():
-            j += 1
-        end = _operand_end(masked, j)
+        j = _skip_ws_comments(masked, out, m.end())
+        end = _operand_end(masked, out, j)
         operand = out[j:end]
-        if j < len(masked) and masked[j] == "\x00" and operand.startswith("'"):
+        if end <= j:
+            raise ValueError(
+                f"IREGEXP with no parseable right operand at offset {j}: "
+                f"{sql!r}"
+            )
+        if operand.startswith("'") and set(masked[j:end]) == {"\x00"}:
+            # Whole operand is ONE string literal — inject the flag inline.
             repl = "RLIKE " + operand[0] + "(?i)" + operand[1:]
         else:
             repl = f"RLIKE concat('(?i)', {operand})"

@@ -318,8 +318,10 @@ class Engine:
                 except Exception:  # noqa: BLE001 — unset key
                     continue
             try:
-                level = int(raw)
-            except ValueError:
+                # Some PySpark variants return None (not raise) for an
+                # unset key — int(None) is TypeError, not ValueError.
+                level = int(raw) if raw is not None else 1
+            except (TypeError, ValueError):
                 level = 1
         mode = {0: "simple", 1: "simple", 2: "formatted"}.get(level, "extended")
         df = self.sql(text)

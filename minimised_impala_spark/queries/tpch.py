@@ -31,7 +31,8 @@ which recovers the exact rational sum bit-identically in both engines
 Integer-valued sums (quantities, counts) are exact in FP and stay bare.
 At k=6 the round-after-FP-sum form runs out of margin (q1's sum_charge:
 scaled magnitude ~3e14 at sf0.01 vs add-order noise of one scaled ulp), so
-it uses isum() — per-term integer scaling, exact BIGINT sum — instead.
+it uses isum() — per-term integer scaling, exact DECIMAL(38,0) sum —
+instead (decimal, not BIGINT: the accumulator must not wrap at 100 TB).
 
 Scale notes: nation/region are broadcast explicitly (constant-size dims);
 other join strategies are left to Catalyst/AQE, which at 100 TB picks
@@ -65,14 +66,17 @@ def dsum(expr: Column, dec: int) -> Column:
 def isum(expr: Column, dec: int) -> Column:
     """EXACT sum of a k-decimal fixed-point column: scale each term to its
     integer numerator (round() recovers it exactly — the term's FP error is
-    ≪ 0.5 at the scaled magnitude), sum as BIGINT (order-independent,
-    overflow-free below 9.2e18), divide once at the boundary. Used where
-    dsum's round-after-FP-sum has no margin left: at k=6 the scaled q1
-    sum_charge is ~3e14 at sf0.01 while the FP sum's add-order noise is
-    ~1e-5 unscaled — i.e. one scaled ulp, observed flipping between plan
-    shapes (tests/test_nested_tpch_parity.py found it)."""
+    ≪ 0.5 at the scaled magnitude), sum as DECIMAL(38,0) (order-independent
+    and overflow-free to 1e38 — a BIGINT accumulator would wrap silently
+    past 9.2e18, i.e. around TPC-H SF~150 for q1's sum_charge, while
+    DuckDB promotes to HUGEINT and silently diverges), then one cast to
+    DOUBLE and one division at the boundary. Used where dsum's
+    round-after-FP-sum has no margin left: at k=6 the scaled q1 sum_charge
+    is ~3e14 at sf0.01 while the FP sum's add-order noise is ~1e-5
+    unscaled — i.e. one scaled ulp, observed flipping between plan shapes
+    (tests/test_nested_tpch_parity.py found it)."""
     s = float(10**dec)
-    return F.sum(F.round(expr * s, 0).cast("bigint")) / s
+    return F.sum(F.round(expr * s, 0).cast("decimal(38,0)")).cast("double") / s
 
 
 def davg(expr: Column, dec: int) -> Column:
@@ -101,8 +105,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice) * 100) / 100                AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
                                                               AS sum_disc_price,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                      * 1000000) AS BIGINT)) / 1000000        AS sum_charge,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+                                                              AS sum_charge,
        avg(l_quantity)                                        AS avg_qty,
        round(sum(l_extendedprice) * 100) / 100 / count(l_extendedprice)
                                                               AS avg_price,

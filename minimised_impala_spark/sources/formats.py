@@ -233,6 +233,11 @@ def read_mixed_partitions(
         "orc": lambda p: read_orc(spark, p),
         "sequencefile": lambda p: read_sequencefile(spark, p, schema),
     }
+    if not partitions:
+        # Fully-pruned scan (every partition eliminated before the call,
+        # the metastore-pruning analogue): an empty relation of the
+        # declared schema, same as the reference's pruned HdfsScanNode.
+        return spark.createDataFrame([], schema)
     parts = []
     for path, fmt, pvals in partitions:
         if fmt not in readers:
@@ -243,7 +248,10 @@ def read_mixed_partitions(
         parts.append(df)
     out = parts[0]
     for df in parts[1:]:
-        out = out.unionByName(df)
+        # allowMissingColumns: partitions may carry differing
+        # partition-key sets (keys absent in a branch read as NULL —
+        # the reference's partition-metadata default).
+        out = out.unionByName(df, allowMissingColumns=True)
     return out
 
 
