@@ -32,68 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first 50 registry entries per round.
-# Round-9 queue, per the protocol (never-driver-verified first, then
-# this round's new queries, then changed-code rows, then rotation onto
-# the oldest green rows):
-#   1-23  the r9 block staged at the end of r8 — 21 late-r8 operators
-#         (builder-sweep-green at up to three scales, never
-#         driver-verified) plus dedup_simhash (64-bit re-spec) and
-#         events_concurrency_curve (ordering key widened);
-#   24-28 new in r9: tpch_q2 + tpch_q11 (the last two reference TPC-H
-#         workload files, runnable via the in-query derived partsupp)
-#         and three new SubplanNode compositions (nested_tpch_q20
-#         multi-collection correlated aggregate; nested_tpch_order_topn
-#         per-row ORDER BY/LIMIT + OUTER unnest; nested_tpch_q21 dual
-#         correlated existence over one collection);
-#   29    text_ccnet_buckets — rank key moved from packed scalar to the
-#         (avg_nll, doc_id) tuple this round (same results at fixture
-#         ids; changed code earns a fresh row);
-#   30-34 five queries de-vacuoused this round (they were green on
-#         empty results — see the block comment below) — changed
-#         semantics, fresh rows;
-#   35-41 the 7 r2-era rows deferred by the r8 cap;
-#   42-50 rotation onto the oldest r3-era rows (9 of 39 not already
-#         forced above; the rest are listed after the cap and queue for
-#         r10 — rotation horizon is tracked in NOTES.md).
+# Round-10 queue, per the protocol (changed-code rows first, then
+# rotation onto the oldest green rows, then this round's new
+# registrations, then deeper rotation):
+#   1-3   changed in r10: tpch_q1 (isum accumulator BIGINT →
+#         DECIMAL(38,0), ADVICE r9 #1 — same values at fixture scales,
+#         changed code earns a fresh row), events_triangle_count and
+#         dedup_threshold_sweep (localCheckpoint → persist at the reuse
+#         seams, VERDICT r9 #4 — plan unchanged below the seam, fresh
+#         rows anyway);
+#   4-33  the COMPLETE r3-era rotation block (30 names whose latest
+#         driver rows date to r3 — VERDICT r9 #1: drain it entirely so
+#         nothing older than r4 remains);
+#   34-45 the 12 TPC-DS parity ports promoted from
+#         tests/test_tpcds_parity.py to registry rows (VERDICT r9 #2 —
+#         already oracle-compared + zero-row-guarded in pytest since
+#         r9; queued behind the rotation block per the directive);
+#   46-50 rotation onto the 5 oldest r4-era rows (the r4 block, 48
+#         names, becomes the next rotation horizon).
 _PRIORITY = [
-    # --- r9 block: late-r8 registrations, never driver-verified ---
-    "text_padding_efficiency", "text_quality_calibration",
-    "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
-    "pipeline_embedding_drift", "text_vocab_coverage_curve",
-    "text_heaps_fit", "pipeline_dedup_impact_report",
-    "events_lifecycle_states", "events_engagement_histogram",
-    "pipeline_shard_assignment", "events_attribution_time_decay",
-    "text_entropy_rate", "pipeline_benford_audit",
-    "pipeline_k_anonymity_audit", "dedup_cluster_size_histogram",
-    "text_jsd_source_divergence", "events_degree_distribution",
-    "multimodal_phash_neardup", "pipeline_market_basket",
-    "events_hourly_seasonality",
-    # changed late in r8: simhash re-specced to 64-bit/16-bit bands;
-    # concurrency ordering key widened past the lpad truncation bug
-    "dedup_simhash", "events_concurrency_curve",
-    # --- new in round 9 ---
-    "tpch_q2", "tpch_q11", "nested_tpch_q20", "nested_tpch_order_topn",
-    "nested_tpch_q21",
-    # --- changed in round 9 (tuple rank key replaces packed scalar) ---
-    "text_ccnet_buckets",
-    # --- de-vacuoused in round 9: these five were green on EMPTY
-    # results at every scale (thresholds outside the fixture's data
-    # range — the same class as the replaced q11's 'GERMANY' filter),
-    # found by a zero-row sweep over all 320 registered queries. Their
-    # predicates now select non-trivial survivor sets at all three
-    # scales, so the changed semantics earn fresh driver rows ---
-    "subq_scalar_uncorrelated", "subq_not_exists_correlated",
-    "subq_in_aggregated", "tpch_q22", "join_left_anti",
-    # --- r2-era rows deferred by the r8 cap ---
-    "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
-    "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
-    # --- r3-era rotation (9 slots to the cap; remainder queued) ---
-    "window_range_numeric", "scalar_math", "events_sessionize",
-    "events_asof_join", "events_range_join", "pipeline_corpus_curation",
-    "streaming_window_counts", "streaming_dedup_exact",
-    "source_avro_scan",
-    # --- past the 50-cap: rest of the r3-era block in age order, so a
-    # deeper sweep (or the r10 rebuild) starts from the oldest ---
+    # --- changed in round 10 ---
+    "tpch_q1", "events_triangle_count", "dedup_threshold_sweep",
+    # --- the full r3-era rotation block, oldest-first ---
     "source_sequencefile_scan", "agg_minmax_types",
     "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
     "window_range_frame", "window_first_last",
@@ -105,6 +65,34 @@ _PRIORITY = [
     "events_path_mining", "dedup_ngram_jaccard", "dedup_keep_best",
     "sim_lsh_buckets", "sim_quantized_topk", "text_langid",
     "text_tokens", "text_fingerprint", "text_sample_deterministic",
+    # --- new in round 10: TPC-DS registry promotions ---
+    "tpcds_q7", "tpcds_q19", "tpcds_q34", "tpcds_q42", "tpcds_q43",
+    "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63", "tpcds_q79",
+    "tpcds_q89", "tpcds_q96",
+    # --- rotation onto the oldest r4-era rows ---
+    "agg_sample_reservoir", "agg_corr_covar", "window_percentile",
+    "nested_array_funcs", "dedup_embedding",
+    # --- past the 50-cap: rest of the r4-era block in age order, so a
+    # deeper sweep (or the r11 rebuild) starts from the oldest ---
+    "text_repetition", "text_mix_sources", "text_contamination",
+    "text_boilerplate_ngrams", "pipeline_pii_redaction",
+    "streaming_sliding_counts", "streaming_session_window",
+    "streaming_attribution_join", "streaming_enrich_join",
+    "streaming_sessionize_stateful", "multimodal_decode_stub",
+    "multimodal_frame_sample", "join_right_anti", "agg_histogram",
+    "text_split_assignment", "text_global_shuffle",
+    "text_sample_stratified", "pipeline_near_dedup",
+    "udf_pandas_scalar", "uda_grouped_pandas", "ddl_ctas_roundtrip",
+    "source_json_scan", "source_orc_scan",
+    "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
+    "streaming_dedup_watermarked", "streaming_outer_join",
+    "text_heavy_hitters", "events_rollup_hierarchy",
+    "dedup_prefix_filter", "dedup_incremental",
+    "multimodal_resize_stub", "multimodal_features", "text_lm_score",
+    "text_chunk_overlap", "text_temperature_resample",
+    "window_ignore_nulls", "text_countmin_hitters",
+    "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
+    "streaming_topk_windowed", "dedup_edit_distance",
     # remaining greens follow in registration order via _ordered_names
 ]
 

@@ -1863,9 +1863,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_df = base.unionByName(pert)
     band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
+    # persist(), not localCheckpoint: checkpoint RDD creation is paid at
+    # call time even when lazy (serial driver cost — this query was the
+    # #2 plan_build offender in BENCH_r09); persist defers to first use.
     bands = corpus_df.select(
         "vec_id", F.posexplode(band_sigs("e")).alias("band", "bucket")
-    ).localCheckpoint(eager=False)
+    ).persist()
     a = bands.select(F.col("vec_id").alias("left_id"), "band", "bucket")
     b = bands.select(F.col("vec_id").alias("right_id"), "band", "bucket")
     cand_ids = (
@@ -1876,7 +1879,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = corpus_df.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
     vb = corpus_df.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
-    # localCheckpoint: the scored candidates feed BOTH the pair-count and
+    # persist: the scored candidates feed BOTH the pair-count and
     # affected-doc aggregates below — without it the pandas-UDF rescore
     # runs twice (round-protocol seam; measured 2x on the sf1 smoke)
     cand = (
@@ -1888,7 +1891,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(VK.cosine_pair("ea", "eb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= _SWEEP_TAUS[0])
-        .localCheckpoint(eager=False)
+        .persist()
     )
     thr = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
     sel = F.broadcast(thr).join(cand, F.col("cosine") >= F.col("tau"), "left")

@@ -1310,11 +1310,16 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     edges = _cooccurrence_edges(ev)
     # four consumers below (degrees, orientation, edge count) re-run the
-    # capped cell self-join without this; same seam as link prediction
-    edges = edges.localCheckpoint(eager=False)
+    # capped cell self-join without this; same seam as link prediction.
+    # persist(), not localCheckpoint: PySpark builds the checkpoint RDD
+    # at CALL time even with eager=False (~0.5 s of serial driver work
+    # each — 70% of this query's plan_build, profiled in NOTES r9),
+    # while persist is plan-time-free and gives the same single-compute
+    # reuse via InMemoryTableScan.
+    edges = edges.persist()
     deg, oriented = _orient_edges(edges)
     # three self-join arms read the oriented edge list
-    oriented = oriented.localCheckpoint(eager=False)
+    oriented = oriented.persist()
     x = oriented.select(
         F.col("s").alias("xs"), F.col("t").alias("xt"), F.col("td").alias("xtd")
     )
