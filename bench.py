@@ -60,10 +60,17 @@ EXTRA = [
     "text_kneser_ney_lm",
     "pipeline_source_overlap_matrix",
     "pipeline_dedup_impact_report",
-    # round-9 additions — one per new family: derived-dim min-cost
-    # (window-in-one-exchange q2) and collection-HOF existence (q21
-    # fused to exists() lambdas, zero joins for the subqueries)
+    # round-9 additions, completed to all five in r10 (VERDICT r9 #8 —
+    # their sf0.1->sf1 smoke ratios stay measured, not one-shot):
+    # derived-dim min-cost (window-in-one-exchange q2), integer-cents
+    # group-vs-global HAVING (q11), multi-collection correlated
+    # aggregate (q20), per-row ORDER BY/LIMIT + OUTER unnest
+    # (order_topn), collection-HOF existence (q21 fused to exists()
+    # lambdas, zero joins for the subqueries)
     "tpch_q2",
+    "tpch_q11",
+    "nested_tpch_q20",
+    "nested_tpch_order_topn",
     "nested_tpch_q21",
 ]
 

@@ -114,3 +114,31 @@ def test_explain_level_none_conf(spark, monkeypatch):
     )
     txt = eng.explain("SELECT 1 AS one")
     assert "Project" in txt or "one" in txt
+
+
+# --------------------------------------------------------------------------
+# Latent-audit class 3 (float division/conversion) for the r10 isum change:
+# past 2^53 the DECIMAL(38,0) sum is no longer exactly representable as a
+# double, so the final cast ROUNDS — engine and oracle must round the same
+# decimal to the same double or the hash compare diverges exactly where
+# the overflow fix starts mattering. Both must be correctly-rounded
+# (round-half-even) decimal->double conversions.
+def test_decimal_to_double_cast_parity_past_2_53(spark):
+    import duckdb
+
+    vals = [
+        9007199254740993,          # 2^53 + 1 (first non-representable odd)
+        9007199254740995,
+        18014398509481985,         # 2^54 + 1
+        123456789012345678901,     # ~1.2e20, well past 2^63 too
+        99999999999999999999999999999999999999,  # max DECIMAL(38,0)
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        s = spark.sql(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS DOUBLE) AS d"
+        ).collect()[0]["d"]
+        d = con.execute(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS DOUBLE)"
+        ).fetchone()[0]
+        assert s == d == float(v), (v, s, d, float(v))

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 320  # r9: +nested_tpch_q20/q21, +nested_tpch_order_topn; tpch_q2/q11 REPLACED (derived partsupp)
+EXPECTED_QUERY_COUNT = 332  # r10: +12 TPC-DS parity promotions (q7 q19 q34 q42 q43 q46 q52 q55 q63 q79 q89 q96)
 
 
 def test_registry_count_is_authoritative():
@@ -37,41 +37,38 @@ def test_priority_names_all_registered():
 
 
 def test_priority_covers_never_verified_first():
-    # the first 50 driver slots must include every name with no driver
-    # row through r8 (the 21 late-r8 operators), the two late-r8
-    # re-specs, r9's new/replaced queries, the r9 changed-code row, and
-    # the 7 r2-era rows deferred by the r8 cap — guards against queue
-    # re-ordering regressions
+    # the first 50 driver slots must include (r10 queue): the rows whose
+    # code changed this round, every never-driver-verified registration
+    # (the 12 TPC-DS promotions), and the COMPLETE r3-era rotation block
+    # (VERDICT r9 #1: nothing older than r4 may remain) — guards against
+    # queue re-ordering regressions
     import __spark_entry__ as entrymod
 
+    r10_changed = {
+        "tpch_q1",                 # isum BIGINT -> DECIMAL(38,0)
+        "events_triangle_count",   # localCheckpoint -> persist seam
+        "dedup_threshold_sweep",   # localCheckpoint -> persist seam
+    }
     never = {
-        "text_padding_efficiency", "text_quality_calibration",
-        "text_kneser_ney_lm", "pipeline_source_overlap_matrix",
-        "pipeline_embedding_drift", "text_vocab_coverage_curve",
-        "text_heaps_fit", "pipeline_dedup_impact_report",
-        "events_lifecycle_states", "events_engagement_histogram",
-        "pipeline_shard_assignment", "events_attribution_time_decay",
-        "text_entropy_rate", "pipeline_benford_audit",
-        "pipeline_k_anonymity_audit", "dedup_cluster_size_histogram",
-        "text_jsd_source_divergence", "events_degree_distribution",
-        "multimodal_phash_neardup", "pipeline_market_basket",
-        "events_hourly_seasonality", "dedup_simhash",
-        "events_concurrency_curve",
+        "tpcds_q7", "tpcds_q19", "tpcds_q34", "tpcds_q42", "tpcds_q43",
+        "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63", "tpcds_q79",
+        "tpcds_q89", "tpcds_q96",
     }
-    r9_new_or_changed = {
-        "tpch_q2", "tpch_q11", "nested_tpch_q20", "nested_tpch_q21",
-        "nested_tpch_order_topn", "text_ccnet_buckets",
-        # de-vacuoused (were green on empty results)
-        "subq_scalar_uncorrelated", "subq_not_exists_correlated",
-        "subq_in_aggregated", "tpch_q22", "join_left_anti",
-    }
-    r2_deferred = {
-        "tpch_q1", "tpch_q3", "window_rank_suite", "window_rows_frame",
-        "window_lag_lead", "dedup_minhash_lsh", "sim_ivf_ann",
+    r3_era = {
+        "source_sequencefile_scan", "agg_minmax_types",
+        "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
+        "window_range_frame", "window_first_last",
+        "subq_exists_correlated", "subq_in_disjunction",
+        "nested_explode_outer", "nested_tpch_q18", "nested_tpch_pricing",
+        "nested_exists_predicate", "nested_tpch_double_unnest",
+        "events_window_agg", "events_json_extract", "events_funnel",
+        "events_funnel_ordered", "events_retention", "events_gapfill",
+        "events_zscore_anomaly", "events_path_mining",
+        "dedup_ngram_jaccard", "dedup_keep_best", "sim_lsh_buckets",
+        "sim_quantized_topk", "text_langid", "text_tokens",
+        "text_fingerprint", "text_sample_deterministic",
     }
     first50 = set(list(entrymod.queries())[:50])
+    assert r10_changed <= first50, f"changed cut: {r10_changed - first50}"
     assert never <= first50, f"missing from cap: {never - first50}"
-    assert r9_new_or_changed <= first50, (
-        f"new/changed cut: {r9_new_or_changed - first50}"
-    )
-    assert r2_deferred <= first50, f"rotation debt cut: {r2_deferred - first50}"
+    assert r3_era <= first50, f"rotation debt cut: {r3_era - first50}"
