@@ -887,3 +887,62 @@ def test_nested_q21_existence_fused_to_hofs(spark, sf_dir):
     assert "exists(" in plan, plan[:2000]
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Round-10 TPC-DS registrations: pin the 100 TB-deciding properties of the
+# promoted rows (broadcast dims, pushdown into the part scan, single
+# aggregate pass for the pivot, window over the aggregated frame only).
+
+def test_tpcds_star_twins_push_dim_filter_and_broadcast(spark, sf_dir):
+    """q42/q52/q55 (q3's twins): the p_size dim filter must reach the part
+    parquet scan (PushedFilters), and the filtered part dim must broadcast
+    — at 100 TB the fact side never shuffles for a dim join."""
+    for name in ("tpcds_q42", "tpcds_q52", "tpcds_q55"):
+        plan = _physical(fresh(name)(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        m = re.search(r"PushedFilters: \[[^\]]*p_size[^\]]*\]", plan)
+        assert m, f"{name}: p_size not pushed to part scan\n{plan[:1500]}"
+
+
+def test_tpcds_q43_pivot_is_single_aggregate_pass(spark, sf_dir):
+    """q43's 7 day-of-week columns are conditional sums in ONE aggregate —
+    the plan must contain exactly one hash-partitioned exchange (the
+    groupBy), not one scan/agg per pivot column."""
+    plan = _physical(fresh("tpcds_q43")(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_tpcds_deviation_twins_window_over_agg_frame(spark, sf_dir):
+    """q63/q89 (q53's twins): one lineitem scan, the Window runs over the
+    |brand x month| AGGREGATED frame (never over the base fact), so its
+    exchange moves group rows, not fact rows."""
+    for name in ("tpcds_q63", "tpcds_q89"):
+        plan = _physical(fresh(name)(spark, sf_dir))
+        # single fact scan (no self-join): exactly one lineitem file scan
+        assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1, name
+        assert "Window" in plan, name
+        # the plan tree prints top-down (consumers first): the Window
+        # node sits ABOVE the HashAggregate whose output it consumes —
+        # i.e. the window runs over group rows, never over the base fact
+        assert plan.index("Window") < plan.index("HashAggregate"), name
+
+
+def test_tpcds_q96_dims_broadcast(spark, sf_dir):
+    """q96's count chain: supplier and the filtered nation broadcast; the
+    acctbal band reaches the customer scan as a pushed filter."""
+    plan = _physical(fresh("tpcds_q96")(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert re.search(r"PushedFilters: \[[^\]]*c_acctbal[^\]]*\]", plan), plan[:2000]
+
+
+def test_tpcds_q34_band_filter_after_single_agg(spark, sf_dir):
+    """q34: the 8-12 lines-per-ticket band applies to the count AGGREGATE
+    (one (orderkey, custkey) agg pass), and the day-of-month disjunction
+    is pushed down to the orders side, not evaluated post-join."""
+    plan = _physical(fresh("tpcds_q34")(spark, sf_dir))
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
+    # count band appears as a Filter on an aggregate output column (cnt)
+    assert re.search(r"Filter [^\n]*cnt", plan) or re.search(
+        r"\(count\(1\)[^\n]*>=\s*8", plan
+    ), plan[:2000]
