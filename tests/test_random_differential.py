@@ -1379,14 +1379,27 @@ def _gen_dialect_pair(rng: random.Random) -> tuple[str, str]:
             )
         else:
             pat = rng.choice(["THE", "A.E", "^T", "ING$", "E{2}"])
+            form = rng.random()
+            if form < 0.4:
+                eng_operand, duck_pat = f"'{pat}'", f"'(?i){pat}'"
+            elif form < 0.7:
+                # comment between IREGEXP and the literal operand — the
+                # r10 precedence fix skips it instead of wrapping it
+                eng_operand = f"/* hint */ '{pat}'"
+                duck_pat = f"'(?i){pat}'"
+            else:
+                # non-literal operand (function call): rewrites to
+                # concat('(?i)', x) — exercises the operand-end scan
+                eng_operand = f"upper('{pat.lower()}')"
+                duck_pat = f"'(?i)' || upper('{pat.lower()}')"
             eng = (
                 f"SELECT doc_id FROM documents "
-                f"WHERE text IREGEXP '{pat}' && doc_id < {hi * 5} "
+                f"WHERE text IREGEXP {eng_operand} && doc_id < {hi * 5} "
                 f"ORDER BY doc_id"
             )
             duck = (
                 f"SELECT doc_id FROM documents "
-                f"WHERE regexp_matches(text, '(?i){pat}') "
+                f"WHERE regexp_matches(text, {duck_pat}) "
                 f"AND doc_id < {hi * 5} ORDER BY doc_id"
             )
         return eng, duck
