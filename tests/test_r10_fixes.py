@@ -142,3 +142,62 @@ def test_decimal_to_double_cast_parity_past_2_53(spark):
             f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS DOUBLE)"
         ).fetchone()[0]
         assert s == d == float(v), (v, s, d, float(v))
+
+
+# --------------------------------------------------------------------------
+# New audit class for the r10 persist seams: a persist()ed seam must stay
+# CORRECT when its cached blocks are evicted (Spark recomputes evicted
+# partitions from lineage — safe only because the seam builds are
+# deterministic). Run the two swapped queries in a SUBPROCESS JVM whose
+# unified memory is squeezed (tiny heap, minimal storage protection) so
+# cached blocks evict under execution pressure, and pin bit-identical
+# results vs the suite session. (A second in-process SparkSession would
+# silently reuse the existing JVM and its memory config.)
+def test_persist_seams_correct_under_cache_eviction(spark, tmp_path):
+    import json
+    import subprocess
+    import sys as _sys
+
+    from minimised_impala_spark.queries import load_all
+    from minimised_impala_spark.queries.registry import QUERIES
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    want = {
+        n: sorted(map(repr, map(tuple, QUERIES[n](spark, sf).collect())))
+        for n in ("events_triangle_count", "dedup_threshold_sweep")
+    }
+    script = tmp_path / "evict_probe.py"
+    script.write_text(
+        """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]").appName("mis-evict")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "640m")
+    .config("spark.memory.fraction", "0.2")
+    .config("spark.memory.storageFraction", "0.05")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from minimised_impala_spark.queries import load_all
+from minimised_impala_spark.queries.registry import QUERIES
+load_all()
+out = {}
+for n in ("events_triangle_count", "dedup_threshold_sweep"):
+    rows = sorted(map(repr, map(tuple, QUERIES[n](spark, "/root/testdata/sf0.001").collect())))
+    out[n] = rows
+print("EVICT_RESULT " + json.dumps(out))
+"""
+    )
+    r = subprocess.run(
+        [_sys.executable, str(script)], capture_output=True, text=True,
+        timeout=420,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("EVICT_RESULT ")]
+    assert line, f"probe failed: {r.stderr[-1500:]}"
+    got = json.loads(line[0][len("EVICT_RESULT "):])
+    for n, w in want.items():
+        assert got[n] == w, f"{n} diverged under cache eviction"
