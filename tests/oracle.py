@@ -14,6 +14,7 @@ tests/comparison/discrepancy_searcher.py (vs Postgres/MySQL).
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -27,8 +28,13 @@ _SENTINEL = "\x00NULL\x00"
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in ALL_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the
+            # tools/make_sf1.py layout); glob the parts for DuckDB.
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
