@@ -69,14 +69,19 @@ _PRIORITY = [
     "tpcds_q7", "tpcds_q19", "tpcds_q34", "tpcds_q42", "tpcds_q43",
     "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63", "tpcds_q79",
     "tpcds_q89", "tpcds_q96",
-    # --- rotation onto the oldest r4-era rows ---
-    "agg_sample_reservoir", "agg_corr_covar", "window_percentile",
-    "nested_array_funcs", "dedup_embedding",
+    # --- final five slots: rows whose CODE changed in the late-r10 sf1
+    # oracle sweep fixes (agg_winsorize cents accumulation;
+    # nested_tpch_q21 GROUP BY s_name; the two streaming rows touched by
+    # the stream-stage part-file fix — both also r4-era rotation debt)
+    # plus the single oldest r4 row ---
+    "agg_winsorize", "nested_tpch_q21", "agg_sample_reservoir",
+    "streaming_sliding_counts", "streaming_session_window",
     # --- past the 50-cap: rest of the r4-era block in age order, so a
     # deeper sweep (or the r11 rebuild) starts from the oldest ---
+    "agg_corr_covar", "window_percentile",
+    "nested_array_funcs", "dedup_embedding",
     "text_repetition", "text_mix_sources", "text_contamination",
     "text_boilerplate_ngrams", "pipeline_pii_redaction",
-    "streaming_sliding_counts", "streaming_session_window",
     "streaming_attribution_join", "streaming_enrich_join",
     "streaming_sessionize_stateful", "multimodal_decode_stub",
     "multimodal_frame_sample", "join_right_anti", "agg_histogram",

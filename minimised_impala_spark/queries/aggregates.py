@@ -824,8 +824,10 @@ WITH pct AS (
 )
 SELECT o.o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o.o_totalprice) * 100) / 100 AS sum_raw,
-       round(sum(least(greatest(o.o_totalprice, p.p05), p.p95)) * 100) / 100
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100 AS sum_raw,
+       CAST(sum(CAST(round(least(greatest(o.o_totalprice, p.p05), p.p95)
+                           * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100
          AS sum_winsor,
        round(min(p.p05), 4) AS p05,
        round(min(p.p95), 4) AS p95
@@ -847,13 +849,27 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(
         F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
     )
+
+    # Exact per-term cents accumulated as DECIMAL(38,0) (isum discipline,
+    # tpch.py): only |statuses| groups here, so at sf1+ the scaled group
+    # sums outgrow dsum's round-after-FP-sum margin (caught by the r10
+    # sf1 oracle sweep). For sum_winsor the clamp bounds are interpolated
+    # percentiles (not 2-decimal rationals), so the column is defined as
+    # the sum of per-term-rounded CENTS — identical doubles round to
+    # identical integers on both engines, order-independent by
+    # construction.
+    def cents(col):
+        return F.sum(
+            F.round(col * 100, 0).cast("decimal(38,0)")
+        ).cast("double") / 100
+
     return (
         orders.join(pct, "o_orderstatus")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            (F.round(F.sum("o_totalprice") * 100, 0) / 100).alias("sum_raw"),
-            (F.round(F.sum(clamped) * 100, 0) / 100).alias("sum_winsor"),
+            cents(F.col("o_totalprice")).alias("sum_raw"),
+            cents(clamped).alias("sum_winsor"),
             F.round(F.min("p05"), 4).alias("p05"),
             F.round(F.min("p95"), 4).alias("p95"),
         )

@@ -221,7 +221,8 @@ flat AS (
 SELECT rf AS l_returnflag,
        count(*) AS n_items,
        sum(qty) AS sum_qty,
-       round(sum(price * (1 - disc)) * 10000) / 10000 AS sum_disc_price
+       CAST(sum(CAST(round(price * (1 - disc) * 10000) AS DECIMAL(38,0)))
+            AS DOUBLE) / 10000 AS sum_disc_price
 FROM flat
 GROUP BY rf
 ORDER BY rf
@@ -289,14 +290,19 @@ def nested_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = nested.select(F.explode("items").alias("it")).select("it.*")
     s = 10000.0
+    # isum discipline (see tpch.py): only THREE groups here, so at sf1+
+    # the scaled group sums outgrow dsum's round-after-FP-sum margin
+    # (caught by the r10 full-registry sf1 oracle sweep) — accumulate the
+    # exact 4-decimal numerators as DECIMAL(38,0) instead.
+    disc_price = F.sum(
+        F.round(F.col("price") * (1 - F.col("disc")) * s, 0).cast("decimal(38,0)")
+    ).cast("double") / s
     return (
         flat.groupBy(F.col("rf").alias("l_returnflag"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("qty").alias("sum_qty"),
-            (F.round(F.sum(F.col("price") * (1 - F.col("disc"))) * s, 0) / s).alias(
-                "sum_disc_price"
-            ),
+            disc_price.alias("sum_disc_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -809,12 +815,19 @@ def nested_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "items",
         lambda l3: (l3["supp"] != F.col("l1.supp")) & l3["late"],
     )
+    # Two-level aggregate: per-suppkey partial counts (bounded input to
+    # the broadcast join), then GROUP BY s_name — the reference/oracle
+    # grouping key. Grouping by suppkey alone and carrying the name
+    # along diverges whenever two suppliers share a name (caught by the
+    # r10 sf1 oracle sweep, where the replicated fixture duplicates
+    # names across copies).
     return (
         el.filter(other_supplier & ~other_late)
         .groupBy(F.col("l1.supp").alias("supp"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supp"))
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("cnt").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

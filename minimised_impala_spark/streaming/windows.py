@@ -40,17 +40,34 @@ def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     suffix = "" if copies == 1 else f"_x{copies}"
     stage = f"/tmp/mis_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}{suffix}"
     os.makedirs(stage, exist_ok=True)
-    expected = {f"events_{i}.parquet" for i in range(copies)}
+    # The table may be a single parquet FILE (driver fixtures) or a
+    # Spark-written DIRECTORY of part files (tools/make_sf1.py). The file
+    # stream source lists the stage dir non-recursively, so a symlink to
+    # a directory stages ZERO files (caught by the r10 sf1 oracle sweep:
+    # every streaming query read 0 rows at sf1) — link each part file.
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(src, p)
+            for p in os.listdir(src)
+            if p.endswith(".parquet")
+        )
+    else:
+        parts = [src]
+    expected = {
+        f"events_{i}_{j}.parquet": parts[j]
+        for i in range(copies)
+        for j in range(len(parts))
+    }
     # reconcile the stage dir exactly: stray entries (e.g. links named by an
     # older staging scheme) would silently multiply the stream's input.
     for name in os.listdir(stage):
         if name not in expected:
             os.remove(os.path.join(stage, name))
-    for name in expected:
+    for name, target in expected.items():
         link = os.path.join(stage, name)
         if not os.path.exists(link):
             try:
-                os.symlink(src, link)
+                os.symlink(target, link)
             except FileExistsError:
                 pass  # concurrent session staged the same fixture
     from minimised_impala_spark.tables import fix_events_ts
@@ -776,15 +793,26 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.realpath(f"{sf_dir}/documents.parquet")
     stage = f"/tmp/mis_docstream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents_0.parquet")
+    # single file or Spark directory-of-parts (see _events_stream note)
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(src, p)
+            for p in os.listdir(src)
+            if p.endswith(".parquet")
+        )
+    else:
+        parts = [src]
+    expected = {f"documents_{j}.parquet": parts[j] for j in range(len(parts))}
     for name in os.listdir(stage):
-        if name != "documents_0.parquet":
+        if name not in expected:
             os.remove(os.path.join(stage, name))
-    if not os.path.exists(link):
-        try:
-            os.symlink(src, link)
-        except FileExistsError:
-            pass  # concurrent session staged the same fixture — same target
+    for name, target in expected.items():
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                pass  # concurrent session staged the same fixture — same target
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).format("parquet").load(stage)
 

@@ -48,6 +48,12 @@ def test_priority_covers_never_verified_first():
         "tpch_q1",                 # isum BIGINT -> DECIMAL(38,0)
         "events_triangle_count",   # localCheckpoint -> persist seam
         "dedup_threshold_sweep",   # localCheckpoint -> persist seam
+        # late-r10 sf1-oracle-sweep fixes
+        "nested_tpch_pricing",     # disc-price sum -> decimal cents
+        "agg_winsorize",           # raw/winsor sums -> decimal cents
+        "nested_tpch_q21",         # GROUP BY s_name (oracle semantics)
+        "streaming_sliding_counts",   # stream stage part-file fix
+        "streaming_session_window",   # stream stage part-file fix
     }
     never = {
         "tpcds_q7", "tpcds_q19", "tpcds_q34", "tpcds_q42", "tpcds_q43",
