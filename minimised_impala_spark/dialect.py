@@ -38,10 +38,16 @@ _STRING_OR_COMMENT = re.compile(
 
 def _mask(sql: str) -> str:
     """Replace string literals/comments with same-length placeholders so
-    positional regex matches on the mask apply safely to the original."""
+    positional regex matches on the mask apply safely to the original.
+    Literals mask to \\x00, comments to \\x01 — DISTINCT placeholders,
+    because an abutting comment+literal ("IREGEXP/*c*/'a.c'") would
+    otherwise form one contiguous run that a raw-first-char test
+    classifies wholesale (ADVICE r10: the literal was skipped with the
+    comment and valid SQL raised ValueError)."""
 
     def repl(m: re.Match) -> str:
-        return "\x00" * len(m.group(0))
+        ch = "\x01" if (m.group(4) or m.group(5)) else "\x00"
+        return ch * len(m.group(0))
 
     return _STRING_OR_COMMENT.sub(repl, sql)
 
@@ -361,14 +367,14 @@ _IREGEXP_STOP = {
 
 def _skip_ws_comments(masked: str, raw: str, i: int) -> int:
     """Advance past whitespace and masked COMMENT runs (comments mask to
-    \\x00 exactly like string literals; the original text distinguishes
-    them — a comment run starts '-' or '/', a literal starts a quote)."""
+    \\x01, literals to \\x00 — distinct placeholders, so an abutting
+    comment+literal stays separable and only the comment is skipped)."""
     n = len(masked)
     while i < n:
         if masked[i].isspace():
             i += 1
-        elif masked[i] == "\x00" and raw[i] in "-/":
-            while i < n and masked[i] == "\x00":
+        elif masked[i] == "\x01":
+            while i < n and masked[i] == "\x01":
                 i += 1
         else:
             break
@@ -389,12 +395,14 @@ def _operand_end(masked: str, raw: str, start: int) -> int:
     depth = 0
     while i < n:
         ch = masked[i]
-        if ch == "\x00":
-            run_start = i
+        if ch == "\x00":  # string literal run: part of the operand
             while i < n and masked[i] == "\x00":
                 i += 1
-            if raw[run_start] not in "-/":  # string literal, not comment
-                last_end = i
+            last_end = i
+            continue
+        if ch == "\x01":  # comment run: skipped, never extends operand
+            while i < n and masked[i] == "\x01":
+                i += 1
             continue
         if ch == "(":
             depth += 1

@@ -1275,9 +1275,13 @@ def _orient_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     keeps NODE IDS as the s/t identifiers (t's degree rides along for
     the downstream tuple order) — injective at any id range, unlike a
     packed scalar key, which is what a 64-bit-user-id production graph
-    requires.  The |nodes|-bounded degree table broadcasts to both
-    endpoint joins.  Returns (deg, oriented) pre-checkpoint so callers
-    (and the plan tests) see the full lineage."""
+    requires.  The degree table is data-proportional (|nodes| grows
+    with the corpus), so the endpoint joins carry NO broadcast hint:
+    AQE broadcasts at fixture scale and shuffle-joins on the node key
+    once the table outgrows the threshold — the r9 invariance matrix
+    proves results are strategy-independent.  Returns (deg, oriented)
+    pre-checkpoint so callers (and the plan tests) see the full
+    lineage."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1289,11 +1293,11 @@ def _orient_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     oriented = (
         edges.join(
-            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("da"))),
+            deg.select(F.col("node").alias("u"), F.col("d").alias("da")),
             "u",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("db"))),
+            deg.select(F.col("node").alias("v"), F.col("d").alias("db")),
             "v",
         )
         .select(
@@ -1537,11 +1541,11 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         cand.join(
-            F.broadcast(deg.select(F.col("node").alias("cu"), F.col("d").alias("du"))),
+            deg.select(F.col("node").alias("cu"), F.col("d").alias("du")),
             "cu",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("cv"), F.col("d").alias("dv"))),
+            deg.select(F.col("node").alias("cv"), F.col("d").alias("dv")),
             "cv",
         )
         .select(

@@ -26,6 +26,38 @@ from pyspark.sql import functions as F
 from minimised_impala_spark.queries.registry import query
 
 
+def _reconcile_stage_links(stage: str, expected: dict[str, str]) -> None:
+    """Make the stage dir contain EXACTLY the symlinks in `expected`
+    (name -> target), each pointing at its current target.
+
+    A fixture regeneration changes Spark part filenames, so an old
+    link's target vanishes: os.path.exists(link) FOLLOWS the link and
+    returns False, a blind re-symlink raises FileExistsError, and the
+    dangling link persists — the stream then reads missing/partial
+    input, the silent-empty-input class the r10 sf1 sweep caught.
+    lexists sees the link itself; a link whose realpath no longer
+    matches the (realpath'd) target is removed and re-created."""
+    import os
+
+    for name in os.listdir(stage):
+        if name not in expected:
+            os.remove(os.path.join(stage, name))
+    for name, target in expected.items():
+        link = os.path.join(stage, name)
+        want = os.path.realpath(target)
+        if os.path.lexists(link) and os.path.realpath(link) != want:
+            os.remove(link)
+        if not os.path.lexists(link):
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                # concurrent session staged the same fixture — accept
+                # only if it points where we want, else repair once
+                if os.path.realpath(link) != want:
+                    os.remove(link)
+                    os.symlink(target, link)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     # ts encoding varies by fixture vintage — the shared tables.fix_events_ts
     # helper dispatches on the loaded dtype. The file stream source requires
@@ -58,18 +90,7 @@ def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
         for i in range(copies)
         for j in range(len(parts))
     }
-    # reconcile the stage dir exactly: stray entries (e.g. links named by an
-    # older staging scheme) would silently multiply the stream's input.
-    for name in os.listdir(stage):
-        if name not in expected:
-            os.remove(os.path.join(stage, name))
-    for name, target in expected.items():
-        link = os.path.join(stage, name)
-        if not os.path.exists(link):
-            try:
-                os.symlink(target, link)
-            except FileExistsError:
-                pass  # concurrent session staged the same fixture
+    _reconcile_stage_links(stage, expected)
     from minimised_impala_spark.tables import fix_events_ts
 
     schema = spark.read.parquet(src).schema
@@ -803,16 +824,7 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         parts = [src]
     expected = {f"documents_{j}.parquet": parts[j] for j in range(len(parts))}
-    for name in os.listdir(stage):
-        if name not in expected:
-            os.remove(os.path.join(stage, name))
-    for name, target in expected.items():
-        link = os.path.join(stage, name)
-        if not os.path.exists(link):
-            try:
-                os.symlink(target, link)
-            except FileExistsError:
-                pass  # concurrent session staged the same fixture — same target
+    _reconcile_stage_links(stage, expected)
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).format("parquet").load(stage)
 
