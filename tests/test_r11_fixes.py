@@ -64,6 +64,25 @@ def test_stage_reconcile_repairs_wrong_target_link(tmp_path):
     assert open(str(link), "rb").read() == b"b"
 
 
+def test_scale_smoke_zero_row_guard():
+    """VERDICT r10 #6: a 0-row result at any probed scale is a vacuous
+    timing (the r10 streaming episode) and must FAIL the scale smoke
+    unless whitelisted."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_smoke",
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "scale_smoke.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.zero_row_fail("q", [100, 0], set())
+    assert mod.zero_row_fail("q", [0, 100], set())
+    assert not mod.zero_row_fail("q", [100, 1000], set())
+    assert not mod.zero_row_fail("q", [100, 0], {"q"})
+
+
 def test_stage_reconcile_removes_strays_and_is_idempotent(tmp_path):
     t = tmp_path / "t.parquet"
     t.write_bytes(b"t")

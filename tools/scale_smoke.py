@@ -23,6 +23,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def zero_row_fail(name: str, row_counts: list[int], whitelist: set[str]) -> bool:
+    """Zero-row guard (VERDICT r10 #6): a query that returned 0 rows at
+    any probed scale produced a VACUOUS timing — the r10 streaming bug
+    staged 0 input files at sf1 and every stream 'passed' on empty
+    input. Fails unless the name is explicitly whitelisted (legitimate
+    empty output at some fixture scale)."""
+    return any(c == 0 for c in row_counts) and name not in whitelist
+
+
 def main() -> int:
     names = sys.argv[1:]
     if not names:
@@ -51,18 +60,32 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def best2(name: str, sf: str) -> float:
+    # Zero-row guard (VERDICT r10 #6): the r10 streaming bug staged 0
+    # input files at sf1 and every timing "passed" on an empty stream —
+    # the vacuous-green class at the scale axis. A query yielding 0
+    # rows at ANY scale fails the smoke unless explicitly whitelisted
+    # here (queries whose correct output is legitimately empty at some
+    # fixture scale, with the reason).
+    zero_row_ok: set[str] = set(
+        filter(None, os.environ.get("MIS_SMOKE_ZERO_OK", "").split(","))
+    )
+
+    def best2(name: str, sf: str) -> tuple[float, int]:
         best = float("inf")
+        rows = 0
         for _ in range(2):
             df = fresh(name)(spark, sf)
             t0 = time.perf_counter()
-            df.collect()
+            rows = len(df.collect())
             best = min(best, time.perf_counter() - t0)
-        return best
+        return best, rows
 
+    failed = False
     for n in names:
-        a = best2(n, "/root/testdata/sf0.1")
-        b = best2(n, sf1_dir)
+        a, rows_a = best2(n, "/root/testdata/sf0.1")
+        b, rows_b = best2(n, sf1_dir)
+        zero = zero_row_fail(n, [rows_a, rows_b], zero_row_ok)
+        failed = failed or zero
         print(
             json.dumps(
                 {
@@ -70,11 +93,14 @@ def main() -> int:
                     "sf0.1": round(a, 2),
                     "sf1": round(b, 2),
                     "x": round(b / a, 1) if a > 0 else None,
+                    "rows_sf0.1": rows_a,
+                    "rows_sf1": rows_b,
+                    **({"FAIL": "zero rows (vacuous timing)"} if zero else {}),
                 }
             ),
             flush=True,
         )
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
