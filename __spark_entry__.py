@@ -32,52 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first 50 registry entries per round.
-# Round-10 queue, per the protocol (changed-code rows first, then
-# rotation onto the oldest green rows, then this round's new
-# registrations, then deeper rotation):
-#   1-3   changed in r10: tpch_q1 (isum accumulator BIGINT →
-#         DECIMAL(38,0), ADVICE r9 #1 — same values at fixture scales,
-#         changed code earns a fresh row), events_triangle_count and
-#         dedup_threshold_sweep (localCheckpoint → persist at the reuse
-#         seams, VERDICT r9 #4 — plan unchanged below the seam, fresh
-#         rows anyway);
-#   4-33  the COMPLETE r3-era rotation block (30 names whose latest
-#         driver rows date to r3 — VERDICT r9 #1: drain it entirely so
-#         nothing older than r4 remains);
-#   34-45 the 12 TPC-DS parity ports promoted from
-#         tests/test_tpcds_parity.py to registry rows (VERDICT r9 #2 —
-#         already oracle-compared + zero-row-guarded in pytest since
-#         r9; queued behind the rotation block per the directive);
-#   46-50 rotation onto the 5 oldest r4-era rows (the r4 block, 48
-#         names, becomes the next rotation horizon).
+# Round-11 queue, per the protocol (changed-code rows first, then
+# rotation onto the oldest green rows):
+#   1-3   changed in r11: events_triangle_count, events_link_prediction,
+#         events_degree_distribution (the data-proportional
+#         F.broadcast(deg) hints removed — VERDICT r10 "What's wrong"
+#         #1; strategy now AQE's choice, results invariance-pinned, and
+#         changed code earns fresh rows);
+#   4-48  the COMPLETE r4-era rotation block (45 names whose latest
+#         driver rows date to r4 — VERDICT r10 directive #4: drain it
+#         entirely so nothing older than r5 remains). Order is the
+#         r10 queue-tail age order. Includes all seven r4 streaming
+#         rows, which also re-earn rows after the r11 stage-dir
+#         symlink-repair fix (ADVICE r10 medium);
+#   49-50 rotation onto the r5 block: dedup_embedding_lsh (the sf1
+#         perf adjudication target, VERDICT r10 #3 — a fresh
+#         correctness row alongside the re-measure) and udf_java_jar
+#         (the environment-heaviest r5 row: Hive UDF via JAR).
 _PRIORITY = [
-    # --- changed in round 10 ---
-    "tpch_q1", "events_triangle_count", "dedup_threshold_sweep",
-    # --- the full r3-era rotation block, oldest-first ---
-    "source_sequencefile_scan", "agg_minmax_types",
-    "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
-    "window_range_frame", "window_first_last",
-    "subq_exists_correlated", "subq_in_disjunction", "nested_explode_outer",
-    "nested_tpch_q18", "nested_tpch_pricing", "nested_exists_predicate",
-    "nested_tpch_double_unnest", "events_window_agg",
-    "events_json_extract", "events_funnel", "events_funnel_ordered",
-    "events_retention", "events_gapfill", "events_zscore_anomaly",
-    "events_path_mining", "dedup_ngram_jaccard", "dedup_keep_best",
-    "sim_lsh_buckets", "sim_quantized_topk", "text_langid",
-    "text_tokens", "text_fingerprint", "text_sample_deterministic",
-    # --- new in round 10: TPC-DS registry promotions ---
-    "tpcds_q7", "tpcds_q19", "tpcds_q34", "tpcds_q42", "tpcds_q43",
-    "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63", "tpcds_q79",
-    "tpcds_q89", "tpcds_q96",
-    # --- final five slots: rows whose CODE changed in the late-r10 sf1
-    # oracle sweep fixes (agg_winsorize cents accumulation;
-    # nested_tpch_q21 GROUP BY s_name; the two streaming rows touched by
-    # the stream-stage part-file fix — both also r4-era rotation debt)
-    # plus the single oldest r4 row ---
-    "agg_winsorize", "nested_tpch_q21", "agg_sample_reservoir",
-    "streaming_sliding_counts", "streaming_session_window",
-    # --- past the 50-cap: rest of the r4-era block in age order, so a
-    # deeper sweep (or the r11 rebuild) starts from the oldest ---
+    # --- changed in round 11: deg-broadcast hint removal ---
+    "events_triangle_count", "events_link_prediction",
+    "events_degree_distribution",
+    # --- the full r4-era rotation block, oldest-first ---
     "agg_corr_covar", "window_percentile",
     "nested_array_funcs", "dedup_embedding",
     "text_repetition", "text_mix_sources", "text_contamination",
@@ -98,6 +74,28 @@ _PRIORITY = [
     "window_ignore_nulls", "text_countmin_hitters",
     "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
     "streaming_topk_windowed", "dedup_edit_distance",
+    # --- final two slots: rotation into the r5 block ---
+    "dedup_embedding_lsh", "udf_java_jar",
+    # --- past the 50-cap: the rest of the r5-era block (oldest
+    # remaining horizon) so a deeper sweep starts from the oldest ---
+    "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
+    "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",
+    "ddl_sql_function", "ddl_view_cte", "dedup_containment",
+    "dedup_paragraph", "dedup_semdedup", "dedup_span_ngram",
+    "dialect_broadcast_hint", "events_mad_anomaly",
+    "events_pagerank_transitions", "events_pattern_match",
+    "events_scd2_intervals", "events_session_window_native",
+    "events_time_decay", "join_lateral", "join_salted_skew",
+    "multimodal_pair_clip_filter", "pipeline_corpus_diff",
+    "pipeline_data_quality", "pipeline_dataset_card",
+    "pipeline_incremental_stats", "scalar_decimal",
+    "sim_centroid_classify", "sim_ivfpq_ann", "sim_kmeans_cluster",
+    "sql_recursive_reachability", "streaming_dedup_lsh",
+    "streaming_drift_kl", "streaming_upsert_sink", "text_bigram_lm",
+    "text_bm25_topk", "text_dsir_importance", "text_pack_sequences",
+    "text_quality_classifier", "text_token_budget_mix",
+    "text_weighted_sample", "udtf_longest_streak",
+    "udtf_sentence_split",
     # remaining greens follow in registration order via _ordered_names
 ]
 

@@ -74,26 +74,52 @@ def main() -> int:
 
     from tests.oracle import compare
 
+    # Optional per-row wall clamp: $MIS_SF1_ROW_TIMEOUT seconds. DuckDB's
+    # python binding checks for pending interrupts periodically, so a
+    # SIGALRM-raised exception aborts a runaway oracle (the r10 sweep
+    # stalled for a session on near-dedup's recursive-CTE oracle at 10x
+    # docs). A timed-out row prints ERR and is retried on the next
+    # resume — typically standalone with a bigger budget.
+    row_timeout = int(os.environ.get("MIS_SF1_ROW_TIMEOUT", "0"))
+    if row_timeout:
+        import signal
+
+        def _alarm(_sig, _frm):
+            raise TimeoutError(f"row exceeded {row_timeout}s")
+
+        signal.signal(signal.SIGALRM, _alarm)
+
     n_ok = n_fail = 0
     for i, name in enumerate(names):
         if name in done and len(sys.argv) <= 1:
             continue
         t0 = time.perf_counter()
         try:
+            if row_timeout:
+                import signal
+
+                signal.alarm(row_timeout)
             r = compare(name, spark, sf1_dir, qs[name], osql[name])
         except Exception as ex:  # noqa: BLE001 — sweep must survive one row
             print(f"{i:3d} {name:40s} ERR {type(ex).__name__}: {ex}",
                   flush=True)
             n_fail += 1
             continue
+        finally:
+            if row_timeout:
+                import signal
+
+                signal.alarm(0)
         dt = time.perf_counter() - t0
         strict = r.get("strict_match")
         vacuous = r["spark_rows"] == 0 and name not in ZERO_ROW_OK
         if r["ok"] and strict and not vacuous:
             print(f"{i:3d} {name:40s} OK rows={r['spark_rows']}/{r['duck_rows']} "
                   f"{dt:.1f}s", flush=True)
-            with open(done_path, "a") as f:
-                f.write(name + "\n")
+            if name not in done:
+                with open(done_path, "a") as f:
+                    f.write(name + "\n")
+                done.add(name)
             n_ok += 1
         else:
             why = ("ZERO ROWS (vacuous)" if vacuous
