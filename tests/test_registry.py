@@ -37,44 +37,38 @@ def test_priority_names_all_registered():
 
 
 def test_priority_covers_never_verified_first():
-    # the first 50 driver slots must include (r10 queue): the rows whose
-    # code changed this round, every never-driver-verified registration
-    # (the 12 TPC-DS promotions), and the COMPLETE r3-era rotation block
-    # (VERDICT r9 #1: nothing older than r4 may remain) — guards against
-    # queue re-ordering regressions
+    # the first 50 driver slots must include (r11 queue): the rows whose
+    # code changed this round (deg-broadcast hint removal) and the
+    # COMPLETE r4-era rotation block (VERDICT r10 #4: nothing older
+    # than r5 may remain) — guards against queue re-ordering regressions
     import __spark_entry__ as entrymod
 
-    r10_changed = {
-        "tpch_q1",                 # isum BIGINT -> DECIMAL(38,0)
-        "events_triangle_count",   # localCheckpoint -> persist seam
-        "dedup_threshold_sweep",   # localCheckpoint -> persist seam
-        # late-r10 sf1-oracle-sweep fixes
-        "nested_tpch_pricing",     # disc-price sum -> decimal cents
-        "agg_winsorize",           # raw/winsor sums -> decimal cents
-        "nested_tpch_q21",         # GROUP BY s_name (oracle semantics)
-        "streaming_sliding_counts",   # stream stage part-file fix
-        "streaming_session_window",   # stream stage part-file fix
+    r11_changed = {
+        "events_triangle_count",       # F.broadcast(deg) hint removed
+        "events_link_prediction",      # F.broadcast(deg) hint removed
+        "events_degree_distribution",  # shares _orient_edges lineage
     }
-    never = {
-        "tpcds_q7", "tpcds_q19", "tpcds_q34", "tpcds_q42", "tpcds_q43",
-        "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63", "tpcds_q79",
-        "tpcds_q89", "tpcds_q96",
-    }
-    r3_era = {
-        "source_sequencefile_scan", "agg_minmax_types",
-        "set_union_distinct", "agg_cube_grouping", "agg_bitwise",
-        "window_range_frame", "window_first_last",
-        "subq_exists_correlated", "subq_in_disjunction",
-        "nested_explode_outer", "nested_tpch_q18", "nested_tpch_pricing",
-        "nested_exists_predicate", "nested_tpch_double_unnest",
-        "events_window_agg", "events_json_extract", "events_funnel",
-        "events_funnel_ordered", "events_retention", "events_gapfill",
-        "events_zscore_anomaly", "events_path_mining",
-        "dedup_ngram_jaccard", "dedup_keep_best", "sim_lsh_buckets",
-        "sim_quantized_topk", "text_langid", "text_tokens",
-        "text_fingerprint", "text_sample_deterministic",
+    r4_era = {
+        "agg_corr_covar", "window_percentile", "nested_array_funcs",
+        "dedup_embedding", "text_repetition", "text_mix_sources",
+        "text_contamination", "text_boilerplate_ngrams",
+        "pipeline_pii_redaction", "streaming_attribution_join",
+        "streaming_enrich_join", "streaming_sessionize_stateful",
+        "multimodal_decode_stub", "multimodal_frame_sample",
+        "join_right_anti", "agg_histogram", "text_split_assignment",
+        "text_global_shuffle", "text_sample_stratified",
+        "pipeline_near_dedup", "udf_pandas_scalar", "uda_grouped_pandas",
+        "ddl_ctas_roundtrip", "source_json_scan", "source_orc_scan",
+        "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
+        "streaming_dedup_watermarked", "streaming_outer_join",
+        "text_heavy_hitters", "events_rollup_hierarchy",
+        "dedup_prefix_filter", "dedup_incremental",
+        "multimodal_resize_stub", "multimodal_features", "text_lm_score",
+        "text_chunk_overlap", "text_temperature_resample",
+        "window_ignore_nulls", "text_countmin_hitters",
+        "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
+        "streaming_topk_windowed", "dedup_edit_distance",
     }
     first50 = set(list(entrymod.queries())[:50])
-    assert r10_changed <= first50, f"changed cut: {r10_changed - first50}"
-    assert never <= first50, f"missing from cap: {never - first50}"
-    assert r3_era <= first50, f"rotation debt cut: {r3_era - first50}"
+    assert r11_changed <= first50, f"changed cut: {r11_changed - first50}"
+    assert r4_era <= first50, f"rotation debt cut: {r4_era - first50}"
