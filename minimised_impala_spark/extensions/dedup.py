@@ -217,9 +217,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _minhash_bands_cte() -> str:
+def _minhash_bands_cte(corpus_clause: str | None = None) -> str:
     """WITH-body through `bands` (doc_id, band, bsig) — the SQL mirror of
-    lsh_bands(), shared by every LSH oracle."""
+    lsh_bands(), shared by every LSH oracle.  ``corpus_clause`` overrides
+    the CTE(s) that define ``corpus`` (the near-dedup oracle substitutes
+    an exact-text-collapsed representative corpus — see
+    _NEAR_DEDUP_ORACLE)."""
     mins = ",\n         ".join(
         f"min(({2 * j + 3} * h + {5 * j + 7}) % {P}) AS m{j}" for j in range(N_HASH)
     )
@@ -232,7 +235,7 @@ def _minhash_bands_cte() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""{CORPUS_SQL.strip()},
+    return f"""{(corpus_clause or CORPUS_SQL).strip()},
 {SHINGLES_SQL.strip().lstrip(',').strip()},
 hashed AS (SELECT doc_id, {SHINGLE_HASH_SQL} AS h FROM shingles),
 sig AS (
@@ -839,8 +842,44 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact. Stages 1-2 shuffle on band-key/shingle, stage 3 is O(log d)
 # label-join rounds over pair rows only, stage 4 one window over the
 # cluster id — no stage touches n² rows or collects to the driver.
+# Oracle tractability (r11): the closure below is the semantic spec, but
+# a naive (id, reachable-id) recursive CTE over ALL docs costs
+# Σ_component size³ join rows — and the sf1 fixture's 10× exact-text
+# replication multiplies every component by 10, i.e. 1000× the closure
+# work (observed: >25 min / >40 GB in DuckDB before being killed; the
+# r10 sweep stalled a whole session on it). The oracle therefore
+# collapses EXACT-TEXT groups to their min-doc_id representative FIRST
+# and runs the closure on the representative graph. This is an identity-
+# preserving rewrite, not a relaxation:
+#   * identical text ⇒ identical distinct-trigram shingle set ⇒ identical
+#     minhash signature ⇒ identical band keys and Jaccard vs every other
+#     doc — so every group member participates in exactly the same cand/
+#     dups relations, and within-group pairs are always dups (bands
+#     collide trivially, Jaccard = 1 ≥ 0.6) PROVIDED the text has ≥1
+#     shingle (≥3 tokens — zero-shingle docs join nothing, in either
+#     formulation: `inter` needs a common shingle);
+#   * a doc appears in the original output iff it has ≥1 dup partner:
+#     either its group has ≥2 members (and ≥1 shingle), or its rep has a
+#     cross-group dup edge — exactly the `nodes` set below;
+#   * component id = min doc_id over members = min rep over the rep-
+#     component (each rep IS its group's min doc_id); rep_doc = longest
+#     text then min doc_id, computable after expanding reps back to
+#     members (all members share their group's text length).
 _NEAR_DEDUP_ORACLE = f"""
-WITH RECURSIVE {_minhash_cte()},
+WITH RECURSIVE {_minhash_bands_cte(
+    CORPUS_SQL.strip().replace("corpus AS", "corpus_all AS", 1)
+    + ''',
+gmap AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM corpus_all
+),
+corpus AS (SELECT rep AS doc_id, min(text) AS text FROM gmap GROUP BY rep)'''
+)},
+cand AS (
+  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bsig = b2.bsig AND b1.doc_id < b2.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS c
@@ -857,19 +896,30 @@ dups AS (
   WHERE c * 1.0 / (z1.sz + z2.sz - c) >= 0.6
 ),
 sym AS (SELECT d1 AS u, d2 AS v FROM dups UNION SELECT d2 AS u, d1 AS v FROM dups),
-nodes AS (SELECT DISTINCT u AS id FROM sym),
+members AS (SELECT rep, count(*) AS m FROM gmap GROUP BY rep),
+nodes AS (
+  SELECT DISTINCT u AS id FROM sym
+  UNION
+  SELECT members.rep AS id
+  FROM members JOIN sizes ON sizes.doc_id = members.rep
+  WHERE members.m >= 2
+),
 reach(id, r) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
 ),
-comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+rcomp AS (SELECT id AS rep, min(r) AS component FROM reach GROUP BY id),
+expand AS (
+  SELECT g.doc_id, rc.component, length(g.text) AS len
+  FROM gmap g JOIN rcomp rc ON rc.rep = g.rep
+),
 ranked AS (
-  SELECT comp.component, comp.doc_id,
-         row_number() OVER (PARTITION BY comp.component
-                            ORDER BY length(corpus.text) DESC, comp.doc_id) AS rn,
-         count(*) OVER (PARTITION BY comp.component) AS cluster_size
-  FROM comp JOIN corpus ON corpus.doc_id = comp.doc_id
+  SELECT component, doc_id,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY len DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM expand
 )
 SELECT CAST(component AS BIGINT)    AS component,
        CAST(doc_id AS BIGINT)      AS rep_doc,
