@@ -45,14 +45,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #         r10 queue-tail age order. Includes all seven r4 streaming
 #         rows, which also re-earn rows after the r11 stage-dir
 #         symlink-repair fix (ADVICE r10 medium);
-#   49-50 rotation onto the r5 block: dedup_embedding_lsh (the sf1
+#   49    events_cohort_ltv — the r11 sf1 sweep's one defect (FP
+#         window-sum noise flipped a .5-landing round at sf1; revenue
+#         now accumulates as DECIMAL(38,0) cents on both sides, and the
+#         data-proportional per-user cohorts broadcast hint is gone):
+#         changed code + sweep fix earns the fresh row;
+#   50    rotation onto the r5 block: dedup_embedding_lsh (the sf1
 #         perf adjudication target, VERDICT r10 #3 — a fresh
-#         correctness row alongside the re-measure) and udf_java_jar
-#         (the environment-heaviest r5 row: Hive UDF via JAR).
+#         correctness row alongside the re-measure).
 _PRIORITY = [
-    # --- changed in round 11: deg-broadcast hint removal ---
+    # --- changed in round 11: deg-broadcast hint removal + the sf1
+    # sweep's cohort fix ---
     "events_triangle_count", "events_link_prediction",
-    "events_degree_distribution",
+    "events_degree_distribution", "events_cohort_ltv",
     # --- the full r4-era rotation block, oldest-first ---
     "agg_corr_covar", "window_percentile",
     "nested_array_funcs", "dedup_embedding",
@@ -74,10 +79,11 @@ _PRIORITY = [
     "window_ignore_nulls", "text_countmin_hitters",
     "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
     "streaming_topk_windowed", "dedup_edit_distance",
-    # --- final two slots: rotation into the r5 block ---
-    "dedup_embedding_lsh", "udf_java_jar",
+    # --- final slot: rotation into the r5 block ---
+    "dedup_embedding_lsh",
     # --- past the 50-cap: the rest of the r5-era block (oldest
     # remaining horizon) so a deeper sweep starts from the oldest ---
+    "udf_java_jar",
     "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
     "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",
     "ddl_sql_function", "ddl_view_cte", "dedup_containment",

@@ -1824,9 +1824,9 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix sum over the aggregated matrix — windows composing over aggs).
 # floor((days)/7.0) is used in BOTH engines (integer division would
 # truncate toward zero and disagree on pre-signup purchases). 100 TB
-# shape: one agg to per-user cohorts (broadcastable — users ≪ events),
-# one equi-join back to purchases, one matrix agg, then a window over
-# the tiny (cohorts × offsets) frame.
+# shape: one agg to per-user cohorts (data-proportional — join strategy
+# left to AQE, no hint), one equi-join back to purchases, one matrix
+# agg, then a window over the tiny (cohorts × offsets) frame.
 _COHORT_ORACLE = """
 WITH cohorts AS (
   SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
@@ -1843,19 +1843,19 @@ purch AS (
 ),
 cell AS (
   SELECT cw, wk, count(DISTINCT user_id) AS n_active,
-         sum(value) AS revenue
+         sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS revenue_c
   FROM purch GROUP BY cw, wk
 ),
 mat AS (
   SELECT s.cw, c.wk, c.n_active, s.n_users,
          CAST(round(c.n_active * 1000.0 / s.n_users) AS BIGINT)
            AS retention_permille,
-         sum(c.revenue) OVER (PARTITION BY s.cw ORDER BY c.wk) AS cum_rev
+         sum(c.revenue_c) OVER (PARTITION BY s.cw ORDER BY c.wk) AS cum_rev_c
   FROM cell c JOIN cohort_size s ON s.cw = c.cw
 )
 SELECT cw, wk, CAST(n_active AS BIGINT) AS n_active,
        CAST(n_users AS BIGINT) AS n_users, retention_permille,
-       CAST(round(cum_rev * 100 / n_users) AS BIGINT) AS cum_ltv_e2
+       CAST(round(CAST(cum_rev_c AS DOUBLE) / n_users) AS BIGINT) AS cum_ltv_e2
 FROM mat
 ORDER BY cw, wk
 """
@@ -1870,9 +1870,13 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
     )
     cohort_size = cohorts.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    # cohorts is per-USER — data-proportional, so no broadcast hint (the
+    # deg-table lesson, VERDICT r10 #1): AQE broadcasts at fixture scale
+    # and shuffle-joins once the user universe outgrows the threshold.
+    # cohort_size stays hinted: it is per-WEEK (calendar-bounded).
     purch = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cohorts), "user_id")
+        .join(cohorts, "user_id")
         .select(
             "cw",
             F.floor(
@@ -1882,9 +1886,16 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # revenue accumulates as EXACT integer cents in DECIMAL(38,0) (the
+    # isum discipline): the windowed prefix sum below re-aggregates the
+    # cell sums, and at sf1 the FP add-order noise of a double sum was
+    # enough to flip round() on a .5-landing cum_ltv_e2 (sweep-caught:
+    # 24894 vs 24895). One DOUBLE cast + one division at the boundary.
     cell = purch.groupBy("cw", "wk").agg(
         F.countDistinct("user_id").alias("n_active"),
-        F.sum("value").alias("revenue"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("decimal(38,0)")).alias(
+            "revenue_c"
+        ),
     )
     w_cum = W.partitionBy("cw").orderBy("wk")
     mat = cell.join(F.broadcast(cohort_size), "cw").select(
@@ -1895,7 +1906,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_active") * 1000.0 / F.col("n_users"), 0)
         .cast("bigint")
         .alias("retention_permille"),
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue_c").over(w_cum).alias("cum_rev_c"),
     )
     return mat.select(
         "cw",
@@ -1903,7 +1914,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_active").cast("bigint").alias("n_active"),
         F.col("n_users").cast("bigint").alias("n_users"),
         "retention_permille",
-        F.round(F.col("cum_rev") * 100 / F.col("n_users"), 0)
+        F.round(F.col("cum_rev_c").cast("double") / F.col("n_users"), 0)
         .cast("bigint")
         .alias("cum_ltv_e2"),
     ).orderBy("cw", "wk")

@@ -545,11 +545,15 @@ def test_markov_top3_is_window_group_limit(spark, sf_dir):
 
 
 def test_cohort_ltv_broadcasts_cohort_dim(spark, sf_dir):
-    """events_cohort_ltv: the per-user cohort table and the cohort-size
-    table are user/cohort-bounded — both joins must broadcast, never
-    shuffle the purchase stream against them."""
+    """events_cohort_ltv: at fixture scale both joins broadcast (the
+    cohort join via stats/AQE — its explicit hint was removed in r11
+    because the per-user table is data-proportional; cohort_size keeps
+    its hint, being calendar-week-bounded)."""
     plan = _physical(fresh("events_cohort_ltv")(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
+    # the only broadcast HINT left is on the calendar-bounded side
+    opt = _optimized(fresh("events_cohort_ltv")(spark, sf_dir))
+    assert opt.count("strategy=broadcast") <= 1
 
 
 def test_kll_report_two_stage_bottom_k(spark, sf_dir):
