@@ -50,12 +50,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #         now accumulates as DECIMAL(38,0) cents on both sides, and the
 #         data-proportional per-user cohorts broadcast hint is gone):
 #         changed code + sweep fix earns the fresh row;
-#   50    rotation onto the r5 block: dedup_embedding_lsh (the sf1
-#         perf adjudication target, VERDICT r10 #3 — a fresh
-#         correctness row alongside the re-measure).
+#   50    events_ab_test_report — the per-user broadcast-hint audit's
+#         one remaining fix (users table de-hinted, four-scale
+#         strict-verified): changed code earns the fresh row.
+#         dedup_embedding_lsh (the sf1 perf-adjudication target) moves
+#         to slot 51 — its re-measure needed no code change, so the
+#         fresh row is optional and rotation-pressure loses.
 _PRIORITY = [
-    # --- changed in round 11: deg-broadcast hint removal + the sf1
-    # sweep's cohort fix ---
+    # --- changed in round 11: deg/users-broadcast hint removal + the
+    # sf1 sweep's cohort fix ---
     "events_triangle_count", "events_link_prediction",
     "events_degree_distribution", "events_cohort_ltv",
     # --- the full r4-era rotation block, oldest-first ---
@@ -79,11 +82,11 @@ _PRIORITY = [
     "window_ignore_nulls", "text_countmin_hitters",
     "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
     "streaming_topk_windowed", "dedup_edit_distance",
-    # --- final slot: rotation into the r5 block ---
-    "dedup_embedding_lsh",
-    # --- past the 50-cap: the rest of the r5-era block (oldest
-    # remaining horizon) so a deeper sweep starts from the oldest ---
-    "udf_java_jar",
+    # --- final slot: the ab-test hint fix ---
+    "events_ab_test_report",
+    # --- past the 50-cap: the r5-era block (oldest remaining horizon)
+    # so a deeper sweep starts from the oldest ---
+    "dedup_embedding_lsh", "udf_java_jar",
     "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
     "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",
     "ddl_sql_function", "ddl_view_cte", "dedup_containment",

@@ -2352,9 +2352,12 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     arm_n = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    # users is per-USER (data-proportional) — no broadcast hint (the
+    # deg/cohorts lesson, r11): AQE broadcasts at fixture scale and
+    # shuffle-joins on user_id once the universe outgrows the threshold.
     conv = (
         ev.filter(F.col("value") > 100)
-        .join(F.broadcast(users), "user_id")
+        .join(users, "user_id")
         .groupBy("event_type", "arm")
         .agg(F.countDistinct("user_id").alias("x"))
     )

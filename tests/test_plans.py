@@ -968,3 +968,7 @@ def test_graph_degree_joins_carry_no_broadcast_hint(spark, sf_dir):
         for line in opt.splitlines():
             if "strategy=broadcast" in line:
                 assert "Join Cross" in line, f"{name}: hinted non-cross join: {line.strip()[:160]}"
+    # events_ab_test_report: the per-user arm-assignment join is
+    # un-hinted (r11); the one remaining hint is the 2-row arm_n table
+    opt = _optimized(fresh("events_ab_test_report")(spark, sf_dir))
+    assert opt.count("strategy=broadcast") <= 1, opt[:2000]

@@ -48,6 +48,7 @@ def test_priority_covers_never_verified_first():
         "events_link_prediction",      # F.broadcast(deg) hint removed
         "events_degree_distribution",  # shares _orient_edges lineage
         "events_cohort_ltv",           # sf1 sweep fix: cents accumulation
+        "events_ab_test_report",       # per-user broadcast hint removed
     }
     r4_era = {
         "agg_corr_covar", "window_percentile", "nested_array_funcs",
