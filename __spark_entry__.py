@@ -50,12 +50,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #         now accumulates as DECIMAL(38,0) cents on both sides, and the
 #         data-proportional per-user cohorts broadcast hint is gone):
 #         changed code + sweep fix earns the fresh row;
-#   50    events_ab_test_report — the per-user broadcast-hint audit's
-#         one remaining fix (users table de-hinted, four-scale
-#         strict-verified): changed code earns the fresh row.
-#         dedup_embedding_lsh (the sf1 perf-adjudication target) moves
-#         to slot 51 — its re-measure needed no code change, so the
-#         fresh row is optional and rotation-pressure loses.
+#   50    tpch_q1 — the r11 sf10 (100×) margin smoke found dsum's
+#         round-after-FP-sum margin exhausted for q1's revenue-
+#         magnitude sums (base_price off one cent, disc_price ~5e-3,
+#         avg_price 10th digit); sum_base_price/sum_disc_price are now
+#         isum and avg_price iavg on both sides, strict-verified at
+#         ALL FIVE scales (sf0.001/0.01/0.1/sf1/sf10). An arithmetic
+#         change outranks events_ab_test_report's plan-hint-only change
+#         for the last slot: ab_test (now 51) is proven bit-identical
+#         by the invariance sweep and four-scale strict-verified in
+#         NOTES, so its driver row can wait a round.
 _PRIORITY = [
     # --- changed in round 11: deg/users-broadcast hint removal + the
     # sf1 sweep's cohort fix ---
@@ -82,10 +86,11 @@ _PRIORITY = [
     "window_ignore_nulls", "text_countmin_hitters",
     "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
     "streaming_topk_windowed", "dedup_edit_distance",
-    # --- final slot: the ab-test hint fix ---
+    # --- final slot: the q1 isum extension (sf10-margin fix) ---
+    "tpch_q1",
+    # --- past the 50-cap: the remaining r11 changed row (hint-only,
+    # invariance-proven), then the r5-era block oldest-first ---
     "events_ab_test_report",
-    # --- past the 50-cap: the r5-era block (oldest remaining horizon)
-    # so a deeper sweep starts from the oldest ---
     "dedup_embedding_lsh", "udf_java_jar",
     "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
     "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",

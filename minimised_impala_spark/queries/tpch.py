@@ -85,6 +85,15 @@ def davg(expr: Column, dec: int) -> Column:
     return (F.round(F.sum(expr) * s, 0) / s) / F.count(expr)
 
 
+def iavg(expr: Column, dec: int) -> Column:
+    """EXACT avg of a k-decimal fixed-point column: isum / count. Used
+    where davg's round-after-FP-sum margin is exhausted — the r11 sf10
+    smoke showed q1's avg_price (2-decimal terms summing to ~3e11)
+    diverging from the oracle in the 10th significant digit at 100×
+    fixture scale, the same class isum closed for sum_charge."""
+    return isum(expr, dec) / F.count(expr)
+
+
 def _rev() -> Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -102,15 +111,16 @@ def _rev() -> Column:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)                                        AS sum_qty,
-       round(sum(l_extendedprice) * 100) / 100                AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
-                                                              AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100                                  AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS DECIMAL(38,0))) AS DOUBLE) / 10000   AS sum_disc_price,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                       * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / 1000000
                                                               AS sum_charge,
        avg(l_quantity)                                        AS avg_qty,
-       round(sum(l_extendedprice) * 100) / 100 / count(l_extendedprice)
-                                                              AS avg_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100 / count(l_extendedprice)         AS avg_price,
        round(sum(l_discount) * 100) / 100 / count(l_discount) AS avg_disc,
        count(*)                                               AS count_order
 FROM lineitem
@@ -126,11 +136,18 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-            dsum(_rev(), 4).alias("sum_disc_price"),
+            # isum (exact cents/sub-cents DECIMAL(38,0)) on every
+            # revenue-magnitude sum: the r11 sf10 smoke showed dsum's
+            # round-after-FP-sum margin exhausted for 2.8e11-magnitude
+            # totals at 100× fixture scale (base_price off by one cent,
+            # disc_price by ~5e-3) — same class r10 closed for
+            # sum_charge. avg_disc/avg_qty keep dsum/plain avg: their
+            # scaled sums sit ~4 orders of magnitude below the margin.
+            isum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            isum(_rev(), 4).alias("sum_disc_price"),
             isum(_rev() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            iavg(F.col("l_extendedprice"), 2).alias("avg_price"),
             davg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -48,8 +48,10 @@ def test_priority_covers_never_verified_first():
         "events_link_prediction",      # F.broadcast(deg) hint removed
         "events_degree_distribution",  # shares _orient_edges lineage
         "events_cohort_ltv",           # sf1 sweep fix: cents accumulation
-        "events_ab_test_report",       # per-user broadcast hint removed
+        "tpch_q1",                     # sf10 fix: isum on all revenue sums
     }
+    # events_ab_test_report also changed (hint-only, invariance-proven);
+    # it holds slot 51, first in line for the r12 gate
     r4_era = {
         "agg_corr_covar", "window_percentile", "nested_array_funcs",
         "dedup_embedding", "text_repetition", "text_mix_sources",
