@@ -29,10 +29,12 @@ double aggregate here is therefore wrapped as round(sum(x)*10^k)/10^k,
 which recovers the exact rational sum bit-identically in both engines
 (total FP error ≪ 0.5 ulp of the scaled integer at correctness scale).
 Integer-valued sums (quantities, counts) are exact in FP and stay bare.
-At k=6 the round-after-FP-sum form runs out of margin (q1's sum_charge:
-scaled magnitude ~3e14 at sf0.01 vs add-order noise of one scaled ulp), so
-it uses isum() — per-term integer scaling, exact DECIMAL(38,0) sum —
-instead (decimal, not BIGINT: the accumulator must not wrap at 100 TB).
+Where the round-after-FP-sum form runs out of margin (q1's sum_charge at
+k=6 already at sf0.01; its k=2/k=4 revenue sums at 100× fixture scale),
+isum()/iavg() are used instead — per-term integer scaling summed EXACTLY
+via radix-1e6 split-long words recombined in DECIMAL(38,0) per group
+(order-independent, no wrap below ~9.2e24 scaled units, BIGINT-sum speed;
+see isum's docstring for the full bound analysis).
 
 Scale notes: nation/region are broadcast explicitly (constant-size dims);
 other join strategies are left to Catalyst/AQE, which at 100 TB picks
@@ -64,19 +66,44 @@ def dsum(expr: Column, dec: int) -> Column:
 
 
 def isum(expr: Column, dec: int) -> Column:
-    """EXACT sum of a k-decimal fixed-point column: scale each term to its
-    integer numerator (round() recovers it exactly — the term's FP error is
-    ≪ 0.5 at the scaled magnitude), sum as DECIMAL(38,0) (order-independent
-    and overflow-free to 1e38 — a BIGINT accumulator would wrap silently
-    past 9.2e18, i.e. around TPC-H SF~150 for q1's sum_charge, while
-    DuckDB promotes to HUGEINT and silently diverges), then one cast to
-    DOUBLE and one division at the boundary. Used where dsum's
-    round-after-FP-sum has no margin left: at k=6 the scaled q1 sum_charge
-    is ~3e14 at sf0.01 while the FP sum's add-order noise is ~1e-5
-    unscaled — i.e. one scaled ulp, observed flipping between plan shapes
-    (tests/test_nested_tpch_parity.py found it)."""
+    """EXACT sum of a k-decimal fixed-point column — split-long form.
+
+    Each term is scaled to its integer numerator (round() recovers it
+    exactly: the term's FP error is ≪ 0.5 at the scaled magnitude, and
+    scaled terms are < 2^53 so the double arithmetic below is exact),
+    split into radix-1e6 words, and each word summed as BIGINT — plain
+    long adds inside whole-stage codegen, order-independent. The words
+    recombine per GROUP (O(groups) rows, free) in DECIMAL(38,0), then
+    one cast to DOUBLE and one division at the boundary.
+
+    Why not a single BIGINT sum: it wraps silently past 9.2e18 scaled
+    units (TPC-H SF~150 for q1's sum_charge) while DuckDB promotes to
+    HUGEINT and silently diverges. Why not a DECIMAL(38,0) accumulator:
+    exact to 1e38, but Spark's decimal aggregation path measured 2.3×
+    a BIGINT sum and q1's four exact columns pushed the headline query
+    from 0.75 s to 1.26 s (r11 A/B, PROFILES.md); the split-long form
+    measured at BIGINT speed — the alternative VERDICT r10 #8 asked to
+    evaluate, made safe by the radix choice. Exactness bound: the
+    per-group hi/lo word sums wrap only when the group's true scaled
+    sum exceeds ~9.2e24 (= 9.2e18 × radix) — ~160× the 100 TB q1
+    requirement (~5.7e22 scaled units). Past that, a DECIMAL(38,0)
+    term-cast accumulator is the fallback.
+
+    Used where dsum's round-after-FP-sum has no margin left: at k=6 the
+    scaled q1 sum_charge is ~3e14 at sf0.01 while the FP sum's
+    add-order noise is ~1e-5 unscaled — one scaled ulp, observed
+    flipping between plan shapes (tests/test_nested_tpch_parity.py);
+    at sf10 (100×) the same class broke q1's k=2/k=4 dsum columns."""
     s = float(10**dec)
-    return F.sum(F.round(expr * s, 0).cast("decimal(38,0)")).cast("double") / s
+    radix = 1_000_000
+    v = F.round(expr * s, 0)
+    hi = F.floor(v / radix)
+    lo = v - hi * radix
+    total = (
+        F.sum(hi.cast("bigint")).cast("decimal(38,0)") * radix
+        + F.sum(lo.cast("bigint")).cast("decimal(38,0)")
+    )
+    return total.cast("double") / s
 
 
 def davg(expr: Column, dec: int) -> Column:
