@@ -88,9 +88,11 @@ _PRIORITY = [
     "streaming_topk_windowed", "dedup_edit_distance",
     # --- final slot: the q1 isum extension (sf10-margin fix) ---
     "tpch_q1",
-    # --- past the 50-cap: the remaining r11 changed row (hint-only,
-    # invariance-proven), then the r5-era block oldest-first ---
-    "events_ab_test_report",
+    # --- past the 50-cap: the remaining r11 changed rows (ab_test:
+    # hint-only, invariance-proven; simhash: plan-BUILD string-expr
+    # refactor, strict-verified at sf0.001/0.01/sf1 in NOTES), then the
+    # r5-era block oldest-first ---
+    "events_ab_test_report", "dedup_simhash",
     "dedup_embedding_lsh", "udf_java_jar",
     "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
     "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",
