@@ -66,6 +66,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", os.environ.get("MIS_SF1_CPUS", "16"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"))
+        # the COMPARE harness collects both result sets; LSH-pair rows
+        # at the 100x fixture legitimately exceed the 1g default
+        # (dedup_minhash_lsh: ~100M pairs) — a harness capacity, not an
+        # engine-semantics, setting
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
