@@ -543,11 +543,62 @@ ORDER BY left_id, right_id
 
 _EMB_BLOCKS = 8  # B(B+1)/2 = 36 tiles; raise with corpus size (see above)
 
+# Hard envelope on the blocked-exact path (r12, VERDICT r11 directive #6):
+# work is Θ(n²) dot products no matter how the tiles are carved, so the
+# recipe is bounded-corpus BY DESIGN — the sf10 sweep (200k vectors =
+# 2·10¹⁰ pairs) proved the failure mode when nothing enforced it.  The
+# bound is checked from parquet FOOTER metadata (no Spark job — plan-build
+# stays inside the 1.0 s budget) and is a documented knob, not a guess:
+# 50k vectors ≈ 1.25·10⁹ pairs ≈ the sf1 fixture (20k, swept strict-green
+# in r11) with 6× headroom.  Above it, callers are redirected to the
+# sub-quadratic recipes (dedup_embedding_lsh at dedup-strength thresholds,
+# sim_ivf_ann/semdedup for retrieval) — raising the knob is an explicit
+# opt-in to quadratic cost.
+_EMB_EXACT_MAX_ROWS_ENV = "MIS_EMB_EXACT_MAX_ROWS"
+_EMB_EXACT_MAX_ROWS_DEFAULT = 50_000
+
+
+def _parquet_footer_rows(path: str) -> int | None:
+    """Row count from parquet footer metadata (file or directory of part
+    files); None when the fixture layout is something else entirely —
+    the envelope check is then skipped rather than guessed."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(path, "*.parquet"))
+            )
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
 
 @query("dedup_embedding", oracle=_EMB_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     import numpy as np
     import pandas as pd
+
+    max_rows = int(
+        os.environ.get(_EMB_EXACT_MAX_ROWS_ENV, _EMB_EXACT_MAX_ROWS_DEFAULT)
+    )
+    n_rows = _parquet_footer_rows(f"{sf_dir}/embeddings.parquet")
+    if n_rows is not None and n_rows > max_rows:
+        raise ValueError(
+            f"dedup_embedding is the EXACT all-pairs recipe — Θ(n²) cosine "
+            f"work by design — and the corpus at {sf_dir} has {n_rows:,} "
+            f"vectors (> {max_rows:,} = ${_EMB_EXACT_MAX_ROWS_ENV}). "
+            f"Use dedup_embedding_lsh (banded hyperplane LSH, recall→1 at "
+            f"dedup-strength thresholds) or the IVF/semdedup recipes in "
+            f"extensions/similarity.py; set {_EMB_EXACT_MAX_ROWS_ENV} "
+            f"higher only as an explicit opt-in to quadratic cost."
+        )
 
     B = _EMB_BLOCKS
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -929,6 +980,43 @@ ORDER BY component
 """
 
 
+def exact_jaccard_rescore(
+    cand: DataFrame, sh_r: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: (d1, d2) with
+    Jaccard(shingles(d1), shingles(d2)) >= threshold.
+
+    ONE array_intersect per candidate pair (the prefix-filter
+    verification pattern, dedup_prefix_filter below) — per-task memory
+    is two doc shingle sets, corpus-INDEPENDENT.  The former
+    shingle-level self-join (s1.sh == s2.sh, then groupBy pair)
+    materialized k² rows per hot shingle; k scales with corpus
+    replication, and the sf10 sweep (100× fixture = 10,000× pairs on
+    the planted-twin shingles) hit a worker OOM there (NOTES r11;
+    VERDICT r11 directive #5).  Identical semantics: ``sh_r`` carries
+    DISTINCT shingles per doc, so |array_intersect| equals the pairwise
+    intersection count the self-join aggregated.
+    """
+    sets = sh_r.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("sz")
+    )
+    p1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"),
+        F.col("sz").alias("sz1"),
+    )
+    p2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"),
+        F.col("sz").alias("sz2"),
+    )
+    scored = (
+        cand.join(p1, "d1")
+        .join(p2, "d2")
+        .withColumn("c", F.size(F.array_intersect("shs1", "shs2")))
+    )
+    jac = F.col("c") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    return scored.filter(jac >= threshold).select("d1", "d2")
+
+
 @query("pipeline_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
 def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -946,24 +1034,7 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh_r = sh.join(cand_docs, "doc_id", "left_semi")
-    sizes = sh_r.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = sh_r.select(F.col("doc_id").alias("d1"), "sh")
-    s2 = sh_r.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
-    inter = (
-        s1.join(s2, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
-        .join(cand, ["d1", "d2"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    z1 = sizes.select(F.col("doc_id").alias("zd1"), F.col("sz").alias("sz1"))
-    z2 = sizes.select(F.col("doc_id").alias("zd2"), F.col("sz").alias("sz2"))
-    jac = F.col("c") * 1.0 / (F.col("sz1") + F.col("sz2") - F.col("c"))
-    dups = (
-        inter.join(z1, F.col("zd1") == F.col("d1"))
-        .join(z2, F.col("zd2") == F.col("d2"))
-        .filter(jac >= 0.6)
-        .select("d1", "d2")
-    )
+    dups = exact_jaccard_rescore(cand, sh_r, threshold=0.6)
     labels = connected_components(dups, src="d1", dst="d2")
     c = corpus(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.col("doc_id"))

@@ -268,7 +268,7 @@ def nested_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested.filter((F.size("qtys") > 0) & (qty_sum > 150))
         .withColumn("sum_qty", qty_sum)
         .join(orders, nested.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
@@ -653,11 +653,11 @@ def nested_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.join(demand, F.col("ps_partkey") == F.col("partkey"))
         .join(
-            F.broadcast(part.filter(F.col("p_name").like("small%"))),
+            part.filter(F.col("p_name").like("small%")),
             F.col("p_partkey") == F.col("partkey"),
         )
         .filter(F.col("stocked") * 2 > F.col("total_q"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("s_key"))
+        .join(supplier, F.col("s_suppkey") == F.col("s_key"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
         .distinct()
@@ -816,7 +816,8 @@ def nested_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda l3: (l3["supp"] != F.col("l1.supp")) & l3["late"],
     )
     # Two-level aggregate: per-suppkey partial counts (bounded input to
-    # the broadcast join), then GROUP BY s_name — the reference/oracle
+    # the supplier name join — un-hinted, supplier ∝ SF; AQE picks the
+    # strategy), then GROUP BY s_name — the reference/oracle
     # grouping key. Grouping by suppkey alone and carrying the name
     # along diverges whenever two suppliers share a name (caught by the
     # r10 sf1 oracle sweep, where the replicated fixture duplicates
@@ -825,7 +826,7 @@ def nested_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         el.filter(other_supplier & ~other_late)
         .groupBy(F.col("l1.supp").alias("supp"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supp"))
+        .join(supplier, F.col("s_suppkey") == F.col("supp"))
         .groupBy("s_name")
         .agg(F.sum("cnt").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -33,10 +33,14 @@ comparison or output is the scaled-round of an exact fixed-point rational
 divisions/comparisons on identical doubles are identical IEEE ops.
 Window sums get the same treatment inline (round(sum*10^4)/10^4).
 
-Scale notes: part/nation/region sides of the star joins broadcast
-(constant or ~thousands of rows at any SF); the fact-fact self-join in
-q59 is an agg→agg join whose inputs are one row per (nation, month) —
-tiny regardless of fact size. q88's eight scans AQE-coalesce and share
+Scale notes: nation/region sides of the star joins broadcast explicitly
+(constant-size dims); part/supplier/customer grow linearly with SF
+(supplier ≈ SF×10k rows — ~10⁹ at the 100 TB point), so those joins
+carry NO hint and the strategy is left to stats/AQE, which broadcasts
+them at fixture scale and switches to shuffled hash at 100× (r12;
+pinned by tests/test_plans.py::test_tpc_dim_joins_carry_no_sf_hint).
+The fact-fact self-join in q59 is an agg→agg join whose inputs are one
+row per (nation, month) — tiny regardless of fact size. q88's eight scans AQE-coalesce and share
 the cached lineitem scan at bench time.
 """
 
@@ -81,7 +85,7 @@ def tpcds_q3_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .filter(F.month("o_orderdate") == 12)
         .groupBy(F.year("o_orderdate").alias("d_year"), F.col("p_brand").alias("brand"))
         .agg(dsum(_rev(), 4).alias("sum_agg"))
@@ -119,7 +123,7 @@ def tpcds_q47_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     ms = (
         li.filter(F.year("l_shipdate").between(1995, 1997))
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -168,7 +172,7 @@ def tpcds_q53_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     qs = (
         li.filter(F.year("l_shipdate") == 1996)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.quarter("l_shipdate").alias("qoy"))
         .agg(dsum(_rev(), 4).alias("sum_sales"))
     )
@@ -223,7 +227,7 @@ def tpcds_q59_dow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dws = (
         orders.filter(F.year("o_orderdate") == 1997)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.month("o_orderdate").alias("mon"))
         .agg(
@@ -281,7 +285,7 @@ def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .filter(F.year("o_orderdate") == 1996)
@@ -321,7 +325,7 @@ def tpcds_q65_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("partkey"))
         .agg(dsum(_rev(), 4).alias("part_rev"))
     )
@@ -435,7 +439,7 @@ def tpcds_q98_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type", "p_brand")
         .agg(dsum(_rev(), 4).alias("itemrevenue"))
     )
@@ -474,7 +478,7 @@ def tpcds_q27_rollup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     joined = (
         orders.filter(F.year("o_orderdate") == 1998)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice")
@@ -524,7 +528,7 @@ def tpcds_q68_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         oa.join(orders.filter(F.year("o_orderdate") == 1997), oa.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("disc_amt") > 0.07 * F.col("gross"))
         .select("c_name", "o_orderkey", "gross", "disc_amt")
         .orderBy("c_name", "o_orderkey")
@@ -851,9 +855,9 @@ def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        li.join(F.broadcast(freq), "l_partkey", "left_semi")
+        li.join(freq, "l_partkey", "left_semi")
         .join(
-            o.join(F.broadcast(best), "o_custkey", "left_semi").select(
+            o.join(best, "o_custkey", "left_semi").select(
                 "o_orderkey"
             ),
             li["l_orderkey"] == F.col("o_orderkey"),
@@ -911,9 +915,9 @@ def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(dsum(_rev(), 4).alias("ext_price"))
@@ -965,7 +969,7 @@ def tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("item_id"))
         .agg(
             F.avg("l_quantity").alias("agg1"),
@@ -1059,7 +1063,7 @@ def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_size") < 25)),
+            part.filter(F.col("p_size") < 25),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy(
@@ -1105,7 +1109,7 @@ def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         li.filter(F.year("l_shipdate") == 1997)
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("store"))
         .agg(*aggs)
@@ -1156,7 +1160,7 @@ def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("o_orderkey").alias("ticket"),
@@ -1209,7 +1213,7 @@ def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_size").between(5, 10))),
+            part.filter(F.col("p_size").between(5, 10)),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy(
@@ -1252,7 +1256,7 @@ def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_size") <= 15)),
+            part.filter(F.col("p_size") <= 15),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy(F.col("p_brand").alias("brand"))
@@ -1294,7 +1298,7 @@ def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = (
         li.filter(F.year("l_shipdate") == 1997)
         .join(
-            F.broadcast(part.filter(F.col("p_size").isin(1, 5, 9, 13))),
+            part.filter(F.col("p_size").isin(1, 5, 9, 13)),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy(
@@ -1351,7 +1355,7 @@ def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     ms = (
         li.filter(F.year("l_shipdate") == 1996)
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("p_type").alias("category"),
             F.col("p_brand").alias("brand"),
@@ -1411,7 +1415,7 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderpriority") == "1-URGENT"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             F.broadcast(
                 nation.filter(F.col("n_name").isin("NATION_3", "NATION_8"))
@@ -1434,7 +1438,7 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q96: a pure filtered COUNT through three broadcast dims (time band,
+# Q96: a pure filtered COUNT through three dim joins (time band,
 # demographic band, named store). Adapt: quantity band, acctbal band,
 # named nation. Reference: tpcds-q96.test.
 @query(
@@ -1464,7 +1468,7 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust.filter(F.col("c_acctbal").between(0.0, 5000.0)),
             F.col("c_custkey") == F.col("o_custkey"),
         )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             F.col("n_nationkey") == F.col("s_nationkey"),

@@ -1007,7 +1007,8 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer is bit-identical in both engines).
 #
 # Scale: partsupp is |part|×4 rows built from a projection of part plus
-# a broadcast 1-row supplier count — no shuffle; the dims stay broadcast.
+# a broadcast 1-row supplier count — no shuffle. SF-proportional dims
+# (supplier) carry no join hint (r12); nation/region stay broadcast.
 _PS_CTE = """
 s_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
 ps0 AS (
@@ -1110,7 +1111,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
     euro = (
         ps.join(
-            F.broadcast(supplier), F.col("s_suppkey") == F.col("ps_suppkey")
+            supplier, F.col("s_suppkey") == F.col("ps_suppkey")
         )
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(
@@ -1181,7 +1182,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, nation = _t(spark, sf_dir, "supplier", "nation")
     ps = _partsupp(spark, sf_dir)
     gs = (
-        ps.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("ps_suppkey"))
+        ps.join(supplier, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(
             F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             F.col("n_nationkey") == F.col("s_nationkey"),

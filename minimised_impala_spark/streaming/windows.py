@@ -45,17 +45,19 @@ def _reconcile_stage_links(stage: str, expected: dict[str, str]) -> None:
     for name, target in expected.items():
         link = os.path.join(stage, name)
         want = os.path.realpath(target)
-        if os.path.lexists(link) and os.path.realpath(link) != want:
-            os.remove(link)
-        if not os.path.lexists(link):
-            try:
-                os.symlink(target, link)
-            except FileExistsError:
-                # concurrent session staged the same fixture — accept
-                # only if it points where we want, else repair once
-                if os.path.realpath(link) != want:
-                    os.remove(link)
-                    os.symlink(target, link)
+        if os.path.lexists(link) and os.path.realpath(link) == want:
+            continue
+        # Create-or-repair ATOMICALLY: symlink at a pid-unique temp name,
+        # then rename over the link path. os.replace is a single rename
+        # syscall, so two sessions repairing the same stale link can no
+        # longer interleave remove/symlink and crash on FileExistsError
+        # (the r11 ADVICE TOCTOU) — last writer wins, and every writer
+        # writes the same realpath'd target.
+        tmp = f"{link}.tmp.{os.getpid()}"
+        if os.path.lexists(tmp):  # leftover from a crashed same-pid run
+            os.remove(tmp)
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:

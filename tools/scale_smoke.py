@@ -70,13 +70,17 @@ def main() -> int:
         filter(None, os.environ.get("MIS_SMOKE_ZERO_OK", "").split(","))
     )
 
-    def best2(name: str, sf: str) -> tuple[float, int]:
+    def best2(name: str, sf: str) -> tuple[float, list[int]]:
+        # Row counts from EVERY run, not just the last (r11 ADVICE): the
+        # reported best timing may come from run 1 while run 2's count is
+        # what the zero-row guard judged — collect both so a 0-row run
+        # fails the smoke regardless of which run was fastest.
         best = float("inf")
-        rows = 0
+        rows: list[int] = []
         for _ in range(2):
             df = fresh(name)(spark, sf)
             t0 = time.perf_counter()
-            rows = len(df.collect())
+            rows.append(len(df.collect()))
             best = min(best, time.perf_counter() - t0)
         return best, rows
 
@@ -84,7 +88,7 @@ def main() -> int:
     for n in names:
         a, rows_a = best2(n, "/root/testdata/sf0.1")
         b, rows_b = best2(n, sf1_dir)
-        zero = zero_row_fail(n, [rows_a, rows_b], zero_row_ok)
+        zero = zero_row_fail(n, rows_a + rows_b, zero_row_ok)
         failed = failed or zero
         print(
             json.dumps(
