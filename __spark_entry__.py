@@ -32,67 +32,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first 50 registry entries per round.
-# Round-11 queue, per the protocol (changed-code rows first, then
+# Round-12 queue, per the protocol (changed-code rows first, then
 # rotation onto the oldest green rows):
-#   1-3   changed in r11: events_triangle_count, events_link_prediction,
-#         events_degree_distribution (the data-proportional
-#         F.broadcast(deg) hints removed — VERDICT r10 "What's wrong"
-#         #1; strategy now AQE's choice, results invariance-pinned, and
-#         changed code earns fresh rows);
-#   4-48  the COMPLETE r4-era rotation block (45 names whose latest
-#         driver rows date to r4 — VERDICT r10 directive #4: drain it
-#         entirely so nothing older than r5 remains). Order is the
-#         r10 queue-tail age order. Includes all seven r4 streaming
-#         rows, which also re-earn rows after the r11 stage-dir
-#         symlink-repair fix (ADVICE r10 medium);
-#   49    events_cohort_ltv — the r11 sf1 sweep's one defect (FP
-#         window-sum noise flipped a .5-landing round at sf1; revenue
-#         now accumulates as DECIMAL(38,0) cents on both sides, and the
-#         data-proportional per-user cohorts broadcast hint is gone):
-#         changed code + sweep fix earns the fresh row;
-#   50    tpch_q1 — the r11 sf10 (100×) margin smoke found dsum's
-#         round-after-FP-sum margin exhausted for q1's revenue-
-#         magnitude sums (base_price off one cent, disc_price ~5e-3,
-#         avg_price 10th digit); sum_base_price/sum_disc_price are now
-#         isum and avg_price iavg on both sides, strict-verified at
-#         ALL FIVE scales (sf0.001/0.01/0.1/sf1/sf10). An arithmetic
-#         change outranks events_ab_test_report's plan-hint-only change
-#         for the last slot: ab_test (now 51) is proven bit-identical
-#         by the invariance sweep and four-scale strict-verified in
-#         NOTES, so its driver row can wait a round.
+#   1-26  changed in r12: the SF-proportional dim-broadcast de-hint tier
+#         (VERDICT r11 "What's wrong #1" / directive #1) — every
+#         F.broadcast on part/supplier/customer (and q23's freq/best
+#         data-proportional aggregates) dropped across tpch_q2/q11, the
+#         21 tpcds star rows, and nested_tpch_q18/q20/q21; strategy is
+#         now stats/AQE's choice (broadcast at fixture scale, shuffled
+#         hash at 100x), pinned by
+#         tests/test_plans.py::test_tpc_dim_joins_carry_no_sf_hint and
+#         the invariance sweep;
+#   27    pipeline_near_dedup — rescore reworked to one array_intersect
+#         per candidate pair (directive #5: the shingle-level self-join
+#         materialized k^2 rows per hot shingle — the sf10 worker OOM);
+#   28    dedup_embedding — hard row envelope on the by-design-quadratic
+#         exact path (directive #6); the in-envelope plan is unchanged;
+#   29-30 carried from the r11 queue tail: events_ab_test_report
+#         (hint-only, invariance-proven, four-scale strict in NOTES r11)
+#         and dedup_simhash (plan-BUILD string-expr refactor,
+#         strict-verified at sf0.001/0.01/sf1 in NOTES r11);
+#   31    agg_isum_wide_boundary — NEW this round (directive #8's one
+#         honest gap): pins the DECIMAL(38,0) fallback accumulator
+#         (isum_wide) exact at ~5e19-unit group sums, 5x past the
+#         BIGINT wrap point, via an exact-digit-string compare;
+#   32-50 rotation: the 19 OLDEST r5-era rows (queue-tail age order) —
+#         the remaining 26 r5-era names follow at 51+ for r13.
 _PRIORITY = [
-    # --- changed in round 11: deg/users-broadcast hint removal + the
-    # sf1 sweep's cohort fix ---
-    "events_triangle_count", "events_link_prediction",
-    "events_degree_distribution", "events_cohort_ltv",
-    # --- the full r4-era rotation block, oldest-first ---
-    "agg_corr_covar", "window_percentile",
-    "nested_array_funcs", "dedup_embedding",
-    "text_repetition", "text_mix_sources", "text_contamination",
-    "text_boilerplate_ngrams", "pipeline_pii_redaction",
-    "streaming_attribution_join", "streaming_enrich_join",
-    "streaming_sessionize_stateful", "multimodal_decode_stub",
-    "multimodal_frame_sample", "join_right_anti", "agg_histogram",
-    "text_split_assignment", "text_global_shuffle",
-    "text_sample_stratified", "pipeline_near_dedup",
-    "udf_pandas_scalar", "uda_grouped_pandas", "ddl_ctas_roundtrip",
-    "source_json_scan", "source_orc_scan",
-    "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
-    "streaming_dedup_watermarked", "streaming_outer_join",
-    "text_heavy_hitters", "events_rollup_hierarchy",
-    "dedup_prefix_filter", "dedup_incremental",
-    "multimodal_resize_stub", "multimodal_features", "text_lm_score",
-    "text_chunk_overlap", "text_temperature_resample",
-    "window_ignore_nulls", "text_countmin_hitters",
-    "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
-    "streaming_topk_windowed", "dedup_edit_distance",
-    # --- final slot: the q1 isum extension (sf10-margin fix) ---
-    "tpch_q1",
-    # --- past the 50-cap: the remaining r11 changed rows (ab_test:
-    # hint-only, invariance-proven; simhash: plan-BUILD string-expr
-    # refactor, strict-verified at sf0.001/0.01/sf1 in NOTES), then the
-    # r5-era block oldest-first ---
+    # --- changed in round 12: the dim-broadcast de-hint tier ---
+    "tpch_q2", "tpch_q11",
+    "tpcds_q3_star", "tpcds_q47_monthly_lag", "tpcds_q53_deviation",
+    "tpcds_q59_dow_ratio", "tpcds_q61_promo_ratio",
+    "tpcds_q65_brand_share", "tpcds_q98_class_share",
+    "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
+    "tpcds_q23_frequent_best", "tpcds_q19", "tpcds_q7", "tpcds_q42",
+    "tpcds_q43", "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63",
+    "tpcds_q89", "tpcds_q79", "tpcds_q96",
+    "nested_tpch_q18", "nested_tpch_q20", "nested_tpch_q21",
+    # --- changed in round 12: dedup scale fixes ---
+    "pipeline_near_dedup", "dedup_embedding",
+    # --- carried from the r11 queue tail ---
     "events_ab_test_report", "dedup_simhash",
+    # --- new in round 12: the isum-fallback boundary audit ---
+    "agg_isum_wide_boundary",
+    # --- rotation: the 20 oldest r5-era rows ---
     "dedup_embedding_lsh", "udf_java_jar",
     "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
     "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",
@@ -100,8 +83,10 @@ _PRIORITY = [
     "dedup_paragraph", "dedup_semdedup", "dedup_span_ngram",
     "dialect_broadcast_hint", "events_mad_anomaly",
     "events_pagerank_transitions", "events_pattern_match",
-    "events_scd2_intervals", "events_session_window_native",
-    "events_time_decay", "join_lateral", "join_salted_skew",
+    "events_scd2_intervals",
+    # --- past the 50-cap: the remaining r5-era block, oldest-first,
+    # queued for the r13 rotation ---
+    "events_session_window_native", "events_time_decay", "join_lateral", "join_salted_skew",
     "multimodal_pair_clip_filter", "pipeline_corpus_diff",
     "pipeline_data_quality", "pipeline_dataset_card",
     "pipeline_incremental_stats", "scalar_decimal",

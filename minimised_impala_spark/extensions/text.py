@@ -302,10 +302,22 @@ def text_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ∝ |bench shingles| × avg docs per shingle, NOT |train|².
 _CONTAMINATION_ORACLE = """
 WITH corpus AS (SELECT doc_id, text FROM documents),
+-- Identity-preserving exact-duplicate collapse (r12, VERDICT r11
+-- directive #7 — same rewrite the r11 near-dedup oracle got): identical
+-- text => identical distinct-trigram shingle set => identical
+-- (bench, c, containment) rows, so the O(|train shingles| x |bench
+-- shingles|) join runs once per DISTINCT text and the results expand
+-- back to every member doc_id.  On the replicated 10x/100x sweep
+-- fixtures this takes the pair stage from (100n)^2 back to n^2; on a
+-- duplicate-free corpus it degenerates to the original plan.
+tmap AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS tgid FROM corpus
+),
+tg AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
 toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
          generate_subscripts(string_split(text, ' '), 1) AS p
-  FROM corpus
+  FROM tg
 ),
 shingles AS (
   SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
@@ -318,10 +330,14 @@ bench AS (
          substr(text, strpos(text, ' ') + 1) AS text
   FROM documents WHERE doc_id % 17 = 0
 ),
+bmap AS (
+  SELECT bench_id, min(bench_id) OVER (PARTITION BY text) AS bgid FROM bench
+),
+bg AS (SELECT min(bench_id) AS bench_id, text FROM bench GROUP BY text),
 btoks AS (
   SELECT bench_id, unnest(string_split(text, ' ')) AS tok,
          generate_subscripts(string_split(text, ' '), 1) AS p
-  FROM bench
+  FROM bg
 ),
 bshingles AS (
   SELECT DISTINCT a.bench_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
@@ -331,14 +347,19 @@ bshingles AS (
 ),
 bsizes AS (SELECT bench_id, count(*) AS bsz FROM bshingles GROUP BY bench_id),
 inter AS (
-  SELECT s.doc_id AS train_id, b.bench_id, count(*) AS c
+  SELECT s.doc_id AS train_g, b.bench_id AS bench_g, count(*) AS c
   FROM shingles s JOIN bshingles b ON s.sh = b.sh
   GROUP BY s.doc_id, b.bench_id
+),
+hits AS (
+  SELECT i.train_g, i.bench_g, round(i.c * 1.0 / z.bsz, 6) AS containment
+  FROM inter i JOIN bsizes z ON z.bench_id = i.bench_g
+  WHERE i.c * 1.0 / z.bsz >= 0.5
 )
-SELECT i.train_id AS train_id, i.bench_id AS bench_id,
-       round(i.c * 1.0 / z.bsz, 6) AS containment
-FROM inter i JOIN bsizes z ON z.bench_id = i.bench_id
-WHERE i.c * 1.0 / z.bsz >= 0.5
+SELECT tm.doc_id AS train_id, bm.bench_id AS bench_id, h.containment
+FROM hits h
+JOIN tmap tm ON tm.tgid = h.train_g
+JOIN bmap bm ON bm.bgid = h.bench_g
 ORDER BY train_id, bench_id
 """
 

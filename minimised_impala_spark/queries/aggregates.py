@@ -1589,3 +1589,54 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_w").cast("bigint").alias("total_w"),
         F.round(F.col("x") * 100, 0).cast("bigint").alias("wpct_e2"),
     ).orderBy("l_returnflag", "plabel")
+
+
+# --------------------------------------------------------------------------
+# isum fallback-boundary audit (r12, VERDICT r11 directive #8): isum's
+# split-long accumulator is exact below ~9.2e24 scaled units; past that
+# the documented fallback is isum_wide's DECIMAL(38,0) term-cast
+# accumulator (tpch.py).  This row PINS the fallback's exactness in a
+# regime a BIGINT accumulator cannot survive: each lineitem's price-cents
+# (exact integers, fixture-deterministic) is scaled by 1e9 in DECIMAL
+# arithmetic, making the per-flag group sums ~2e20 — 20× past the BIGINT
+# wrap point — and compares the full 21-digit integers against DuckDB's
+# wide-decimal sum.  A bigint accumulator wraps here (silently, mod
+# 2^64); a double sum has a ~2^15 ulp at this magnitude; only the wide
+# path holds exact.  wide_units crosses the boundary as its exact digit
+# STRING: the driver's value hash renders engine decimals as Decimal but
+# oracle decimals via float64 (the r4 divergence class tests/oracle.py
+# documents), so raw DECIMAL output columns are banned — and the string
+# compare is STRONGER, pinning all 21 digits instead of a 17-digit
+# float.  sum_price is the same column through the contract-form
+# isum_wide (round-recovered 2-decimal fixed point), agreeing with
+# q1's isum inside the envelope (tests/test_r12_fixes.py).
+@query(
+    "agg_isum_wide_boundary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(28,0))
+                     * CAST(10000000000 AS DECIMAL(11,0))) AS DECIMAL(38,0))
+            AS VARCHAR) AS wide_units,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100 AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def agg_isum_wide_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from minimised_impala_spark.queries.tpch import isum_wide
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(28,0)")
+    wide_term = cents * F.lit(10000000000).cast("decimal(11,0)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(wide_term).cast("decimal(38,0)").cast("string").alias("wide_units"),
+            isum_wide(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -106,6 +106,26 @@ def isum(expr: Column, dec: int) -> Column:
     return total.cast("double") / s
 
 
+def isum_wide(expr: Column, dec: int) -> Column:
+    """The documented FALLBACK past isum's split-long envelope: every
+    scaled term casts to DECIMAL(38,0) BEFORE the sum, so the
+    accumulator is exact to 1e38 — 13 orders past isum's ~9.2e24 word-
+    wrap bound — at the measured 2.3× BIGINT-sum cost (r11 A/B,
+    PROFILES.md).  Same contract as isum (round-recovered k-decimal
+    fixed point, one cast + one division at the boundary); choose it
+    when a single group's true scaled sum can exceed isum's envelope
+    (≈1e9-executor aggregates of 1e15-unit terms).  Exactness past the
+    BIGINT range is pinned by agg_isum_wide_boundary (aggregates.py),
+    in-envelope agreement with isum by tests/test_r12_fixes.py."""
+    s = float(10**dec)
+    return (
+        F.sum(F.round(expr * s, 0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        / s
+    )
+
+
 def davg(expr: Column, dec: int) -> Column:
     """Deterministic avg: exact scaled sum divided by count."""
     s = float(10**dec)

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_QUERY_COUNT = 332  # r10: +12 TPC-DS parity promotions (q7 q19 q34 q42 q43 q46 q52 q55 q63 q79 q89 q96)
+EXPECTED_QUERY_COUNT = 333  # r12: +agg_isum_wide_boundary (isum fallback-boundary audit)
 
 
 def test_registry_count_is_authoritative():
@@ -37,42 +37,37 @@ def test_priority_names_all_registered():
 
 
 def test_priority_covers_never_verified_first():
-    # the first 50 driver slots must include (r11 queue): the rows whose
-    # code changed this round (deg-broadcast hint removal) and the
-    # COMPLETE r4-era rotation block (VERDICT r10 #4: nothing older
-    # than r5 may remain) — guards against queue re-ordering regressions
+    # the first 50 driver slots must include (r12 queue): the rows whose
+    # code changed this round — the 26-query SF-proportional
+    # dim-broadcast de-hint tier (VERDICT r11 directive #1), the two
+    # dedup scale fixes, the two r11 queue-tail carry-overs, and the
+    # new never-verified boundary-audit row — guards against queue
+    # re-ordering regressions
     import __spark_entry__ as entrymod
 
-    r11_changed = {
-        "events_triangle_count",       # F.broadcast(deg) hint removed
-        "events_link_prediction",      # F.broadcast(deg) hint removed
-        "events_degree_distribution",  # shares _orient_edges lineage
-        "events_cohort_ltv",           # sf1 sweep fix: cents accumulation
-        "tpch_q1",                     # sf10 fix: isum on all revenue sums
-    }
-    # events_ab_test_report also changed (hint-only, invariance-proven);
-    # it holds slot 51, first in line for the r12 gate
-    r4_era = {
-        "agg_corr_covar", "window_percentile", "nested_array_funcs",
-        "dedup_embedding", "text_repetition", "text_mix_sources",
-        "text_contamination", "text_boilerplate_ngrams",
-        "pipeline_pii_redaction", "streaming_attribution_join",
-        "streaming_enrich_join", "streaming_sessionize_stateful",
-        "multimodal_decode_stub", "multimodal_frame_sample",
-        "join_right_anti", "agg_histogram", "text_split_assignment",
-        "text_global_shuffle", "text_sample_stratified",
-        "pipeline_near_dedup", "udf_pandas_scalar", "uda_grouped_pandas",
-        "ddl_ctas_roundtrip", "source_json_scan", "source_orc_scan",
-        "streaming_foreach_batch_sink", "pipeline_decontaminate_bloom",
-        "streaming_dedup_watermarked", "streaming_outer_join",
-        "text_heavy_hitters", "events_rollup_hierarchy",
-        "dedup_prefix_filter", "dedup_incremental",
-        "multimodal_resize_stub", "multimodal_features", "text_lm_score",
-        "text_chunk_overlap", "text_temperature_resample",
-        "window_ignore_nulls", "text_countmin_hitters",
-        "pipeline_merge_upsert", "sim_pq_ann", "agg_kll_quantiles",
-        "streaming_topk_windowed", "dedup_edit_distance",
+    r12_changed = {
+        # de-hint tier: part/supplier/customer (and q23 freq/best)
+        # broadcast hints dropped; strategy left to stats/AQE
+        "tpch_q2", "tpch_q11",
+        "tpcds_q3_star", "tpcds_q47_monthly_lag", "tpcds_q53_deviation",
+        "tpcds_q59_dow_ratio", "tpcds_q61_promo_ratio",
+        "tpcds_q65_brand_share", "tpcds_q98_class_share",
+        "tpcds_q27_rollup_star", "tpcds_q68_order_detail",
+        "tpcds_q23_frequent_best", "tpcds_q19", "tpcds_q7", "tpcds_q42",
+        "tpcds_q43", "tpcds_q46", "tpcds_q52", "tpcds_q55", "tpcds_q63",
+        "tpcds_q89", "tpcds_q79", "tpcds_q96",
+        "nested_tpch_q18", "nested_tpch_q20", "nested_tpch_q21",
+        # dedup scale fixes (directives #5/#6)
+        "pipeline_near_dedup", "dedup_embedding",
+        # r11 queue-tail carry-overs
+        "events_ab_test_report", "dedup_simhash",
+        # new, never-verified (directive #8)
+        "agg_isum_wide_boundary",
     }
     first50 = set(list(entrymod.queries())[:50])
-    assert r11_changed <= first50, f"changed cut: {r11_changed - first50}"
-    assert r4_era <= first50, f"rotation debt cut: {r4_era - first50}"
+    assert r12_changed <= first50, f"changed cut: {r12_changed - first50}"
+    # the remaining slots rotate onto the OLDEST rows (r5-era block);
+    # spot-pin its head so the rotation tail is not silently dropped
+    rotation_head = {"dedup_embedding_lsh", "udf_java_jar",
+                     "agg_boolean_suite", "events_scd2_intervals"}
+    assert rotation_head <= first50, f"rotation cut: {rotation_head - first50}"
