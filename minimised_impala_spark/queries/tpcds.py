@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minimised_impala_spark.queries.registry import query
-from minimised_impala_spark.queries.tpch import _rev, davg, dsum, ts
+from minimised_impala_spark.queries.tpch import _rev, davg, dsum, isum, ts
 from minimised_impala_spark.tables import load_table
 
 
@@ -259,7 +259,8 @@ def tpcds_q59_dow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT promo.promotions AS promotions, total.total AS total,
        promo.promotions / total.total * 100 AS promo_pct
 FROM (
-  SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS promotions
+  SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS promotions
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -267,7 +268,8 @@ FROM (
   JOIN region r   ON n.n_regionkey = r.r_regionkey
   WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996 AND l.l_discount >= 0.06
 ) promo, (
-  SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000 AS total
+  SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS total
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -290,8 +292,12 @@ def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .filter(F.year("o_orderdate") == 1996)
     )
-    promo = base.filter(F.col("l_discount") >= 0.06).agg(dsum(_rev(), 4).alias("promotions"))
-    total = base.agg(dsum(_rev(), 4).alias("total"))
+    # isum, not dsum: the two sums aggregate the WHOLE 1996/ASIA slice
+    # into one group each, so the double-sum noise crosses dsum's 1e-4
+    # round margin at 100x fixtures (found by the r12 sf10 sweep — the
+    # same class as tpch_q1's sum_disc_price).
+    promo = base.filter(F.col("l_discount") >= 0.06).agg(isum(_rev(), 4).alias("promotions"))
+    total = base.agg(isum(_rev(), 4).alias("total"))
     return promo.crossJoin(total).select(
         "promotions",
         "total",
@@ -312,7 +318,9 @@ WITH ps AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY p.p_brand, p.p_partkey
 ), ba AS (
-  SELECT brand, round(sum(part_rev) * 10000) / 10000 / count(*) AS brand_avg
+  SELECT brand,
+         CAST(sum(CAST(round(part_rev * 10000) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 / count(*) AS brand_avg
   FROM ps GROUP BY brand
 )
 SELECT ps.brand AS brand, ps.partkey AS partkey, ps.part_rev AS part_rev, ba.brand_avg AS brand_avg
@@ -329,8 +337,12 @@ def tpcds_q65_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("partkey"))
         .agg(dsum(_rev(), 4).alias("part_rev"))
     )
+    # part_rev needs no isum (lineitems-per-part is SF-invariant in
+    # TPC-H, ~30 terms), but brand groups grow linearly with SF: the
+    # brand-level double sum crossed its 1e-4 round margin at the 100x
+    # fixture (r12 sf10 sweep), so the brand average is summed exactly.
     ba = ps.groupBy("brand").agg(
-        (_wround(F.sum("part_rev")) / F.count(F.lit(1))).alias("brand_avg")
+        (isum(F.col("part_rev"), 4) / F.count(F.lit(1))).alias("brand_avg")
     )
     return (
         ps.join(F.broadcast(ba), "brand")
@@ -828,7 +840,8 @@ best AS (
   SELECT o_custkey FROM spend CROSS JOIN cmax WHERE s > 0.5 * mx
 )
 SELECT CAST(count(*) AS BIGINT) AS n_li,
-       round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 100
          AS revenue
 FROM lineitem li
 JOIN orders o ON o.o_orderkey = li.l_orderkey
@@ -864,7 +877,9 @@ def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_li"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            # isum: one global group over the filtered fact — dsum's
+            # round margin exhausted at 100x (r12 sf10 sweep finding)
+            isum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             ),
         )

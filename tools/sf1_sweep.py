@@ -28,8 +28,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Rows whose correct engine output is legitimately 0 rows at some scale
-# may be whitelisted here (none currently known).
-ZERO_ROW_OK: set[str] = set()
+# may be whitelisted here. tpcds_q53_deviation: its >10% quarterly-
+# deviation filter keeps 0 of 100 brand-quarters at sf0.1 (measured max
+# deviation 9.16%) — more lineitems per brand-quarter smooth the
+# deviations the sf0.01 gate still exercises non-vacuously — and the
+# replicated sf1/sf10 fixtures scale every quarter sum by the copy
+# count, so the ratio filter is exactly scale-invariant: 0 rows is the
+# CORRECT output there, engine and oracle agreeing (verified r12; the
+# r11 sf1_done entry predates the zero-row guard and was vacuous).
+ZERO_ROW_OK: set[str] = {"tpcds_q53_deviation"}
 
 
 def main() -> int:
