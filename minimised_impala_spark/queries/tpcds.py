@@ -901,17 +901,31 @@ def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation. Reference: tpcds-q19.test.
 @query(
     "tpcds_q19",
+    # The oracle stages the key joins in MATERIALIZED CTEs so the
+    # cross-dim inequality is only ever a FILTER on already-joined rows:
+    # written flat, DuckDB's optimizer treats c_nationkey <> s_nationkey
+    # as a join edge and picks customer NESTED-LOOP supplier (~1.4e11
+    # rows at the 100x fixture — a ~70 GB spill that filled the disk in
+    # the r12 sf10 sweep). Same algebra, same results; oracle-plan
+    # staging only.
     oracle="""
+WITH f AS MATERIALIZED (
+  SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice, l.l_discount,
+         o.o_custkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) = 1997 AND month(o.o_orderdate) = 11
+), g AS MATERIALIZED (
+  SELECT f.l_partkey, f.l_extendedprice, f.l_discount,
+         c.c_nationkey AS cn, s.s_nationkey AS sn
+  FROM f
+  JOIN customer c ON c.c_custkey = f.o_custkey
+  JOIN supplier s ON s.s_suppkey = f.l_suppkey
+)
 SELECT p.p_brand AS brand,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) / 10000
+       round(sum(g.l_extendedprice * (1 - g.l_discount)) * 10000) / 10000
          AS ext_price
-FROM lineitem l
-JOIN orders o   ON o.o_orderkey = l.l_orderkey
-JOIN part p     ON p.p_partkey = l.l_partkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-WHERE year(o.o_orderdate) = 1997 AND month(o.o_orderdate) = 11
-  AND c.c_nationkey <> s.s_nationkey
+FROM g JOIN part p ON p.p_partkey = g.l_partkey
+WHERE g.cn <> g.sn
 GROUP BY p.p_brand
 ORDER BY ext_price DESC, brand
 LIMIT 100
