@@ -60,7 +60,14 @@ def main() -> int:
     if len(sys.argv) > 1:
         names = sys.argv[1:]
     else:
-        names = [n for n in qs if n not in done]
+        # $MIS_SF1_SKIP: comma-separated names to exclude from a no-args
+        # sweep — for rows with a DOCUMENTED ceiling at this fixture
+        # (e.g. at sf10: dedup_embedding's designed quadratic envelope
+        # raises before any work; dedup_prefix_filter's verbatim-
+        # replication pair blowup can OOM the shared session and poison
+        # later rows). Explicit name args still run them.
+        skip = {s for s in os.environ.get("MIS_SF1_SKIP", "").split(",") if s}
+        names = [n for n in qs if n not in done and n not in skip]
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown names: {unknown}", file=sys.stderr)
