@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from minimised_impala_spark.queries.registry import query
+from minimised_impala_spark.queries.tpch import isum
 from minimised_impala_spark.serde import pickle_module_by_value
 from minimised_impala_spark.tables import load_table
 
@@ -168,7 +169,8 @@ def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ddl_insert_partitions",
     oracle="""
 SELECT status, prio, CAST(count(*) AS BIGINT) AS n,
-       round(sum(price) * 100) / 100 AS revenue
+       CAST(sum(CAST(round(price * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100
+         AS revenue
 FROM (
   SELECT o_orderstatus AS status, o_orderpriority AS prio,
          o_totalprice AS price
@@ -234,7 +236,10 @@ def ddl_insert_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "prio")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.round(F.sum("price") * 100) / 100).alias("revenue"),
+            # isum: the (status, prio) groups grow with SF, and the
+            # double-sum noise crossed the 1e-2 round margin at the
+            # 100x fixture (r12 sf10 sweep)
+            isum(F.col("price"), 2).alias("revenue"),
         )
         .orderBy("status", "prio")
     )
@@ -596,7 +601,8 @@ def dialect_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ddl_load_data",
     oracle="""
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice) * 100) / 100 AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+         / 100 AS revenue
 FROM orders
 WHERE o_totalprice > 200000
 GROUP BY o_orderstatus
@@ -635,7 +641,9 @@ def ddl_load_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            (F.round(F.sum("o_totalprice") * 100) / 100).alias("revenue"),
+            # isum: per-status groups grow with SF (same r12 sf10
+            # sweep margin class as ddl_insert_partitions)
+            isum(F.col("o_totalprice"), 2).alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
