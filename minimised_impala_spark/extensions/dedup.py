@@ -320,10 +320,11 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands_of(corpus(spark, sf_dir))
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct MinHash-LSH candidate pairs (d1, d2) — the shared candidate
-    generator for dedup_minhash_lsh and the composed near-dedup pipeline."""
-    bands = lsh_bands(spark, sf_dir)
+def lsh_candidate_pairs_of(docs: DataFrame) -> DataFrame:
+    """Distinct MinHash-LSH candidate pairs (d1, d2) over an arbitrary
+    (doc_id, text) frame — the shared candidate generator for
+    dedup_minhash_lsh and the composed near-dedup pipeline."""
+    bands = bands_of(docs)
     # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
     # ONE exchange on the bucket key, instead of a self-join's two (and the
     # self-join would execute the signature lineage twice). Pair count per
@@ -344,6 +345,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs over the planted-twin fixture corpus."""
+    return lsh_candidate_pairs_of(corpus(spark, sf_dir))
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -1019,12 +1025,44 @@ def exact_jaccard_rescore(
 
 @query("pipeline_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
 def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact-Jaccard rescore → connected components,
+    with an EXACT-DUPLICATE COLLAPSE first (r12): identical texts map to
+    a representative (min doc_id per text), the whole near-dup pipeline
+    runs over DISTINCT texts only, and members expand back at the end.
+    This is the standard production staging for web-scale corpora —
+    boilerplate duplicated millions of times otherwise forms m-cliques
+    in every LSH bucket (m² candidate pairs, m² rescore rows, m² CC
+    edges per clique). After the collapse every such clique is ONE node;
+    candidates/rescore/CC cost scales with DISTINCT near-dup density.
+    Found the hard way: the sf10 fixture's 100-way verbatim replication
+    made every doc a 100-clique member and OOMed the CC aggregation
+    (AGGREGATE_OUT_OF_MEMORY); post-collapse the pipeline is replication-
+    invariant. The oracle has mirrored this staging since r11 (its gmap /
+    members / expand CTEs); identity-preserving because identical text ⇒
+    identical shingle set ⇒ Jaccard 1.0 within the group and identical
+    scores across groups."""
     from pyspark.sql import Window as W
 
     from minimised_impala_spark.operators.graph import connected_components
 
-    cand = lsh_candidate_pairs(spark, sf_dir)
-    sh = shingles(spark, sf_dir)
+    # The collapse exchange keys on the 16-byte md5 fingerprint — the
+    # module's exact-identity key (dedup_exact) and the digest-only
+    # shuffle rule (test_dedup_impact_shuffles_digests_only's lesson) —
+    # never on the raw text.
+    c0 = corpus(spark, sf_dir).withColumn("fp", F.md5("text"))
+    wg = W.partitionBy("fp")
+    gmap = c0.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.min("doc_id").over(wg).alias("rep"),
+    )
+    reps = (
+        c0.withColumn("rep", F.min("doc_id").over(wg))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
+    cand = lsh_candidate_pairs_of(reps)
+    sh = shingles_of(reps)
     # Restrict the rescore to docs that appear in any candidate pair
     # before the shingle self-join — at scale candidates ≪ corpus, so
     # this semi-join is what keeps the exact rescore off the full corpus.
@@ -1035,14 +1073,27 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_r = sh.join(cand_docs, "doc_id", "left_semi")
     dups = exact_jaccard_rescore(cand, sh_r, threshold=0.6)
-    labels = connected_components(dups, src="d1", dst="d2")
-    c = corpus(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
+    labels = connected_components(dups, src="d1", dst="d2").select(
+        F.col("id").alias("rep"), F.col("comp").alias("component")
+    )
+    # Identity groups with >= 2 members are duplicate cliques even when
+    # their rep has no near-dup partner — they form their own component
+    # (the oracle's members.m >= 2 ∧ has-shingles node rule: reps whose
+    # text has < 3 tokens produce no shingles and stay out).
+    msize = gmap.groupBy("rep").agg(F.count(F.lit(1)).alias("m"))
+    shingled = sh.select("doc_id").distinct()
+    solo = (
+        msize.filter(F.col("m") >= 2)
+        .join(shingled, msize.rep == shingled.doc_id, "left_semi")
+        .join(labels.select("rep"), "rep", "left_anti")
+        .select("rep", F.col("rep").alias("component"))
+    )
+    comps = labels.unionByName(solo)
+    expand = gmap.join(comps, "rep").select("doc_id", "component", "n_chars")
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.col("doc_id"))
     wc = W.partitionBy("component")
     return (
-        labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
-        .join(c, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        expand.withColumn("rn", F.row_number().over(w))
         .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
         .select(
