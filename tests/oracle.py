@@ -27,6 +27,15 @@ _SENTINEL = "\x00NULL\x00"
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # $MIS_ORACLE_MEM caps DuckDB's memory (default: 80% of RAM) so a
+    # runaway oracle at a replicated scale fixture spills to disk and
+    # fails recoverably instead of drawing the kernel OOM-killer onto
+    # the whole sweep process (observed: dedup_simhash's sf10 oracle at
+    # 113 GB RSS). Opt-in: unset = DuckDB default, as the driver runs it.
+    mem = os.environ.get("MIS_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/mis_oracle_spill'")
     for t in ALL_TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
