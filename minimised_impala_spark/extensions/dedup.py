@@ -1405,6 +1405,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (vec_id, cluster, kept) for every vector.
     """
+    from pyspark.sql import Window as W
+
     from minimised_impala_spark.extensions import vector_kernels as VK
     from minimised_impala_spark.shipping import ship_module_by_value
 
@@ -1417,16 +1419,35 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(r.e)
         for r in emb.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
     ]
+    # Identical-vector collapse (r12, the near-dedup staging applied to
+    # embeddings): the in-cluster self-join is Σ|cluster|², and verbatim
+    # duplicates all land in the same cluster — m copies inflate its
+    # pairwise term m² (the sf10 fixture's 100-way replication blew the
+    # 1200 s sweep clamp here). Dedup semantics are derivable per GROUP:
+    # a non-rep member always has its own rep as a lower-id identical
+    # neighbor, so it is dropped exactly when round6(cos(e, e)) > τ —
+    # self-cosine, which also preserves the zero-vector NaN edge (NaN
+    # comparisons are false → zero-vector copies stay kept, as in the
+    # pairwise form). Reps run the ORIGINAL algorithm over distinct
+    # vectors: ∃ lower-id neighbor u of rep r with cos > τ ⟺ ∃ group
+    # G' in-cluster with min(G') < r and cos(G', r) > τ — min(G') is
+    # G''s rep, so the rep-level pairwise is exhaustive. Cluster
+    # assignment is per-row (linear) and unchanged.
+    w_e = W.partitionBy("e")
     assign = emb.select(
-        "vec_id", "e", VK.make_kmeans_assign_udf(centers)("e").alias("cluster")
+        "vec_id",
+        "e",
+        VK.make_kmeans_assign_udf(centers)("e").alias("cluster"),
+        F.min("vec_id").over(w_e).alias("rep"),
     )
-    lo = assign.select(
+    reps_a = assign.filter(F.col("vec_id") == F.col("rep"))
+    lo = reps_a.select(
         F.col("vec_id").alias("lo_id"), F.col("e").alias("lo_e"), "cluster"
     )
-    hi = assign.select(
+    hi = reps_a.select(
         F.col("vec_id").alias("hi_id"), F.col("e").alias("hi_e"), "cluster"
     )
-    dropped = (
+    rep_dropped = (
         lo.join(hi, ["cluster"])
         .filter(F.col("lo_id") < F.col("hi_id"))
         .filter(F.round(VK.cosine_pair("lo_e", "hi_e"), 6) > _SEM_TAU)
@@ -1434,12 +1455,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
+    self_dup = F.round(VK.cosine_pair("e", "e"), 6) > _SEM_TAU
     return (
-        assign.join(dropped, "vec_id", "left")
+        assign.join(rep_dropped, "vec_id", "left")
         .select(
             "vec_id",
             "cluster",
-            F.col("is_dropped").isNull().alias("kept"),
+            F.when(F.col("vec_id") == F.col("rep"), F.col("is_dropped").isNull())
+            .otherwise(~self_dup)
+            .alias("kept"),
         )
         .orderBy("vec_id")
     )
