@@ -56,8 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #         honest gap): pins the DECIMAL(38,0) fallback accumulator
 #         (isum_wide) exact at ~5e19-unit group sums, 5x past the
 #         BIGINT wrap point, via an exact-digit-string compare;
-#   32-50 rotation: the 19 OLDEST r5-era rows (queue-tail age order) —
-#         the remaining 26 r5-era names follow at 51+ for r13.
+#   32-35 changed mid-r12: agg_pivot, agg_filter_clause,
+#         ddl_ctas_roundtrip, ddl_bucketed_join — four more sf10-sweep
+#         margin findings (double sums over SF-proportional groups one
+#         rounded digit off at 100x), fixed with the exact accumulators
+#         on both sides and four-scale strict-verified;
+#   36-50 rotation: the 15 OLDEST r5-era rows that still fit (queue-tail
+#         age order) — the remaining 30 r5-era names follow at 51+ for
+#         r13.
 _PRIORITY = [
     # --- changed in round 12: the dim-broadcast de-hint tier ---
     "tpch_q2", "tpch_q11",
@@ -75,17 +81,22 @@ _PRIORITY = [
     "events_ab_test_report", "dedup_simhash",
     # --- new in round 12: the isum-fallback boundary audit ---
     "agg_isum_wide_boundary",
-    # --- rotation: the 20 oldest r5-era rows ---
+    # --- changed mid-r12: four more sf10-sweep margin fixes (exact
+    # split-long / wide-decimal sums on SF-proportional groups) ---
+    "agg_pivot", "agg_filter_clause",
+    "ddl_ctas_roundtrip", "ddl_bucketed_join",
+    # --- rotation: the 15 oldest r5-era rows that still fit ---
     "dedup_embedding_lsh", "udf_java_jar",
     "agg_boolean_suite", "agg_salted_skew", "agg_unpivot",
     "ddl_alter_truncate", "ddl_insert_partitions", "ddl_load_data",
     "ddl_sql_function", "ddl_view_cte", "dedup_containment",
     "dedup_paragraph", "dedup_semdedup", "dedup_span_ngram",
-    "dialect_broadcast_hint", "events_mad_anomaly",
-    "events_pagerank_transitions", "events_pattern_match",
-    "events_scd2_intervals",
+    "dialect_broadcast_hint",
     # --- past the 50-cap: the remaining r5-era block, oldest-first,
-    # queued for the r13 rotation ---
+    # queued for the r13 rotation (the four youngest rotation rows moved
+    # here when the mid-round margin fixes took their slots) ---
+    "events_mad_anomaly", "events_pagerank_transitions",
+    "events_pattern_match", "events_scd2_intervals",
     "events_session_window_native", "events_time_decay", "join_lateral", "join_salted_skew",
     "multimodal_pair_clip_filter", "pipeline_corpus_diff",
     "pipeline_data_quality", "pipeline_dataset_card",

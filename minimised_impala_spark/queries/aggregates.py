@@ -409,9 +409,12 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly Catalyst's own lowering of PIVOT.
 _PIVOT_ORACLE = """
 SELECT o_orderpriority,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0) * 100) / 100 AS f_total,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0) * 100) / 100 AS o_total,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0) * 100) / 100 AS p_total
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                     FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) / 100 AS f_total,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) / 100 AS o_total,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                     FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) / 100 AS p_total
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -421,17 +424,24 @@ ORDER BY o_orderpriority
 @query("agg_pivot", oracle=_PIVOT_ORACLE)
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    s = 100.0
+    # The pivot cell aggregates exact scaled cents in DECIMAL(38,0)
+    # (the isum_wide accumulator — a single aggregate expression, which
+    # is what pivot().agg() accepts): the (priority, status) cells grow
+    # with SF and the double-sum round margin broke at the 100x fixture
+    # (r12 sf10 sweep).
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
     pivoted = (
-        orders.groupBy("o_orderpriority")
+        orders.withColumn("cents", cents)
+        .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum("cents"))
     )
+    zero = F.lit(0).cast("decimal(38,0)")
     return pivoted.select(
         "o_orderpriority",
-        (F.round(F.coalesce(F.col("F"), F.lit(0.0)) * s, 0) / s).alias("f_total"),
-        (F.round(F.coalesce(F.col("O"), F.lit(0.0)) * s, 0) / s).alias("o_total"),
-        (F.round(F.coalesce(F.col("P"), F.lit(0.0)) * s, 0) / s).alias("p_total"),
+        (F.coalesce(F.col("F"), zero).cast("double") / 100).alias("f_total"),
+        (F.coalesce(F.col("O"), zero).cast("double") / 100).alias("o_total"),
+        (F.coalesce(F.col("P"), zero).cast("double") / 100).alias("p_total"),
     ).orderBy("o_orderpriority")
 
 
@@ -890,7 +900,8 @@ _FILTER_CLAUSE_BODY = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_all,
        CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bigqty,
-       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) * 100) / 100
+       CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100
          AS rev_hidisc,
        CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity < 10) AS BIGINT)
          AS n_supp_small,

@@ -113,7 +113,8 @@ def uda_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT)                  AS n,
-       round(sum(o_totalprice) * 100) / 100      AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+         / 100                                   AS revenue
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority
@@ -143,7 +144,8 @@ def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         CREATE TABLE {tbl} USING PARQUET AS
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               round(sum(o_totalprice) * 100) / 100 AS revenue
+               CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 100 AS revenue
         FROM ctas_src_orders
         GROUP BY o_orderstatus, o_orderpriority
         """
@@ -759,7 +761,8 @@ def dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_li,
        CAST(sum(l_quantity) AS BIGINT) AS qty,
-       round(sum(l_extendedprice) * 100) / 100 AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE)
+         / 100 AS revenue
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_totalprice > 150000
 GROUP BY o_orderpriority
@@ -813,7 +816,10 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_li"),
             F.sum("l_quantity").cast("bigint").alias("qty"),
-            (F.round(F.sum("l_extendedprice") * 100) / 100).alias("revenue"),
+            # isum: per-priority revenue over the joined fact grows with
+            # SF (r12 sf10 sweep margin class); qty stays a plain sum —
+            # integer-valued doubles are exact to 2^53
+            isum(F.col("l_extendedprice"), 2).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -63,11 +63,14 @@ def test_priority_covers_never_verified_first():
         "events_ab_test_report", "dedup_simhash",
         # new, never-verified (directive #8)
         "agg_isum_wide_boundary",
+        # mid-r12 sf10-sweep margin fixes (exact accumulators)
+        "agg_pivot", "agg_filter_clause",
+        "ddl_ctas_roundtrip", "ddl_bucketed_join",
     }
     first50 = set(list(entrymod.queries())[:50])
     assert r12_changed <= first50, f"changed cut: {r12_changed - first50}"
     # the remaining slots rotate onto the OLDEST rows (r5-era block);
     # spot-pin its head so the rotation tail is not silently dropped
     rotation_head = {"dedup_embedding_lsh", "udf_java_jar",
-                     "agg_boolean_suite", "events_scd2_intervals"}
+                     "agg_boolean_suite", "dialect_broadcast_hint"}
     assert rotation_head <= first50, f"rotation cut: {rotation_head - first50}"
