@@ -747,33 +747,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_df = base.unionByName(pert)
 
     band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
-    # localCheckpoint = build the signature index ONCE: both self-join
-    # sides (and the norm table below) would otherwise recompute their
-    # pandas-UDF stage — same materialization seam as sim_lsh_ann.
-    bands = corpus_df.select(
-        "vec_id", F.posexplode(band_sigs("e")).alias("band", "bucket")
+    # ONE localCheckpoint carrying BOTH the banded signatures and the
+    # normalized vector: the index build and the rescore norm table were
+    # previously two separate checkpoints, i.e. two full corpus passes
+    # through two ArrowEvalPython stages (r12 optimization, guide §4.1:
+    # the JVM↔Python crossing is the cost — cross once with both outputs;
+    # plans/r12/dedup_embedding_lsh_{before,after}.txt show one
+    # ArrowEvalPython scan instead of two).
+    idx = corpus_df.select(
+        "vec_id", VK.norm_vec("e").alias("ne"), band_sigs("e").alias("sigs")
     ).localCheckpoint(eager=False)
-    a = bands.select(
-        F.col("vec_id").alias("left_id"), "band", "bucket"
-    )
-    b = bands.select(
-        F.col("vec_id").alias("right_id"),
-        F.col("band").alias("band2"),
-        F.col("bucket").alias("bucket2"),
+    bands = idx.select("vec_id", F.posexplode("sigs").alias("band", "bucket"))
+    # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
+    # ONE exchange on the bucket key instead of the previous self-join's
+    # two shuffles + join (guide §2.4) — the same pattern
+    # lsh_candidate_pairs_of uses for MinHash. Pair count per bucket is
+    # k², bounded by near-dup cluster density exactly as the self-join's
+    # per-bucket output was.
+    ids = F.sort_array(F.collect_list("vec_id"))
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
+        "y -> struct(x AS left_id, y AS right_id))))"
     )
     cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band2"))
-            & (F.col("bucket") == F.col("bucket2"))
-            & (F.col("left_id") < F.col("right_id")),
-        )
-        .select("left_id", "right_id")
+        bands.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.left_id").alias("left_id"), F.col("p.right_id").alias("right_id"))
         .distinct()  # a pair colliding in several bands scores once
     )
-    norm = corpus_df.select("vec_id", VK.norm_vec("e").alias("ne")).localCheckpoint(
-        eager=False
-    )
+    norm = idx.select("vec_id", "ne")
     return (
         cand.join(
             norm.select(F.col("vec_id").alias("left_id"), F.col("ne").alias("le")),
@@ -2061,19 +2066,33 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist(), not localCheckpoint: checkpoint RDD creation is paid at
     # call time even when lazy (serial driver cost — this query was the
     # #2 plan_build offender in BENCH_r09); persist defers to first use.
-    bands = corpus_df.select(
-        "vec_id", F.posexplode(band_sigs("e")).alias("band", "bucket")
+    # ONE persisted index carries the raw vector AND the banded
+    # signatures (r12 optimization, guide §4.1: previously the banding
+    # UDF ran over one corpus scan and the rescore re-derived the
+    # perturbed corpus from parquet in a second — now both the pair
+    # generator and the vector lookups read the same in-memory table).
+    idx = corpus_df.select(
+        "vec_id", "e", band_sigs("e").alias("sigs")
     ).persist()
-    a = bands.select(F.col("vec_id").alias("left_id"), "band", "bucket")
-    b = bands.select(F.col("vec_id").alias("right_id"), "band", "bucket")
+    bands = idx.select("vec_id", F.posexplode("sigs").alias("band", "bucket"))
+    # in-bucket pair expansion: one exchange on the bucket key instead of
+    # the self-join's two (guide §2.4; same pattern as dedup_embedding_lsh)
+    ids = F.sort_array(F.collect_list("vec_id"))
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
+        "y -> struct(x AS left_id, y AS right_id))))"
+    )
     cand_ids = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
+        bands.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.left_id").alias("left_id"), F.col("p.right_id").alias("right_id"))
         .distinct()
     )
-    va = corpus_df.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
-    vb = corpus_df.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
+    va = idx.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
+    vb = idx.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
     # persist: the scored candidates feed BOTH the pair-count and
     # affected-doc aggregates below — without it the pandas-UDF rescore
     # runs twice (round-protocol seam; measured 2x on the sf1 smoke)

@@ -366,12 +366,26 @@ def pipeline_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     tot = grams.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )
-    a = grams.select(F.col("source").alias("source_a"), "sh")
-    b = grams.select(F.col("source").alias("source_b"), "sh")
+    # Posting-list pair expansion (r12 optimization, guide §2.4): group
+    # the distinct grams by gram, expand the |sources|-bounded posting
+    # list into ordered source pairs, count per pair. ONE exchange on the
+    # gram key replaces the previous self-equi-join's two shuffles of the
+    # gram stream + join — the same pattern the MinHash candidate
+    # generator uses; per-gram work is ≤ |sources|² exactly as the
+    # self-join's per-gram output was. Plan diff:
+    # plans/r12/pipeline_source_overlap_matrix_{before,after}.txt.
+    srcs = F.sort_array(F.collect_list("source"))
+    pair_structs = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, greatest(size(srcs) - i - 1, 0)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     common = (
-        a.join(b, ["sh"])
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        grams.groupBy("sh")
+        .agg(srcs.alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("grams_common"))
     )
     ta = F.broadcast(tot.select(F.col("source").alias("source_a"),

@@ -781,7 +781,12 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("e")
     )
-    ne = emb.select("vec_id", VK.norm_vec("e").alias("ne"))
+    # persist: FOUR consumers (codes, query set, rescore vectors, exact
+    # ground truth) read the normalized corpus — without it each one
+    # re-runs the norm_vec ArrowEvalPython stage over the parquet scan
+    # (r12 optimization, guide §4.1/§5: materialize the reused seam once;
+    # persist not localCheckpoint — plan-build-time-free, same reuse).
+    ne = emb.select("vec_id", VK.norm_vec("e").alias("ne")).persist()
 
     # Codebooks train driver-side on a bounded deterministic sample
     # (vec_id-ordered, capped at 2048 vectors) with seeded numpy Lloyd's —

@@ -4040,37 +4040,54 @@ def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1))
     w2_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(2))
     c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
-    c1 = (
-        bg.select(w1_of.alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
-    )
-    n1h = (
-        c12.select(w1_of.alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n1h"))
+    # Every per-context / per-word model quantity derives from the TYPE
+    # table c12 — never from a second pass over the occurrence stream:
+    # c1(w1) = Σ_w2 c12(w1,w2) exactly (each occurrence of context w1 is
+    # counted once in some bigram type), and n1h(w1) is the type count of
+    # the same grouping, so both come out of ONE vocab-sized aggregate.
+    # (r12 optimization, guide §2.3/§2.4: the previous form re-grouped the
+    # corpus-sized bigram stream a second time just to count contexts —
+    # one full Exchange of corpus-scale data, deleted here; plan diff in
+    # plans/r12/text_kneser_ney_lm_{before,after}.txt.)
+    per_w1 = (
+        c12.groupBy(w1_of.alias("w1"))
+        .agg(
+            F.sum("c12").cast("bigint").alias("c1"),
+            F.count(F.lit(1)).cast("bigint").alias("n1h"),
+        )
     )
     n1t = (
-        c12.select(w2_of.alias("w2"))
-        .groupBy("w2")
+        c12.groupBy(w2_of.alias("w2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n1t"))
     )
     b = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
     prob = (F.col("c12") - _KN_D) / F.col("c1") + (
         (_KN_D * F.col("n1h")) / F.col("c1")
     ) * (F.col("n1t") * 1.0 / F.col("b"))
-    scored = (
-        bg.join(F.broadcast(c12), "bigram")
-        .withColumn("w1", w1_of)
+    # Fold the whole model into ONE bigram-type-keyed table with the NLL
+    # precomputed per TYPE (identical double: same expression over the
+    # same operands as the old per-occurrence form — FP is deterministic
+    # per value, only the summation order varies, which round(…, 4)
+    # already absorbs on both engines). The scoring probe then pays one
+    # broadcast hash join per occurrence instead of four joins + a cross
+    # join, and the ln() runs |bigram types| times, not |occurrences|
+    # times — at 100 TB that is the difference between transcendental
+    # math per corpus token and per vocab entry (guide §2.3 "shuffle
+    # keys/metadata instead of payloads", §1.2 step 1 before step 2).
+    model = (
+        c12.withColumn("w1", w1_of)
         .withColumn("w2", w2_of)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(n1h), "w1")
-        .join(F.broadcast(n1t), "w2")
+        .join(per_w1, "w1")
+        .join(n1t, "w2")
         .crossJoin(F.broadcast(b))
+        .select("bigram", (-F.log(prob)).alias("nlp"))
+    )
+    scored = (
+        bg.join(F.broadcast(model), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(-F.log(prob)).alias("nll"),
+            F.sum("nlp").alias("nll"),
         )
     )
     return scored.select(

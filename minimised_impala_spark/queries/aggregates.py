@@ -1188,33 +1188,38 @@ def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = _KLL_REPORT_K
     li = load_table(spark, sf_dir, "lineitem")
-    # raw carries only (g, x): the true-rank pass below scans it without
-    # paying the md5 priority derivation a second time
-    raw = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").cast("double").alias("x"),
+    # ONE keyed repartition feeds BOTH passes (r12 optimization, guide
+    # §2.4/§1.2): the salt now derives from the row key (pmod of the
+    # same integer the md5 priority hashes) instead of from pri itself,
+    # so (a) the md5 derivation runs AFTER the exchange on every core —
+    # previously it sat in the scan-side projection, and the one-row-
+    # group fixture parquet makes that a single task; and (b) the
+    # true-rank pass below aggregates the SAME exchange output
+    # (ReusedExchange) instead of re-scanning lineitem — one scan + one
+    # fact-table shuffle total, where the old plan paid two scans + one
+    # shuffle. Result-invariant: ANY deterministic salt keeps the global
+    # bottom-k identical (every global bottom-k row is necessarily in
+    # its salt group's bottom-k), and pri/x/g values are untouched.
+    # Plan diff: plans/r12/agg_kll_accuracy_report_{before,after}.txt.
+    kk = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("kk")
+    pre = (
+        li.select(F.col("l_returnflag").alias("g"),
+                  F.col("l_extendedprice").cast("double").alias("x"), kk)
+        .withColumn("salt", F.pmod(F.col("kk"), F.lit(64)))
+        .repartition(F.col("g"), F.col("salt"))
     )
-    src = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").cast("double").alias("x"),
-        F.conv(
-            F.substring(
-                F.md5(
-                    (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        )
+    raw = pre.select("g", "x")
+    src = pre.select(
+        "g",
+        "x",
+        "salt",
+        F.conv(F.substring(F.md5(F.col("kk").cast("string")), 1, 13), 16, 10)
         .cast("bigint")
         .alias("pri"),
     )
     # two-stage bottom-k: per-(g, salt) local top, then global — no
     # single task ever sorts a whole group (see block comment above)
-    salt = F.pmod(F.col("pri"), F.lit(64))
-    w_local = W.partitionBy("g", salt).orderBy("pri", "x")
+    w_local = W.partitionBy("g", "salt").orderBy("pri", "x")
     cand = (
         src.withColumn("lrn", F.row_number().over(w_local))
         .filter(F.col("lrn") <= k)

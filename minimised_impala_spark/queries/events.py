@@ -91,14 +91,22 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
         1,
     ).otherwise(0)
-    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    # n_sessions = Σ new_session directly: the running-sum session_id is a
+    # counter that increments exactly on new_session = 1 (the first event
+    # per user always flags, lag IS NULL), so count(DISTINCT session_id)
+    # == sum(new_session). This drops the second full window pass AND the
+    # countDistinct two-phase expansion — ONE window + ONE plain aggregate
+    # over the same user_id partitioning (r12 optimization, guide §2.4:
+    # window and groupBy share the exchange; plan diff in
+    # plans/r12/events_sessionize_{before,after}.txt). The oracle keeps
+    # the session_id/count-distinct formulation — a structurally
+    # different evaluation of the same quantity.
     return (
         ev.select("user_id", "ts", "event_id")
         .withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(wrun))
         .groupBy("user_id")
         .agg(
-            F.countDistinct("session_id").alias("n_sessions"),
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .filter(F.col("n_events") >= 20)
