@@ -764,18 +764,23 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lsh_candidate_pairs_of uses for MinHash. Pair count per bucket is
     # k², bounded by near-dup cluster density exactly as the self-join's
     # per-bucket output was.
+    # Two chained Generate nodes (posexplode anchor, explode of the
+    # tail slice) instead of one flatten/transform/struct lambda tree:
+    # the generators stay in codegen while the nested lambdas run
+    # interpreted per element and allocate a struct per pair (measured
+    # 1.54 s vs 1.12 s for the candidate stage at sf0.1; same rows).
     ids = F.sort_array(F.collect_list("vec_id"))
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
-        "y -> struct(x AS left_id, y AS right_id))))"
-    )
     cand = (
         bands.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.left_id").alias("left_id"), F.col("p.right_id").alias("right_id"))
+        .select("ids", F.posexplode("ids").alias("i", "left_id"))
+        .select(
+            "left_id",
+            F.explode(F.expr("slice(ids, i + 2, size(ids) - i - 1)")).alias(
+                "right_id"
+            ),
+        )
         .distinct()  # a pair colliding in several bands scores once
     )
     norm = idx.select("vec_id", "ne")
@@ -788,7 +793,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm.select(F.col("vec_id").alias("right_id"), F.col("ne").alias("re")),
             "right_id",
         )
-        .select("left_id", "right_id", VK.dot_pair("le", "re").alias("cosine"))
+        # *_once: the >= filter on the UDF output column otherwise gets
+        # pushed below the projection and the kernel runs twice per pair
+        # (two ArrowEvalPython nodes in the before-plan; guide §4.4)
+        .select("left_id", "right_id", VK.dot_pair_once("le", "re").alias("cosine"))
         .filter(F.col("cosine") >= 0.7)
         .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("left_id", "right_id")
@@ -2077,18 +2085,20 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = idx.select("vec_id", F.posexplode("sigs").alias("band", "bucket"))
     # in-bucket pair expansion: one exchange on the bucket key instead of
     # the self-join's two (guide §2.4; same pattern as dedup_embedding_lsh)
+    # two chained Generate nodes, not a flatten/transform lambda tree —
+    # see the identical rewrite in dedup_embedding_lsh above
     ids = F.sort_array(F.collect_list("vec_id"))
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, greatest(size(ids) - i - 1, 0)), "
-        "y -> struct(x AS left_id, y AS right_id))))"
-    )
     cand_ids = (
         bands.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.left_id").alias("left_id"), F.col("p.right_id").alias("right_id"))
+        .select("ids", F.posexplode("ids").alias("i", "left_id"))
+        .select(
+            "left_id",
+            F.explode(F.expr("slice(ids, i + 2, size(ids) - i - 1)")).alias(
+                "right_id"
+            ),
+        )
         .distinct()
     )
     va = idx.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
@@ -2102,7 +2112,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "left_id",
             "right_id",
-            F.round(VK.cosine_pair("ea", "eb"), 6).alias("cosine"),
+            # *_once: see dedup_embedding_lsh — the tau filter on the
+            # output column otherwise duplicates the kernel (guide §4.4)
+            F.round(VK.cosine_pair_once("ea", "eb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= _SWEEP_TAUS[0])
         .persist()

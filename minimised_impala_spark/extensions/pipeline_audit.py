@@ -375,17 +375,21 @@ def pipeline_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     # self-join's per-gram output was. Plan diff:
     # plans/r12/pipeline_source_overlap_matrix_{before,after}.txt.
     srcs = F.sort_array(F.collect_list("source"))
-    pair_structs = F.expr(
-        "flatten(transform(srcs, (x, i) -> "
-        "transform(slice(srcs, i + 2, greatest(size(srcs) - i - 1, 0)), "
-        "y -> struct(x AS source_a, y AS source_b))))"
-    )
     common = (
         grams.groupBy("sh")
         .agg(srcs.alias("srcs"))
         .filter(F.size("srcs") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        # two chained Generate nodes, not a flatten/transform lambda
+        # tree — generators codegen, nested lambdas don't (same rewrite
+        # as the dedup LSH candidate stages)
+        .select("srcs", F.posexplode("srcs").alias("i", "source_a"))
+        .select(
+            "source_a",
+            F.explode(F.expr("slice(srcs, i + 2, size(srcs) - i - 1)")).alias(
+                "source_b"
+            ),
+        )
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("grams_common"))
     )
     ta = F.broadcast(tot.select(F.col("source").alias("source_a"),

@@ -1819,7 +1819,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(VK.cosine_pair("qe", "ce"), 6).alias("cosine"),
+            # *_once: the range filter on the output column otherwise
+            # duplicates the kernel via filter pushdown (guide §4.4)
+            F.round(VK.cosine_pair_once("qe", "ce"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.25)
         .orderBy("query_id", "neighbor_id")

@@ -105,6 +105,17 @@ def cosine_pair(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+# Non-deterministic-marked aliases for call sites where a FILTER references
+# the kernel's output column: the optimizer pushes such a filter below the
+# projection and evaluates the UDF twice per row (once under the filter,
+# once in the projection — two ArrowEvalPython nodes for one call). The
+# kernels are pure; the flag only forbids the optimizer from duplicating or
+# reordering them, halving the rescore stage. Use the plain kernel whenever
+# the output is not filtered — the flag also blocks legitimate pushdowns.
+dot_pair_once = dot_pair.asNondeterministic()
+cosine_pair_once = cosine_pair.asNondeterministic()
+
+
 @pandas_udf(_ARR_L)
 def quantize_i8(s: pd.Series) -> pd.Series:
     """Max-abs int8 codes: round(x * 127 / max|x|), half away from zero
