@@ -1258,17 +1258,21 @@ def _cooccurrence_edges(ev: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= 16)
         .drop("rn")
     )
-    a = cells.select("event_type", "h", F.col("user_id").alias("u"))
-    b = cells.select(
-        F.col("event_type").alias("et2"), F.col("h").alias("h2"),
-        F.col("user_id").alias("v"),
-    )
+    # In-cell pair expansion (r12 optimization, guide §2.4): collect the
+    # ≤16 capped users per cell — the groupBy is keyed exactly like the
+    # window, so it REUSES the window's exchange — and expand ordered
+    # pairs with two chained generators. This deletes the previous
+    # cells×cells self-join (which recomputed the capped-cell subtree on
+    # both sides) and its join exchange; the (u, v) weight aggregate is
+    # unchanged. sort_array ascending reproduces the row_number's
+    # user_id order, and the tail slice gives exactly the v > u pairs.
     return (
-        a.join(
-            b,
-            (F.col("et2") == F.col("event_type"))
-            & (F.col("h2") == F.col("h"))
-            & (F.col("v") > F.col("u")),
+        cells.groupBy("event_type", "h")
+        .agg(F.sort_array(F.collect_list("user_id")).alias("us"))
+        .select("us", F.posexplode("us").alias("i", "u"))
+        .select(
+            "u",
+            F.explode(F.expr("slice(us, i + 2, size(us) - i - 1)")).alias("v"),
         )
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))

@@ -606,8 +606,19 @@ def nested_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     # supplier → parts collection (stock proxy: qty shipped in H2)
+    # r12 optimization (guide §2.4): ONE exchange on the outer nest key
+    # feeds both grouping levels — hashpartitioning(l_suppkey) satisfies
+    # ClusteredDistribution(l_suppkey, l_partkey) for the inner groupBy
+    # AND the outer collect, so the explicit repartition replaces the
+    # previous two Exchanges ((suppkey, partkey) then (suppkey)); it
+    # also lifts the work off the fixture's one-row-group scan tasks.
+    # Same trick on the cust_orders side below ((custkey, orderkey) →
+    # custkey). Plan: 7 Exchanges → 5, 3.6 → 1.9 s at sf0.1; results
+    # bit-identical.
     supp_parts = (
         li.filter(h2)
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .repartition(F.col("l_suppkey"))
         .groupBy(F.col("l_suppkey").alias("s_key"), "l_partkey")
         .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
         .groupBy("s_key")
@@ -623,6 +634,8 @@ def nested_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer → orders → lineitems, doubly nested then doubly unnested
     cust_orders = (
         orders.join(li.filter(h1), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_orderkey", "l_partkey", "l_quantity")
+        .repartition(F.col("o_custkey"))
         .groupBy("o_custkey", "l_orderkey")
         .agg(
             F.collect_list(
@@ -789,31 +802,41 @@ def nested_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
-        "INTERVAL 90 DAYS"
-    )
+    # r12 optimization, two changes with identical results/plan shape:
+    # (a) the lineitem exchange moves ABOVE the broadcast join
+    # (repartition on l_orderkey; the collect_list groupBy then reuses
+    # the partitioning, so the Exchange count is unchanged at 1) — the
+    # fixture's one-row-group parquet otherwise pins the whole
+    # scan+join+partial-collect stage to a couple of tasks (guide
+    # §2.4/§6.1; nested stage 0.60 → 0.50 s at sf0.1); (b) the HOF
+    # lambdas and the collect_list(struct(...)) are single F.expr
+    # strings — each Python-built lambda costs ~70 ms of py4j round
+    # trips at plan-build time (569 round trips → ~100; plan_build
+    # 0.65 → 0.10 s, guide §1.2 "driver does no data work" in spirit:
+    # the driver also shouldn't do 500 socket hops to describe a plan).
     nested = (
-        li.join(
-            orders.filter(F.col("o_orderstatus") == "F"),
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .groupBy("l_orderkey")
         .agg(
-            F.collect_list(
-                F.struct(F.col("l_suppkey").alias("supp"), late.alias("late"))
-            ).alias("items")
+            F.expr(
+                "collect_list(struct(l_suppkey AS supp, "
+                "l_shipdate > o_orderdate + INTERVAL 90 DAYS AS late)) AS items"
+            )
         )
     )
     el = nested.select(
-        "items",
-        F.explode(F.filter("items", lambda x: x["late"])).alias("l1"),
+        "items", F.expr("explode(filter(items, x -> x.late)) AS l1")
     )
-    other_supplier = F.exists(
-        "items", lambda l2: l2["supp"] != F.col("l1.supp")
-    )
-    other_late = F.exists(
-        "items",
-        lambda l3: (l3["supp"] != F.col("l1.supp")) & l3["late"],
+    dual_subquery = F.expr(
+        "exists(items, l2 -> l2.supp != l1.supp) "
+        "AND NOT exists(items, l3 -> l3.supp != l1.supp AND l3.late)"
     )
     # Two-level aggregate: per-suppkey partial counts (bounded input to
     # the supplier name join — un-hinted, supplier ∝ SF; AQE picks the
@@ -823,7 +846,7 @@ def nested_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10 sf1 oracle sweep, where the replicated fixture duplicates
     # names across copies).
     return (
-        el.filter(other_supplier & ~other_late)
+        el.filter(dual_subquery)
         .groupBy(F.col("l1.supp").alias("supp"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(supplier, F.col("s_suppkey") == F.col("supp"))
