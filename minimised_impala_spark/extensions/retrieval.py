@@ -89,26 +89,40 @@ def _bm25_scores(
     relation, so a query-by-example caller that excludes its probe doc
     from the results still scores against the same BM25 function as an
     oracle that filters after scoring."""
+    # ONE doc_id exchange feeds the whole index (r12 optimization, guide
+    # §2.4): the raw docs repartition on doc_id BEFORE the explode
+    # (Generate preserves partitioning), so the (doc_id, term) tf
+    # aggregate, the per-doc dl aggregate, the matched⋈dl join and the
+    # final per-doc score sum ALL reuse that partitioning with zero
+    # further fact exchanges. persist(), not localCheckpoint: the
+    # InMemoryTableScan PRESERVES outputPartitioning (an ExistingRDD
+    # scan reports UnknownPartitioning, forcing dl to re-exchange) and
+    # is plan-build-time-free (the checkpoint RDD creation was ~0.3 s of
+    # serial driver work per fresh plan). On a persistent deployment
+    # this is exactly the doc_id-clustered posting index you'd write
+    # once and probe.
     postings = (
-        docs.select(
+        docs.repartition(F.col("doc_id"))
+        .select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
     )
-    # Build the posting index ONCE: dl, corpus stats, df, and the scored
-    # join all derive from this lineage, and without materialization each
-    # consumer re-runs the explode+agg stage (no ReusedExchange across
-    # differently-keyed aggregates). Same seam as sim_lsh_ann's signature
-    # table; measured 1.05 s → 0.79 s at sf0.1. On a persistent deployment
-    # this is exactly the posting index you'd write once and probe.
-    postings = postings.localCheckpoint(eager=False)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
-    dfreq = postings.groupBy("term").agg(
+    # df only for the ≤|qterms| terms that can score: aggregate the
+    # broadcast-filtered postings instead of the full vocabulary — the
+    # corpus-wide term exchange is gone and the df values are identical
+    # for every term that reaches the scorer. Computed BEFORE the
+    # exclude_doc filter: corpus statistics always cover the full docs
+    # relation (see docstring).
+    matched_all = postings.join(F.broadcast(qterms), "term")
+    dfreq = matched_all.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
@@ -118,12 +132,12 @@ def _bm25_scores(
         * (K1 + 1)
         / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl))
     )
-    matched = postings.join(F.broadcast(qterms), "term")
+    matched = matched_all
     if exclude_doc is not None:
         matched = matched.filter(F.col("doc_id") != exclude_doc)
     scored = (
         matched
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "term")), "term")
+        .join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
