@@ -598,30 +598,32 @@ def pipeline_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # canon feeds BOTH the keeper aggregate and the join probe side —
-    # without materialization the double-regexp canonicalize map runs
-    # twice over the full corpus (the multi-consumer lineage seam; the
-    # sf1 smoke read 9.7x before, ~2x dedup_normalized_exact's linear
-    # 4.1x, and the checkpoint removes exactly the second scan)
+    from pyspark.sql import Window as W
+
     canon = corpus.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).alias("n_toks"),
         fp.alias("fp"),
-    ).localCheckpoint(eager=False)
-    keepers = canon.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    dup = F.col("doc_id") != F.col("keeper")
+    )
+    # keeper = min(doc_id) OVER (PARTITION BY fp): one window after one
+    # fp exchange replaces the previous checkpoint + keeper aggregate +
+    # fp join (r12, guide §2.4) — the corpus is canonicalized ONCE and
+    # never joined back to itself, so the multi-consumer lineage seam
+    # the old localCheckpoint existed for is gone entirely (and with it
+    # the checkpoint-RDD plan-build cost).
+    dup = F.col("doc_id") != F.min("doc_id").over(W.partitionBy("fp"))
     return (
-        canon.join(keepers, "fp")
+        canon.withColumn("is_dup", dup)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
-            F.count_if(dup).cast("bigint").alias("docs_removed"),
-            F.coalesce(F.sum(F.when(dup, F.col("n_toks"))), F.lit(0))
+            F.count_if(F.col("is_dup")).cast("bigint").alias("docs_removed"),
+            F.coalesce(F.sum(F.when(F.col("is_dup"), F.col("n_toks"))), F.lit(0))
             .cast("bigint")
             .alias("tokens_removed"),
-            F.round(1000.0 * F.count_if(dup) / F.count(F.lit(1)))
+            F.round(1000.0 * F.count_if(F.col("is_dup")) / F.count(F.lit(1)))
             .cast("bigint")
             .alias("docs_removed_permille"),
         )

@@ -2840,12 +2840,20 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # doc_id-clustered posting index (r12, guide §2.4/§5, same shape as
+    # the BM25 core): repartition the raw docs on doc_id BEFORE the
+    # explode (Generate preserves partitioning) and persist — the tf
+    # aggregate and the top-k window partitionBy(doc_id) then reuse ONE
+    # exchange, and the three consumers (stats, df, scored) read the
+    # materialized index instead of re-running the explode+agg lineage.
     postings = (
-        docs.select(
+        docs.repartition(F.col("doc_id"))
+        .select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
     )
     stats = postings.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n")

@@ -1561,11 +1561,25 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").cast("double").alias("x"),
-        F.col("l_quantity").cast("bigint").alias("wt"),
-    ).withColumn("b", F.floor(F.col("x") / 1000).cast("bigint"))
+    # ONE persisted (g, b)-clustered pass feeds BOTH phases (r12, guide
+    # §2.4/§5): hashpartitioning(g, b) satisfies the phase-1 histogram
+    # groupBy(g, b) AND the phase-2 in-bucket window
+    # partitionBy(g, b, plabel), and the persist (which preserves
+    # partitioning through InMemoryTableScan) guarantees the lineitem
+    # scan + shuffle happen once — previously each phase paid its own
+    # scan and exchange (plain ReusedExchange does not fire here:
+    # column pruning pushes different Projects below the two
+    # repartition subtrees, de-canonicalizing them).
+    w = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").cast("double").alias("x"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+        )
+        .withColumn("b", F.floor(F.col("x") / 1000).cast("bigint"))
+        .repartition(F.col("g"), F.col("b"))
+        .persist()
+    )
     # phase 1: per-(group, bucket) weight totals + prefix base offsets
     bw = w.groupBy("g", "b").agg(F.sum("wt").alias("w_b"))
     w_pre = W.partitionBy("g").orderBy("b").rowsBetween(W.unboundedPreceding, -1)
