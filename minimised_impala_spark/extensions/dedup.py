@@ -749,16 +749,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_df = base.unionByName(pert)
 
     band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
-    # ONE localCheckpoint carrying BOTH the banded signatures and the
+    # ONE persisted index carrying BOTH the banded signatures and the
     # normalized vector: the index build and the rescore norm table were
     # previously two separate checkpoints, i.e. two full corpus passes
     # through two ArrowEvalPython stages (r12 optimization, guide §4.1:
     # the JVM↔Python crossing is the cost — cross once with both outputs;
     # plans/r12/dedup_embedding_lsh_{before,after}.txt show one
-    # ArrowEvalPython scan instead of two).
+    # ArrowEvalPython scan instead of two). persist, not localCheckpoint:
+    # same single-compute reuse, none of the checkpoint-RDD creation cost
+    # at plan-build time.
     idx = corpus_df.select(
         "vec_id", VK.norm_vec("e").alias("ne"), band_sigs("e").alias("sigs")
-    ).localCheckpoint(eager=False)
+    ).persist()
     bands = idx.select("vec_id", F.posexplode("sigs").alias("band", "bucket"))
     # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
     # ONE exchange on the bucket key instead of the previous self-join's

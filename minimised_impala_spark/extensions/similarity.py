@@ -225,16 +225,18 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vecd("embedding").alias("e")
     )
     # Pre-normalize each vector ONCE; the pair stage then computes a single
-    # dot product per candidate instead of three. localCheckpoint
-    # materializes the signature table before the self-join — without it
-    # both join sides recompute the pandas-UDF stage (no ReusedExchange
-    # across differently-aliased scans; measured 1.55 s → 1.14 s at
-    # sf0.1). This is the engine analogue of building the LSH index once
-    # and probing it, exactly how a corpus-resident index behaves at
-    # 100 TB.
+    # dot product per candidate instead of three. persist() materializes
+    # the signature table before the self-join — without it both join
+    # sides recompute the pandas-UDF stage (no ReusedExchange across
+    # differently-aliased scans; measured 1.55 s → 1.14 s at sf0.1).
+    # persist, not localCheckpoint: the same single-compute reuse with
+    # none of the checkpoint-RDD creation cost (~0.1-0.3 s of serial
+    # driver work per fresh plan, r12). This is the engine analogue of
+    # building the LSH index once and probing it, exactly how a
+    # corpus-resident index behaves at 100 TB.
     bucketed = emb.select(
         "vec_id", VK.norm_vec("e").alias("e"), VK.lsh_bucket("e").alias("bucket")
-    ).localCheckpoint(eager=False)
+    ).persist()
     a = bucketed.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "bucket"
     )

@@ -54,7 +54,7 @@ def distributed_cumsum(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint PINS the bucket assignment: `ranged` feeds both the
+    # persist() PINS the bucket assignment: `ranged` feeds both the
     # local-cumsum branch and the totals branch, and without
     # materialization each branch re-executes the range exchange —
     # RangePartitioner re-SAMPLES boundaries per execution (sample seed
@@ -62,10 +62,16 @@ def distributed_cumsum(
     # boundary a few rows apart and the offsets no longer match the
     # bucket contents (observed as a ±2 drift in the concurrency sweep:
     # rows that switched buckets get double/never-counted in the offset).
+    # persist, not the previous eager localCheckpoint (r12): caching
+    # gives the same compute-once guarantee (both branches read the one
+    # materialized RDD; block-level locks serialize racing tasks), but
+    # lazily — the eager checkpoint ran the whole range-exchange job at
+    # PLAN BUILD time (~0.5 s on the events fixture, serial driver-side
+    # cost on every fresh build; guide §1.2 per-task work, §5 caching).
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
     local_w = (
         Window.partitionBy(_PID)

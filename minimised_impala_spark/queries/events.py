@@ -1249,8 +1249,8 @@ def _cooccurrence_edges(ev: DataFrame) -> DataFrame:
     density control that keeps the self-join out of the Σ occupancy²
     regime), weight-4 thresholded edges. Callers localCheckpoint the
     result before fanning out to multiple consumers."""
-    cells_all = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    cells_all = ev.selectExpr(
+        "event_type", "date_trunc('hour', ts) AS h", "user_id"
     ).distinct()
     wcell = W.partitionBy("event_type", "h").orderBy("user_id")
     cells = (
@@ -1294,28 +1294,22 @@ def _orient_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     proves results are strategy-independent.  Returns (deg, oriented)
     pre-checkpoint so callers (and the plan tests) see the full
     lineage."""
+    # selectExpr strings, not nested Column trees: every Column operator
+    # is a py4j round trip and this helper alone cost ~0.5 s of the
+    # caller's plan build (r12; the analyzed plan is identical)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.selectExpr("u AS node")
+        .unionAll(edges.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    u_lt_v = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("u") < F.col("v"))
-    )
     oriented = (
-        edges.join(
-            deg.select(F.col("node").alias("u"), F.col("d").alias("da")),
-            "u",
-        )
-        .join(
-            deg.select(F.col("node").alias("v"), F.col("d").alias("db")),
-            "v",
-        )
-        .select(
-            F.when(u_lt_v, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_lt_v, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(u_lt_v, F.col("db")).otherwise(F.col("da")).alias("td"),
+        edges.join(deg.selectExpr("node AS u", "d AS da"), "u")
+        .join(deg.selectExpr("node AS v", "d AS db"), "v")
+        .selectExpr(
+            "CASE WHEN da < db OR (da = db AND u < v) THEN u ELSE v END AS s",
+            "CASE WHEN da < db OR (da = db AND u < v) THEN v ELSE u END AS t",
+            "CASE WHEN da < db OR (da = db AND u < v) THEN db ELSE da END AS td",
         )
     )
     return deg, oriented
@@ -1336,42 +1330,35 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg, oriented = _orient_edges(edges)
     # three self-join arms read the oriented edge list
     oriented = oriented.persist()
-    x = oriented.select(
-        F.col("s").alias("xs"), F.col("t").alias("xt"), F.col("td").alias("xtd")
-    )
-    y = oriented.select(
-        F.col("s").alias("ys"), F.col("t").alias("yt"), F.col("td").alias("ytd")
-    )
-    z = oriented.select(F.col("s").alias("zs"), F.col("t").alias("zt"))
+    # selectExpr / expr strings throughout the assembly — see
+    # _orient_edges: the Column-tree form cost ~1.2 s of py4j round
+    # trips per fresh plan; the string form builds the identical plan
+    x = oriented.selectExpr("s AS xs", "t AS xt", "td AS xtd")
+    y = oriented.selectExpr("s AS ys", "t AS yt", "td AS ytd")
+    z = oriented.selectExpr("s AS zs", "t AS zt")
     tri = (
         x.join(
             y,
-            (F.col("ys") == F.col("xs"))
-            & (
-                (F.col("ytd") > F.col("xtd"))
-                | ((F.col("ytd") == F.col("xtd")) & (F.col("yt") > F.col("xt")))
-            ),
+            F.expr("ys = xs AND (ytd > xtd OR (ytd = xtd AND yt > xt))"),
         )
-        .join(z, (F.col("zs") == F.col("xt")) & (F.col("zt") == F.col("yt")))
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .join(z, F.expr("zs = xt AND zt = yt"))
+        .agg(F.expr("count(1) AS n_tri"))
     )
-    wedge = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedge")
+    wedge = deg.agg(F.expr("CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedge"))
+    counts = edges.agg(F.expr("count(1) AS n_edges")).crossJoin(
+        deg.agg(F.expr("count(1) AS n_nodes"))
     )
-    counts = edges.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
     return (
         tri.crossJoin(F.broadcast(wedge))
         .crossJoin(F.broadcast(counts))
-        .select(
-            F.col("n_nodes").cast("bigint").alias("n_nodes"),
-            F.col("n_edges").cast("bigint").alias("n_edges"),
-            F.col("n_wedge").cast("bigint").alias("n_wedges"),
-            F.col("n_tri").cast("bigint").alias("n_triangles"),
-            F.round(
-                3.0 * F.col("n_tri") / F.nullif(F.col("n_wedge"), F.lit(0)), 6
-            ).alias("global_cc"),
+        .selectExpr(
+            "CAST(n_nodes AS BIGINT) AS n_nodes",
+            "CAST(n_edges AS BIGINT) AS n_edges",
+            "CAST(n_wedge AS BIGINT) AS n_wedges",
+            "CAST(n_tri AS BIGINT) AS n_triangles",
+            # 3.0D: a bare 3.0 parses as DECIMAL(2,1) in SQL text (unlike
+            # F.lit(3.0)) and would flip global_cc to DECIMAL(29,6)
+            "round(3.0D * n_tri / nullif(n_wedge, 0), 6) AS global_cc",
         )
     )
 

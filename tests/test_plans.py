@@ -564,8 +564,10 @@ def test_kll_report_two_stage_bottom_k(spark, sf_dir):
     plan = _physical(fresh("agg_kll_accuracy_report")(spark, sf_dir))
     # stage 1: rank within (group, salt) — a WindowGroupLimit keyed on
     # BOTH columns above an exchange hash-partitioned on both
-    assert re.search(r"WindowGroupLimit \[g#\d+, _w0#\d+L?\]", plan), plan[:2000]
-    assert re.search(r"hashpartitioning\(g#\d+, _w0#\d+L?", plan), plan[:2000]
+    # (the salt is a named column since the r12 one-exchange rework —
+    # previously it was an inline window expression `_w0`)
+    assert re.search(r"WindowGroupLimit \[g#\d+, salt#\d+L?\]", plan), plan[:2000]
+    assert re.search(r"hashpartitioning\(g#\d+, salt#\d+L?", plan), plan[:2000]
     # stage 2: global rank within the group alone
     assert re.search(r"WindowGroupLimit \[g#\d+\]", plan), plan[:2000]
     assert re.search(r"hashpartitioning\(g#\d+, \d+\)", plan), plan[:2000]
@@ -594,6 +596,11 @@ def test_plan_build_time_bounded(spark, sf_dir):
         "sim_kmeans_cluster", "sim_pq_ann", "sim_ivfpq_ann", "sim_ivf_ann",
         "sim_diverse_sample", "sim_centroid_classify", "sim_knn_classify",
         "sim_mmr_rerank",
+        # by-spec physical state round trip in the builder: the standing
+        # aggregate is WRITTEN to parquet and merged back (that IS the
+        # operator — incremental stats maintenance); the build cost is
+        # those bounded jobs, not expression construction (r12)
+        "pipeline_incremental_stats",
         # engine/shell entry points that execute during construction
         "dialect_qualify", "dialect_broadcast_hint",
         # iterative algorithms: pagerank unrolls K=5 plan rounds
@@ -661,18 +668,25 @@ def test_quality_calibration_uses_prefix_scan(spark, sf_dir):
     sort window over the corpus; the corpus-count join is a one-row
     broadcast."""
     plan = _physical(fresh("text_quality_calibration")(spark, sf_dir))
-    assert plan.count("Exchange rangepartitioning") == 1, plan[:2000]
+    # two distinct range exchanges: the prefix scan's (cached by the
+    # operator's persist, printed per consumer branch but computed once)
+    # and the final output sort — see test_shard_assignment_uses_prefix_scan
+    ids = re.findall(r"Exchange rangepartitioning[^\n]*plan_id=(\d+)", plan)
+    assert len(set(ids)) == 2, plan[:2000]
+    assert plan.count("InMemoryTableScan") == 2, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_kneser_ney_model_tables_broadcast(spark, sf_dir):
-    """text_kneser_ney_lm: all four model tables (c12/c1/N1+ head/tail)
-    and the bigram-type count must broadcast into the scoring joins —
-    the corpus-sized bigram stream is never the build side of a shuffle
+    """text_kneser_ney_lm: every model table broadcasts into the scoring
+    joins — the corpus-sized bigram stream is never the build side of a
+    shuffle join. Three hash joins since the r12 rework (the per-type
+    NLL is precomputed on the vocab-sized bigram-type table, so scoring
+    is ONE broadcast join instead of two) plus the 1-row discount cross
     join."""
     plan = _physical(fresh("text_kneser_ney_lm")(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "SortMergeJoin" not in plan
 
 
@@ -769,7 +783,13 @@ def test_shard_assignment_uses_prefix_scan(spark, sf_dir):
     two-phase prefix scan (one range exchange), and the totals/width
     table is a one-row broadcast."""
     plan = _physical(fresh("pipeline_shard_assignment")(spark, sf_dir))
-    assert plan.count("Exchange rangepartitioning") == 1, plan[:2000]
+    # TWO distinct range exchanges: the prefix scan's (cached by the
+    # operator's persist — printed once per consumer branch, computed
+    # once) and the final output sort. The persist replaced an eager
+    # localCheckpoint in r12, so the cached subtree is visible now.
+    ids = re.findall(r"Exchange rangepartitioning[^\n]*plan_id=(\d+)", plan)
+    assert len(set(ids)) == 2, plan[:2000]
+    assert plan.count("InMemoryTableScan") == 2, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
 

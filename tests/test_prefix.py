@@ -64,6 +64,9 @@ def test_no_global_window_over_input(spark):
     """The only partitionless window in the plan must be over the tiny
     per-bucket totals, never over the input: the input-side window must be
     partitioned (by the range-bucket id)."""
+    # drop caches earlier tests in this session may have left so the
+    # single-materialization assertion below sees only this query's
+    spark.catalog.clearCache()
     df = spark.range(10_000).select(
         F.col("id").alias("k"), (F.col("id") % 13).alias("v")
     )
@@ -76,9 +79,19 @@ def test_no_global_window_over_input(spark):
     # canonicalize identically — which silently fails for some inputs,
     # re-sampling different range boundaries per branch (the ±2 offset
     # drift found by events_concurrency_curve). The operator therefore
-    # pins bucket assignment with localCheckpoint: the executed plan
-    # scans the checkpointed RDD and contains NO second range exchange.
+    # pins bucket assignment with persist() (r12; previously an eager
+    # localCheckpoint, which ran the exchange at plan-BUILD time): both
+    # branches read InMemoryTableScans over ONE cached instance of the
+    # range exchange — every rangepartitioning print in the executed
+    # plan carries the same plan_id.
     out.collect()
     executed = out._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in executed
-    assert executed.count("Exchange rangepartitioning") == 0
+    # string counting is brittle (the AQE string prints Final AND
+    # Initial sections, and the cached subplan is itself adaptive), so
+    # assert the invariant semantically: both join branches read the
+    # cache, and exactly ONE RDD is materialized — i.e. one range
+    # exchange executed, one boundary sampling, shared by both branches.
+    assert executed.count("InMemoryTableScan") >= 2
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 1, [i.name() for i in infos]
+    spark.catalog.clearCache()

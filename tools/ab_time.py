@@ -33,6 +33,9 @@ def main() -> int:
     for n in names:
         best = (float("inf"), 0.0, 0.0)
         for _ in range(draws):
+            # mirror bench.py: drop persisted intra-query intermediates so
+            # every draw recomputes (CacheManager matches fresh plans)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fresh(n)(spark, sf_dir)
             t1 = time.perf_counter()

@@ -46,6 +46,9 @@ def main() -> int:
     for i, n in enumerate(names, start=lo + 1):
         t0 = time.time()
         try:
+            # queries persist() intra-query intermediates; CacheManager
+            # entries outlive the query, so drop them between rows
+            spark.catalog.clearCache()
             r = compare(n, spark, sf_dir, qs[n], oracles[n])
             ok = r["ok"] and r["strict_match"]
             print(

@@ -118,6 +118,9 @@ def main() -> int:
                 import signal
 
                 signal.alarm(row_timeout)
+            # queries persist() intra-query intermediates; CacheManager
+            # entries outlive the query, so drop them between rows
+            spark.catalog.clearCache()
             r = compare(name, spark, sf1_dir, qs[name], osql[name])
         except Exception as ex:  # noqa: BLE001 — sweep must survive one row
             print(f"{i:3d} {name:40s} ERR {type(ex).__name__}: {ex}",
