@@ -279,6 +279,12 @@ def bands_of(docs: DataFrame) -> DataFrame:
     # (the reference's streaming pre-aggregation pattern,
     # be/src/exec/partitioned-aggregation-node.h:45-75). Token array is
     # materialized first — see _trigrams_of for why.
+    # (r12 note: an all-HOF zero-shuffle variant — per-doc hash array +
+    # 16 array_min(transform(...)) passes — was A/B'd and is 4.6× SLOWER
+    # at sf0.1: the lambdas run interpreted while this explode+aggregate
+    # form stays in codegen, and the exchange it would remove is already
+    # |docs|-sized thanks to the partial mins. Kept as-is per guide §2.3
+    # "aggregate before you shuffle".)
     hashed = (
         docs.withColumn("toks", F.split("text", " "))
         .select("doc_id", F.explode(_trigrams_of(F.col("toks"))).alias("sh"))
@@ -2107,9 +2113,6 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = idx.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
     vb = idx.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
-    # persist: the scored candidates feed BOTH the pair-count and
-    # affected-doc aggregates below — without it the pandas-UDF rescore
-    # runs twice (round-protocol seam; measured 2x on the sf1 smoke)
     cand = (
         cand_ids.join(va, "left_id")
         .join(vb, "right_id")
@@ -2121,22 +2124,29 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(VK.cosine_pair_once("ea", "eb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= _SWEEP_TAUS[0])
-        .persist()
     )
     thr = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
-    sel = F.broadcast(thr).join(cand, F.col("cosine") >= F.col("tau"), "left")
-    n_pairs = sel.groupBy("tau").agg(F.count("left_id").alias("n_pairs"))
-    docs = (
-        sel.filter(F.col("left_id").isNotNull())
-        .select("tau", F.explode(F.array("left_id", "right_id")).alias("d"))
+    # ONE aggregation pass computes BOTH report columns (r12, guide
+    # §2.4/§1.2): every pair contributes exactly two rows to the
+    # exploded doc stream, so n_pairs == count(d)/2 — the previous
+    # separate pair-count aggregate, the persist() of the scored
+    # candidates it required (the rescore now has a single consumer),
+    # and the n_pairs⋈docs join are all gone. Empty taus come back via
+    # the broadcast left-join from the 6-row threshold table.
+    sel = F.broadcast(thr).join(cand, F.col("cosine") >= F.col("tau"), "inner")
+    fused = (
+        sel.select("tau", F.explode(F.array("left_id", "right_id")).alias("d"))
         .groupBy("tau")
-        .agg(F.countDistinct("d").alias("n_docs"))
+        .agg(
+            (F.count("d") / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+        )
     )
     return (
-        n_pairs.join(docs, "tau", "left")
+        thr.join(fused, "tau", "left")
         .select(
             "tau",
-            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
             F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
         )
         .orderBy("tau")

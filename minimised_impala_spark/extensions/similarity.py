@@ -806,43 +806,53 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_encode = VK.make_pq_encode_udf(codebooks)
     adc_dot = VK.make_adc_udf(codebooks)
 
-    coded = ne.select(F.col("vec_id").alias("nid"), pq_encode("ne").alias("codes"))
+    # ONE scored pass computes the whole audit (r12, guide §2.4/§4.1).
+    # The two-stage result's hit set is derivable without re-scoring the
+    # shortlist: ann = top-TOPK by exact score WITHIN the shortlist, so
+    # any global-exact-top-TOPK pair that made the shortlist has
+    # within-shortlist exact rank ≤ its global rank ≤ TOPK — i.e.
+    #   ann ∩ exact_top = exact_top ∩ shortlist  (hit count identical).
+    # So: one broadcast nested-loop pass scores EVERY (query, corpus)
+    # pair with BOTH the ADC estimate and the exact dot in a single
+    # ArrowEvalPython stage (Spark fuses same-level Python UDFs), one
+    # qid exchange feeds two chained row_number windows (ADC rank for
+    # shortlist membership, exact rank for ground truth), and one
+    # aggregate emits the report. Before: 3 Python stages after the
+    # encode, 3 joins + a semi-join + a crossJoin, 3 window exchanges.
+    # After: 1 Python stage after the encode, 1 join, 1 exchange, 1
+    # aggregate — same values at every scale (subset identity above).
+    src = ne.select(
+        F.col("vec_id").alias("nid"),
+        F.col("ne").alias("ce"),
+        pq_encode("ne").alias("codes"),
+    )
     qs = ne.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("ne").alias("qe")
     )
-    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
-    shortlist = (
+    pairs = (
         F.broadcast(qs)
-        .join(coded, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", adc_dot("qe", "codes").alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= SHORTLIST)
-        .select("qid", "nid")
+        .join(src, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            adc_dot("qe", "codes").alias("adc"),
+            VK.dot_pair("qe", "ce").alias("score"),
+        )
     )
-    # stage 2: exact cosine (dot of normalized vectors) over the shortlist only
-    cs = ne.select(F.col("vec_id").alias("nid"), F.col("ne").alias("ce"))
-    ann = (
-        shortlist.join(F.broadcast(qs), "qid")
-        .join(cs, "nid")
-        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "nid")
+    w_adc = W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    w_ex = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    ranked = (
+        pairs.withColumn("rn_adc", F.row_number().over(w_adc))
+        .withColumn("rn_ex", F.row_number().over(w_ex))
+        .filter(F.col("rn_ex") <= TOPK)
     )
-    exact = (
-        F.broadcast(qs)
-        .join(cs, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", VK.dot_pair("qe", "ce").alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "nid")
-    )
-    hits = ann.join(exact, ["qid", "nid"], "left_semi")
-    return exact.agg(
+    return ranked.agg(
         F.countDistinct("qid").cast("int").alias("n_queries"),
         F.count(F.lit(1)).cast("int").alias("total_exact"),
-    ).crossJoin(
-        F.broadcast(hits.agg((F.count(F.lit(1)) >= RECALL_FLOOR).alias("recall_ok")))
+        (
+            F.coalesce(F.sum((F.col("rn_adc") <= SHORTLIST).cast("int")), F.lit(0))
+            >= RECALL_FLOOR
+        ).alias("recall_ok"),
     )
 
 

@@ -1194,12 +1194,17 @@ def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so (a) the md5 derivation runs AFTER the exchange on every core —
     # previously it sat in the scan-side projection, and the one-row-
     # group fixture parquet makes that a single task; and (b) the
-    # true-rank pass below aggregates the SAME exchange output
-    # (ReusedExchange) instead of re-scanning lineitem — one scan + one
-    # fact-table shuffle total, where the old plan paid two scans + one
-    # shuffle. Result-invariant: ANY deterministic salt keeps the global
-    # bottom-k identical (every global bottom-k row is necessarily in
-    # its salt group's bottom-k), and pri/x/g values are untouched.
+    # true-rank pass below aggregates the SAME exchange output instead
+    # of re-scanning lineitem — one scan + one fact-table shuffle
+    # total, where the old plan paid two scans + one shuffle. The
+    # sharing is pinned with persist(): plain ReusedExchange does NOT
+    # fire here because column pruning projects the two branches
+    # differently (the sample branch drops kk, the true-rank branch
+    # keeps it for pri), so uncached the plan silently kept two scans +
+    # two exchanges. Result-invariant: ANY deterministic salt keeps the
+    # global bottom-k identical (every global bottom-k row is
+    # necessarily in its salt group's bottom-k), and pri/x/g values are
+    # untouched.
     # Plan diff: plans/r12/agg_kll_accuracy_report_{before,after}.txt.
     kk = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("kk")
     pre = (
@@ -1207,6 +1212,7 @@ def agg_kll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_extendedprice").cast("double").alias("x"), kk)
         .withColumn("salt", F.pmod(F.col("kk"), F.lit(64)))
         .repartition(F.col("g"), F.col("salt"))
+        .persist()
     )
     raw = pre.select("g", "x")
     src = pre.select(

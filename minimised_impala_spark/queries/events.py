@@ -1297,11 +1297,15 @@ def _orient_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     # selectExpr strings, not nested Column trees: every Column operator
     # is a py4j round trip and this helper alone cost ~0.5 s of the
     # caller's plan build (r12; the analyzed plan is identical)
+    # persist: deg has FOUR consumers (the two orient joins, the wedge
+    # sum and the node count) — uncached, each one re-ran the
+    # union+groupBy exchange over the edge list (r12, guide §5)
     deg = (
         edges.selectExpr("u AS node")
         .unionAll(edges.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     oriented = (
         edges.join(deg.selectExpr("node AS u", "d AS da"), "u")

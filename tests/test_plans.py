@@ -667,6 +667,10 @@ def test_quality_calibration_uses_prefix_scan(spark, sf_dir):
     two-phase prefix scan (one range exchange), never a partition-less
     sort window over the corpus; the corpus-count join is a one-row
     broadcast."""
+    # earlier tests may have materialized this query's persisted
+    # subtree; a fresh build would cache-substitute it and change the
+    # printed shape — clear first so the pin sees the cold plan
+    spark.catalog.clearCache()
     plan = _physical(fresh("text_quality_calibration")(spark, sf_dir))
     # two distinct range exchanges: the prefix scan's (cached by the
     # operator's persist, printed per consumer branch but computed once)
@@ -782,6 +786,8 @@ def test_shard_assignment_uses_prefix_scan(spark, sf_dir):
     """pipeline_shard_assignment: the running token total is the
     two-phase prefix scan (one range exchange), and the totals/width
     table is a one-row broadcast."""
+    # clear first: see test_quality_calibration_uses_prefix_scan
+    spark.catalog.clearCache()
     plan = _physical(fresh("pipeline_shard_assignment")(spark, sf_dir))
     # TWO distinct range exchanges: the prefix scan's (cached by the
     # operator's persist — printed once per consumer branch, computed
