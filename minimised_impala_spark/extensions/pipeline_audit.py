@@ -358,27 +358,35 @@ def pipeline_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     from minimised_impala_spark.extensions.dedup import _trigrams_of
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.withColumn("toks", F.split("text", " "))
-        .select("source", F.explode(_trigrams_of(F.col("toks"))).alias("sh"))
-        .distinct()
-    )
-    tot = grams.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    grams = docs.withColumn("toks", F.split("text", " ")).select(
+        "source", F.explode(_trigrams_of(F.col("toks"))).alias("sh")
     )
     # Posting-list pair expansion (r12 optimization, guide §2.4): group
-    # the distinct grams by gram, expand the |sources|-bounded posting
+    # the gram stream by gram, expand the |sources|-bounded posting
     # list into ordered source pairs, count per pair. ONE exchange on the
     # gram key replaces the previous self-equi-join's two shuffles of the
     # gram stream + join — the same pattern the MinHash candidate
     # generator uses; per-gram work is ≤ |sources|² exactly as the
-    # self-join's per-gram output was. Plan diff:
+    # self-join's per-gram output was. collect_set replaces the earlier
+    # separate distinct pass (set semantics dedupe (source, gram) pairs
+    # map-side inside the SAME aggregate — one exchange builds the
+    # posting table where distinct + groupBy paid two), and the posting
+    # table is persisted so the per-source totals come from an explode
+    # of the postings instead of a second corpus scan (2 scans / 5
+    # exchanges → 1 scan / 3). Plan diff:
     # plans/r12/pipeline_source_overlap_matrix_{before,after}.txt.
-    srcs = F.sort_array(F.collect_list("source"))
-    common = (
+    posting = (
         grams.groupBy("sh")
-        .agg(srcs.alias("srcs"))
-        .filter(F.size("srcs") > 1)
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .persist()
+    )
+    tot = (
+        posting.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    )
+    common = (
+        posting.filter(F.size("srcs") > 1)
         # two chained Generate nodes, not a flatten/transform lambda
         # tree — generators codegen, nested lambdas don't (same rewrite
         # as the dedup LSH candidate stages)

@@ -4047,7 +4047,17 @@ def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1))
     w2_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(2))
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    # persist: c12 has FOUR consumers (per_w1, n1t, the type count b and
+    # the model assembly) — uncached, EACH one re-ran the document scan,
+    # the bigram explode and the type exchange (measured: 5 parquet
+    # scans / 7 exchanges in the executed plan; 2 scans / 4 after). The
+    # TYPE table is vocab-sized — the one LM artifact that is always
+    # worth materializing at 100 TB (r12, guide §5).
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
+    )
     # Every per-context / per-word model quantity derives from the TYPE
     # table c12 — never from a second pass over the occurrence stream:
     # c1(w1) = Σ_w2 c12(w1,w2) exactly (each occurrence of context w1 is
