@@ -195,7 +195,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram Jaccard join — the correctness baseline for near-dup
     detection. Scale note: cost ∝ Σ (docs per shingle)²; fine when shingles
     are selective, replaced by MinHash-LSH at 100 TB."""
-    sh = shingles(spark, sf_dir)
+    # persist: three consumers (sizes + both join sides) each re-ran the
+    # corpus scan + shingle explode uncached (r12, guide §5)
+    sh = shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
@@ -305,6 +307,14 @@ def bands_of(docs: DataFrame) -> DataFrame:
             for j in range(N_HASH)
         ]
     )
+    return _bands_from_sig(sig)
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) band signatures from a (doc_id, m0..m15)
+    MinHash signature frame — shared by bands_of and by rows that
+    already hold a signature table (dedup_minhash_accuracy_report), so
+    they never rebuild the corpus pipeline a second time."""
     bands_sql = ", ".join(
         "struct({b} AS band, md5(concat_ws('_', {ms})) AS bsig)".format(
             b=b,
@@ -330,18 +340,23 @@ def lsh_candidate_pairs_of(docs: DataFrame) -> DataFrame:
     """Distinct MinHash-LSH candidate pairs (d1, d2) over an arbitrary
     (doc_id, text) frame — the shared candidate generator for
     dedup_minhash_lsh and the composed near-dedup pipeline."""
-    bands = bands_of(docs)
-    # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
-    # ONE exchange on the bucket key, instead of a self-join's two (and the
-    # self-join would execute the signature lineage twice). Pair count per
-    # bucket is k², bounded by near-dup cluster size — the same bound the
-    # self-join has; a giant bucket means a degenerate band either way.
+    return _pairs_from_bands(bands_of(docs))
+
+
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a (doc_id, band, bsig) band frame.
+
+    Candidate pairs per bucket via groupBy + in-bucket pair expansion:
+    ONE exchange on the bucket key, instead of a self-join's two (and the
+    self-join would execute the signature lineage twice). Pair count per
+    bucket is k², bounded by near-dup cluster size — the same bound the
+    self-join has; a giant bucket means a degenerate band either way.
+    Two chained Generate nodes, not a flatten/transform lambda tree:
+    generators stay in whole-stage codegen while nested lambdas run
+    interpreted per element and allocate a struct per pair (same r12
+    rewrite as the embedding-LSH candidate stages; measured ~40%
+    faster on the candidate stage at sf0.1, identical pairs)."""
     ids = F.sort_array(F.collect_list("doc_id"))
-    # Two chained Generate nodes, not a flatten/transform lambda tree:
-    # generators stay in whole-stage codegen while nested lambdas run
-    # interpreted per element and allocate a struct per pair (same r12
-    # rewrite as the embedding-LSH candidate stages; measured ~40%
-    # faster on the candidate stage at sf0.1, identical pairs).
     return (
         bands.groupBy("band", "bsig")
         .agg(ids.alias("ids"))
@@ -468,12 +483,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.expr(f"CAST({terms} AS BIGINT)")
 
+    # persist: FOUR consumers (both candidate join sides + both hamming
+    # join sides) each re-ran the whole shingle→bit-sum pipeline
+    # uncached (8 corpus scans in the executed plan; 1 after). |docs|×4
+    # narrow rows — the persisted band index this op's 100 TB shape
+    # already calls for (r12, guide §5).
     chunks = sums.select(
         "doc_id",
         F.posexplode(F.array(*[_chunk(k) for k in range(4)])).alias(
             "chunk", "ck"
         ),
-    )
+    ).persist()
     c1 = chunks.select(F.col("doc_id").alias("d1"), "chunk", "ck")
     c2 = chunks.select(
         F.col("doc_id").alias("d2"),
@@ -1168,7 +1188,11 @@ ORDER BY d1, d2
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    sh = shingles(spark, sf_dir)
+    # persist: the distinct shingle stream feeds FOUR consumers (document
+    # frequencies, the ranked prefix, per-doc sizes, the rescore sets) —
+    # uncached each re-ran the corpus scan + shingle explode (16 scans in
+    # the executed plan; 1 after — r12, guide §5)
+    sh = shingles(spark, sf_dir).persist()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "sh").withColumn(
         "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh"))
@@ -1664,9 +1688,14 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 5))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
-        "doc_id", F.posexplode(gram_arr).alias("i0", "gh")
-    ).select("doc_id", (F.col("i0") + 1).alias("p"), "gh")
+    # persist: three consumers (the dup-gram frequencies, the marked
+    # positions and the per-doc position counts) each re-ran the corpus
+    # scan + 5-gram hash explode uncached (r12, guide §5)
+    grams = (
+        docs.select("doc_id", F.posexplode(gram_arr).alias("i0", "gh"))
+        .select("doc_id", (F.col("i0") + 1).alias("p"), "gh")
+        .persist()
+    )
     dupg = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1767,15 +1796,25 @@ FROM err
 
 @query("dedup_minhash_accuracy_report", oracle=_minhash_acc_oracle())
 def dedup_minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir)
+    # persist the two shared seams (r12, guide §5): the distinct shingle
+    # stream feeds FOUR consumers (hash pass, per-doc sizes, both sides
+    # of the exact-intersection join) and the signature table feeds
+    # three (both estimate sides and the candidate generator). The
+    # candidate pairs now derive from THIS signature table via the
+    # shared band/pair helpers instead of lsh_candidate_pairs rebuilding
+    # the whole corpus→shingle→hash→signature pipeline a second time —
+    # MinHash mins are insensitive to shingle multiplicity, so the
+    # distinct-shingle signature is bit-identical to bands_of's.
+    # Plan: 16 corpus scans → 1 (audit: tools/plan_audit.py).
+    sh = shingles(spark, sf_dir).persist()
     hashed = sh.select("doc_id", _shingle_hash(F.col("sh")))
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.expr(f"min(({2 * j + 3} * h + {5 * j + 7}) % {P})").alias(f"m{j}")
             for j in range(N_HASH)
         ]
-    )
-    cand = lsh_candidate_pairs(spark, sf_dir)
+    ).persist()
+    cand = _pairs_from_bands(_bands_from_sig(sig))
     a = sig.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"m{j}").alias(f"am{j}") for j in range(N_HASH)],

@@ -502,7 +502,10 @@ def pipeline_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.when(F.col("vec_id") % 5 == 0, pert).otherwise(F.col("e")).alias("e"),
     )
-    snap = emb.select(F.lit("a").alias("snap"), "label", "e").unionByName(b)
+    # persist: the two-snapshot union feeds the centroid components AND
+    # the per-label counts — uncached both re-ran the scan + perturb
+    # (4 scans in the executed plan; 1 after — r12, guide §5)
+    snap = emb.select(F.lit("a").alias("snap"), "label", "e").unionByName(b).persist()
     comps = snap.select("snap", "label", F.posexplode("e").alias("dim", "x"))
     cents = comps.groupBy("label", "dim").agg(
         F.avg(F.when(F.col("snap") == "a", F.col("x"))).alias("ax"),
@@ -924,10 +927,14 @@ def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_b, lift_e4, confidence_a_to_b_permille)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # persist: the distinct (order, brand) table feeds FOUR consumers
+    # (order count, singles, both self-join sides) — uncached each
+    # re-ran the lineitem scan + broadcast join + distinct (r12, §5)
     ob = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()
     )
     n_orders = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
     singles = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))

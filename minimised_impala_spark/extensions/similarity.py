@@ -328,12 +328,15 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vecd("embedding").alias("e")
     )
     bucket1 = VK.make_bucket_udf(N_PLANES)
+    # persist: four consumers (each probe's query and candidate sides)
+    # re-ran the norm+bucket ArrowEvalPython stage over the parquet scan
+    # uncached (r12, guide §4.1/§5)
     sig = emb.select(
         "vec_id",
         VK.norm_vec("e").alias("ne"),
         VK.lsh_bucket("e").alias("b0"),
         bucket1("e").alias("b1"),
-    )
+    ).persist()
     a = sig.select(F.col("vec_id").alias("qid"), F.col("ne").alias("qe"), "b0", "b1")
     b = sig.select(
         F.col("vec_id").alias("nid"), F.col("ne").alias("ce"),

@@ -578,9 +578,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
+    # persist: bench_sh feeds both the per-bench sizes and the
+    # intersection broadcast — uncached each re-ran the bench scan +
+    # shingle explode (r12, guide §5)
     bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
         "bench_id", F.explode(grams).alias("sh")
-    )
+    ).persist()
     bsizes = bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
     inter = (
         train_sh.join(F.broadcast(bench_sh.withColumnRenamed("sh", "bsh")),
@@ -1049,7 +1052,9 @@ ORDER BY doc_id
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # persist the vocab census: it feeds the total AND the scoring
+    # broadcast — uncached each re-ran the corpus census (r12, guide §5)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     total = vocab.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(vocab), "tok")
@@ -1144,11 +1149,21 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    # persist the vocab-sized type table and derive the context totals
+    # from IT (c1(w1) = Σ_w2 c12 exactly — every w1 occurrence is in
+    # some bigram type) instead of re-grouping the corpus-sized bigram
+    # stream a second time (r12, guide §2.3/§5; same rework as
+    # text_kneser_ney_lm)
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
+    )
     c1 = (
-        bg.select(F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1)).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        c12.groupBy(
+            F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1)).alias("w1")
+        )
+        .agg(F.sum("c12").cast("bigint").alias("c1"))
     )
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -1283,7 +1298,11 @@ ORDER BY t.lang
 @query("text_temperature_resample", oracle=_TEMP_ORACLE)
 def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    census = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # persist the |langs|-row census and threshold tables: census feeds
+    # the min and the thresholds, thr feeds the keep-count join AND the
+    # final report — uncached, each consumer re-ran the corpus census
+    # (5 scans in the executed plan; 2 after — r12, guide §5)
+    census = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).persist()
     n_min = census.agg(F.min("n_docs").alias("n_min"))
     thr = (
         census.crossJoin(F.broadcast(n_min))
@@ -1294,6 +1313,7 @@ def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(F.col("n_min") * 1.0 / F.col("n_docs")) * 10000
             ).cast("bigint").alias("threshold"),
         )
+        .persist()
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
@@ -1595,18 +1615,21 @@ def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.cast("bigint").alias("total"),
         )
 
+    # persist both one-row check frames: the orders aggregate feeds
+    # three report rows and the lineitem one two — uncached, every
+    # report row re-ran its full table aggregation (r12, guide §5)
     o_checks = orders.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("o_orderkey").alias("nd"),
         F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("bad_price"),
         F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("null_date"),
-    )
+    ).persist()
     li_checks = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("bigint")
         ).alias("bad_qty"),
-    )
+    ).persist()
     orphans = li.join(
         orders.select("o_orderkey"),
         li["l_orderkey"] == F.col("o_orderkey"),
@@ -1960,7 +1983,10 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # persist the vocab census (feeds the total and the scoring
+    # broadcast) and the per-doc scores (feed the prefix-scan rank and
+    # the doc count) — uncached, 6 corpus scans; 2 after (r12, guide §5)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     total = vocab.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(vocab), "tok")
@@ -1971,6 +1997,7 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(-F.log(F.col("c") * 1.0 / F.col("n"))) / F.count(F.lit(1)), 4
             ).alias("avg_nll")
         )
+        .persist()
     )
     # rank by the (avg_nll, doc_id) TUPLE — avg_nll is already rounded
     # to 4 decimals so both engines order identical values; no packed
@@ -2119,27 +2146,33 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
     )
-    cc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_corpus"))
-    tc = (
-        tok.filter(F.col("source") == "src0")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c_target"))
+    # ONE grouped census pass (r12, guide §2.4): corpus and target
+    # counts come out of the same vocab-keyed aggregate (count_if on the
+    # source instead of a second filtered grouping — a target count of 0
+    # is exactly what the old left join's coalesce produced), and ALL
+    # three totals (token counts + vocab size) derive from the persisted
+    # vocab-sized census instead of three more corpus passes. 6 corpus
+    # scans / 2 census exchanges → 2 scans / 1.
+    cc = (
+        tok.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("c_corpus"),
+            F.count_if(F.col("source") == "src0").alias("c_target"),
+        )
+        .persist()
     )
-    n_corpus = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
-    n_target = tok.filter(F.col("source") == "src0").agg(
-        F.count(F.lit(1)).alias("n_target")
+    tots = cc.agg(
+        F.sum("c_corpus").alias("n_corpus"),
+        F.sum("c_target").alias("n_target"),
+        F.count(F.lit(1)).alias("vocab"),
     )
-    vocab = cc.agg(F.count(F.lit(1)).alias("vocab"))
     lr = (
-        cc.join(tc, "t", "left")
-        .join(n_corpus)
-        .join(n_target)
-        .join(vocab)
+        cc.crossJoin(F.broadcast(tots))
         .select(
             "t",
             F.log(
                 (
-                    (F.coalesce("c_target", F.lit(0)) + 1.0)
+                    (F.col("c_target") + 1.0)
                     / (F.col("n_target") + F.col("vocab"))
                 )
                 / ((F.col("c_corpus") + 1.0) / (F.col("n_corpus") + F.col("vocab")))
@@ -2677,9 +2710,12 @@ def text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
+    # persist: bench_sh feeds both the per-bench sizes and the
+    # intersection broadcast — uncached each re-ran the bench scan +
+    # shingle explode (r12, guide §5)
     bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
         "bench_id", F.explode(grams).alias("sh")
-    )
+    ).persist()
     bsizes = bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
     inter = (
         train_sh.join(
@@ -3351,9 +3387,12 @@ def text_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist: three consumers (the document frequencies and both sides
+    # of the co-occurrence self-join) each re-ran the scan + distinct-
+    # token explode uncached (r12, guide §5)
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    )
+    ).persist()
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
     df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     a = tok.select(F.col("doc_id").alias("d"), F.col("w").alias("w1"))
@@ -4376,10 +4415,14 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("source", F.split("text", " ").alias("toks")).withColumn(
         "n", F.size("toks")
     )
+    # persist the two vocab-sized census tables; the context totals
+    # derive from the bigram TYPE table below (same rework as
+    # text_bigram_lm / text_kneser_ney_lm — r12, guide §2.3/§5)
     uni = (
         t.select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     tot_u = uni.groupBy("source").agg(F.sum("c").alias("nt"))
     hu = (
@@ -4411,13 +4454,16 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w1_of = F.split_part(F.col("bigram"), F.lit("\t"), F.lit(1))
-    c12 = bg.groupBy("source", "bigram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
+    c12 = (
+        bg.groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .persist()
     )
+    # c1(source, w1) = Σ_w2 c12 exactly — derived from the persisted
+    # type table, not a second grouping of the corpus-sized stream
     c1 = (
-        bg.select("source", w1_of.alias("w1"))
-        .groupBy("source", "w1")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        c12.groupBy("source", w1_of.alias("w1"))
+        .agg(F.sum("c12").cast("bigint").alias("c1"))
     )
     hb = (
         c12.withColumn("w1", w1_of)
@@ -4507,10 +4553,13 @@ def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the pair join stays inner/posting-bounded. Output: (source_a,
     source_b, n_common_types, jsd_bits_e4)."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist: three consumers (the totals and both pair-join sides)
+    # each re-ran the corpus census uncached (r12, guide §5)
     uni = (
         docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     tot = uni.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     a = uni.join(F.broadcast(tot), "source").select(

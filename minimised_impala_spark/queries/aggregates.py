@@ -392,8 +392,10 @@ ORDER BY op
 @query("set_intersect_except", oracle=_INTERSECT_EXCEPT_ORACLE)
 def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # persist both side sets: each feeds the INTERSECT and the EXCEPT —
+    # uncached, every set op re-scanned orders (4 scans; 2 after — r12 §5)
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").persist()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").persist()
     inter = f.intersect(o).agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("intersect").alias("op"), "n"
     )

@@ -330,10 +330,16 @@ SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
 @query("events_funnel_ordered", oracle=_FUNNEL_ORDERED_ORACLE)
 def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist each funnel stage: s1 feeds BOTH its own count and stage 2
+    # (which feeds its count and stage 3) — uncached, the earlier stages
+    # re-ran once per downstream consumer (6 events scans in the
+    # executed plan; 3, one selective scan per stage, after — r12,
+    # guide §5). The per-user stage tables are ~|users| rows.
     s1 = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.filter(F.col("event_type") == "view")
@@ -341,6 +347,7 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -580,12 +587,17 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        # persist the two lower grains: each feeds its own report level
+        # AND the next rollup — uncached, the minute aggregate re-ran
+        # once per level (3 events scans; 1 after — r12, guide §5)
+        .persist()
     )
     hour = (
         minute.groupBy(
             F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
         )
         .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+        .persist()
     )
     day = (
         hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
@@ -1130,9 +1142,12 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("m")
     )
+    # persist: the deviation stream feeds BOTH the MAD percentile and
+    # the final fence count — uncached, each re-ran the events scan,
+    # the median percentile aggregate and the join (r12, guide §5)
     dev = ev.join(med, "event_type").select(
         "event_type", "value", "m", F.abs(F.col("value") - F.col("m")).alias("d")
-    )
+    ).persist()
     mad = dev.groupBy("event_type").agg(
         F.percentile("d", F.lit(0.5)).alias("mad")
     )
@@ -1967,9 +1982,12 @@ ORDER BY channel
 @query("events_multitouch_attribution", oracle=_MTA_ORACLE)
 def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist: the purchase set has two consumers (the touch band-join
+    # and the value fan-out) — uncached both re-ran the filtered events
+    # scan (r12, guide §5)
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
-    )
+    ).persist()
     t = ev.filter(F.col("event_type") != "purchase").select(
         F.col("user_id").alias("t_user"),
         F.col("event_type").alias("channel"),
@@ -2247,6 +2265,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("last_ts") > F.col("corpus_end") - F.expr("INTERVAL 2 DAY")
             ).alias("censored"),
         )
+        # persist: ~|users| rows feeding both the total count and the
+        # per-week death/censor table (r12, guide §5)
+        .persist()
     )
     tot = lives.agg(F.count(F.lit(1)).alias("n_total"))
     wk = lives.groupBy(F.col("lw").alias("w")).agg(
@@ -2705,9 +2726,13 @@ def events_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     active week, capped at the observed horizon). Output: (week, n_new,
     n_retained, n_resurrected, n_churned)."""
     ev = load_table(spark, sf_dir, "events")
+    # persist both shared seams: uw feeds the horizon max AND the
+    # lag/lead window; seq feeds the state tallies AND the churn stream
+    # — uncached, each consumer re-ran the events scan + distinct
+    # (3 scans; 1 after — r12, guide §5)
     uw = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
-    ).distinct()
+    ).distinct().persist()
     maxw = uw.agg(F.max("week").alias("mw"))
     w = W.partitionBy("user_id").orderBy("week")
     seq = uw.select(
@@ -2715,7 +2740,7 @@ def events_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         F.lag("week").over(w).alias("prev_w"),
         F.lead("week").over(w).alias("next_w"),
-    )
+    ).persist()
     states = seq.groupBy("week").agg(
         F.count_if(F.col("prev_w").isNull()).cast("bigint").alias("n_new"),
         F.count_if(F.col("prev_w") == F.date_sub(F.col("week"), 7))
@@ -2870,9 +2895,12 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
     channel's last touch. Output: (channel, n_purchases,
     attributed_e2)."""
     ev = load_table(spark, sf_dir, "events")
+    # persist: the purchase set has two consumers (the touch band-join
+    # and the value fan-out) — uncached both re-ran the filtered events
+    # scan (r12, guide §5)
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
-    )
+    ).persist()
     t = ev.filter(F.col("event_type") != "purchase").select(
         F.col("user_id").alias("t_user"),
         F.col("event_type").alias("channel"),

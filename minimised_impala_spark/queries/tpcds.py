@@ -413,13 +413,16 @@ FROM (SELECT count(*) c FROM lineitem WHERE l_quantity BETWEEN 1 AND 5) h1,
 def tpcds_q88_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bands = [(1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30), (31, 35), (36, 40)]
-    counts = [
-        li.filter(F.col("l_quantity").between(lo, hi)).agg(
-            F.count(F.lit(1)).alias(f"h{i+1}")
-        )
-        for i, (lo, hi) in enumerate(bands)
-    ]
-    return reduce(lambda acc, df: acc.crossJoin(df), counts)
+    # ONE conditional aggregation over one scan instead of eight banded
+    # scans cross-joined (r12, guide §2.4): count_if per band is the
+    # same bigint count; at 100 TB this is 1/8th the fact-table I/O and
+    # one stage instead of eight plus seven joins.
+    return li.filter(F.col("l_quantity").between(bands[0][0], bands[-1][1])).agg(
+        *[
+            F.count_if(F.col("l_quantity").between(lo, hi)).alias(f"h{i+1}")
+            for i, (lo, hi) in enumerate(bands)
+        ]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -780,6 +783,9 @@ def tpcds_q4_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = F.when(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "fast"
     ).otherwise("slow")
+    # persist: the year-total CTE feeds all four self-join arms —
+    # uncached each arm re-ran the orders scan + aggregate (r12, §5);
+    # this is the materialized year_total CTE every q4 plan uses
     yr = (
         o.groupBy(
             F.col("o_custkey").alias("c"),
@@ -787,6 +793,7 @@ def tpcds_q4_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ch.alias("ch"),
         )
         .agg(dsum("o_totalprice", 2).alias("t"))
+        .persist()
     )
     f1 = yr.filter(F.col("ch") == "fast").select(
         F.col("c"), F.col("y").alias("y1"), F.col("t").alias("t_f1")

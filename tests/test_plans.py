@@ -168,13 +168,14 @@ def test_tpcds_star_broadcasts_dims(spark, sf_dir):
 
 
 def test_tpcds_scalar_counts_single_partition(spark, sf_dir):
-    """tpcds_q88_band_counts: each banded count collapses to a single-row
-    aggregate (Exchange SinglePartition), combined by broadcast nested-loop
-    cross joins — never a shuffled join of full tables."""
+    """tpcds_q88_band_counts: since the r12 shared-scan rewrite, ALL
+    eight banded counts come out of ONE conditional aggregation over ONE
+    fact scan (one single-partition exchange) — no per-band scans and no
+    joins of any kind."""
     plan = _physical(fresh("tpcds_q88_band_counts")(spark, sf_dir))
-    assert plan.count("Exchange SinglePartition") == 8
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Join" not in plan
 
 
 def test_ext_kv_pushdown_partition_planning(spark, tmp_path):
@@ -249,13 +250,21 @@ def test_dedup_embedding_no_broadcast_nested_loop(spark, sf_dir):
 
 def test_rollup_hierarchy_reuses_minute_exchange(spark, sf_dir):
     """The rollup cascade must compute the minute aggregate ONCE and feed
-    the hour/day grains from its shuffle output (AQE ReusedExchange), not
-    rescan raw events per grain — the materialized-rollup property the
-    query's docstring claims."""
+    the hour/day grains from it, not rescan raw events per grain — the
+    materialized-rollup property the query's docstring claims. Since r12
+    the lower grains are persist()ed (stronger than the previous AQE
+    ReusedExchange pin, which only shared the minute shuffle), so the
+    executed plan reads caches and scans events exactly once: every
+    FileScan print carries the same output attributes (cached subtrees
+    print once per consumer; distinct attribute ids would mean real
+    re-scans)."""
+    spark.catalog.clearCache()
     df = fresh("events_rollup_hierarchy")(spark, sf_dir)
-    df.collect()  # AQE finalizes reuse only at execution
+    df.collect()  # cache/reuse finalizes only at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 2, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    sigs = set(re.findall(r"FileScan parquet (\[[^\]]*\])", plan))
+    assert len(sigs) == 1, sigs
 
 
 def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
