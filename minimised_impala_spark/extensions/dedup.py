@@ -1278,7 +1278,12 @@ ORDER BY new_id
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    bands = lsh_bands(spark, sf_dir)
+    # persist both shared seams (r12, guide §5): the band index feeds the
+    # batch AND corpus probe sides (uncached, each re-ran the whole
+    # corpus→signature pipeline — 8 scans in the executed plan; 1 after),
+    # and the shingle sets feed both rescore sides. The persisted band
+    # index IS this op's documented 100 TB shape.
+    bands = lsh_bands(spark, sf_dir).persist()
     is_new = F.col("doc_id") % 10 == 7
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "bsig"
@@ -1289,7 +1294,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = new_b.join(corp_b, ["band", "bsig"]).select("new_id", "corpus_id").distinct()
     arrs = shingles(spark, sf_dir).groupBy("doc_id").agg(
         F.collect_set("sh").alias("shset")
-    )
+    ).persist()
     a1 = arrs.select(F.col("doc_id").alias("new_id"), F.col("shset").alias("s1"))
     a2 = arrs.select(F.col("doc_id").alias("corpus_id"), F.col("shset").alias("s2"))
     c = F.size(F.array_intersect("s1", "s2"))
@@ -1332,8 +1337,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id. Both engines compute standard Levenshtein; the threshold
     uses explicit floor() (DuckDB CAST rounds, Spark CAST truncates — the
     one cross-engine trap in this query)."""
-    pairs = lsh_candidate_pairs(spark, sf_dir)
-    c = corpus(spark, sf_dir)
+    # ONE persisted corpus feeds the candidate generator AND both
+    # rescore sides — previously lsh_candidate_pairs rebuilt its own
+    # corpus and a/b re-scanned twice more (6 scans; 1 after — r12, §5)
+    c = corpus(spark, sf_dir).persist()
+    pairs = lsh_candidate_pairs_of(c)
     a = c.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
     b = c.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
     lev = F.levenshtein("t1", "t2")
@@ -1375,7 +1383,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline — candidates ∝ shared shingles); at 100 TB route
     candidates through the LSH/prefix-filter generators first and use
     this as the rescore, exactly like dedup_edit_distance does."""
-    sh = shingles(spark, sf_dir)
+    # persist: three consumers (sizes + both join sides) each re-ran
+    # the corpus scan + shingle explode uncached (r12, guide §5)
+    sh = shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("d1"), "sh")
     b = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
@@ -2265,9 +2275,12 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, 8))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # persist: both self-join sides read the distinct gram stream —
+    # uncached each re-ran the mirror build + 8-gram explode (r12, §5)
     grams = (
         corpus_df.select("doc_id", "source", F.explode(gram_arr).alias("gh"))
         .distinct()
+        .persist()
     )
     a = grams.select(
         F.col("source").alias("src_a"), F.col("doc_id").alias("doc_a"), "gh"

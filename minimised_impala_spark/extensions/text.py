@@ -649,9 +649,12 @@ def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
+    # persist: three consumers (set-bit build, per-bench sizes, exact
+    # rescore broadcast) each re-ran the bench scan + shingle explode
+    # uncached (r12, guide §5)
     bench_sh = bench.withColumn("toks", F.split("text", " ")).select(
         "bench_id", F.explode(grams).alias("sh")
-    )
+    ).persist()
     # phase 1: the compressed bench representation — distinct set bits
     set_bits = (
         _bloom_positions(bench_sh.select("sh").distinct()).select("pos").distinct()

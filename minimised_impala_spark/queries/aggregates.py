@@ -1375,6 +1375,12 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
             .cast("bigint"),
         )
+        # persist the shared seams (r12, guide §5): pri feeds the rank
+        # window and both exact-intersection sides; sk feeds three probe
+        # sides; theta/prs feed every pairwise stage — uncached, the
+        # distinct+md5 pass re-ran once per consumer (11 events scans in
+        # the executed plan; 1 after)
+        .persist()
     )
     ranked = pri.select(
         "et",
@@ -1385,7 +1391,7 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("et")).alias("exact_d"),
     )
-    sk = ranked.filter(F.col("rn") <= k).select("et", "user_id", "p")
+    sk = ranked.filter(F.col("rn") <= k).select("et", "user_id", "p").persist()
     theta = ranked.groupBy("et").agg(
         F.coalesce(
             F.max(F.when(F.col("rn") == k, F.col("p"))), F.lit(_THETA_MAX)
@@ -1401,6 +1407,7 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     prs = (
         ta.join(tb, F.col("et_a") < F.col("et_b"))
         .select("et_a", "et_b", F.least("th_a", "th_b").alias("th"), "da", "db")
+        .persist()
     )
     sa = sk.select(F.col("et").alias("et_a"), F.col("user_id").alias("ua"), F.col("p").alias("pa"))
     sb = sk.select(F.col("et").alias("et_b"), F.col("user_id").alias("ub"), F.col("p").alias("pb"))

@@ -1882,10 +1882,14 @@ ORDER BY cw, wk
 @query("events_cohort_ltv", oracle=_COHORT_ORACLE)
 def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist: the per-user cohort table feeds the cohort sizes AND the
+    # purchase join — uncached both re-ran the signup scan + aggregate
+    # (r12, guide §5)
     cohorts = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
+        .persist()
     )
     cohort_size = cohorts.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
     # cohorts is per-USER — data-proportional, so no broadcast hint (the
@@ -2374,6 +2378,10 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("B"))
             .alias("arm"),
         )
+        # persist: the arm assignment feeds the per-arm sizes AND the
+        # conversion join — uncached both re-ran the distinct+md5 pass
+        # (r12, guide §5)
+        .persist()
     )
     arm_n = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
     # users is per-USER (data-proportional) — no broadcast hint (the
