@@ -75,6 +75,38 @@ EXTRA = [
 ]
 
 
+def _prior_round_bound(sf1_mode: bool) -> str:
+    """1.8x the newest committed bench artifact's total for this scale —
+    the cross-round sanity bound, derived instead of hardcoded so it
+    tracks the suite as queries are added and as the suite gets faster.
+    Reads both artifact shapes: the driver's wrapper ({"parsed":
+    {"value": ...}}) and the raw detail record ({"value": ...})."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pat = "BENCH_sf1_r*.json" if sf1_mode else "BENCH_r*.json"
+    best_round, total = -1, None
+    for path in glob.glob(os.path.join(here, pat)):
+        # low-core scaling artifacts (BENCH_r12_c8.json) don't match:
+        # the bound must come from the same core count the suite runs at
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best_round:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            val = (doc.get("parsed") or {}).get("value") or doc.get("value")
+        except (OSError, ValueError):
+            continue
+        if isinstance(val, (int, float)) and val > 0:
+            best_round, total = rnd, float(val)
+    return str(round(1.8 * total, 3)) if total is not None else "inf"
+
+
 def main() -> None:
     # --sf1: run the identical suite against the 10x fixture
     # (tools/make_sf1.py output) and emit the SAME parseable metric
@@ -239,10 +271,20 @@ def main() -> None:
     # is drawn. Suspect attempts publish only if nothing better exists
     # (quiet_ambient/suspect fields make that explicit to the judge).
     want_quiet = int(os.environ.get("SPARK_GRAFT_QUIET_ATTEMPTS", "2"))
-    default_sane = "45" if sf1_mode else "14"
     custom_dir = not sf1_mode and sf_dir != "/root/testdata/sf0.1"
+    # The bound derives from the PREVIOUS round's committed artifact
+    # (VERDICT r12 item 3 — the old hardcoded 14/45 s was a constant
+    # that had to be hand-bumped whenever the headline list grew, and a
+    # self-serving one at that): 1.8x the last clean quiet total, the
+    # same margin the constants encoded. Falls back to no bound when no
+    # prior artifact exists (first round at a new scale) — the
+    # quiet-start gate still applies, and `suspect` stays false-able
+    # only when a bound exists.
     sane_total = float(
-        os.environ.get("SPARK_GRAFT_SANE_TOTAL", "inf" if custom_dir else default_sane)
+        os.environ.get(
+            "SPARK_GRAFT_SANE_TOTAL",
+            "inf" if custom_dir else _prior_round_bound(sf1_mode),
+        )
     )
 
     def _wait_for_quiet() -> float:
@@ -281,8 +323,20 @@ def main() -> None:
 
     clean_attempts = [a for a in attempts if a[3] < quiet_target and not a[4]]
     quiet_attempts = [a for a in attempts if a[3] < quiet_target]
+    pool = clean_attempts or quiet_attempts or attempts
     total, detail, extra_detail, accepted_load, accepted_suspect = min(
-        clean_attempts or quiet_attempts or attempts, key=lambda a: a[0]
+        pool, key=lambda a: a[0]
+    )
+    # median of the published pool alongside the min (VERDICT r12 item 3:
+    # min-of-clean biases slightly low; the median shows the spread the
+    # min was drawn from without changing the headline contract)
+    pool_totals = sorted(a[0] for a in pool)
+    mid = len(pool_totals) // 2
+    median_total = round(
+        pool_totals[mid]
+        if len(pool_totals) % 2
+        else (pool_totals[mid - 1] + pool_totals[mid]) / 2,
+        3,
     )
     times = {name: d["sec"] for name, d in detail.items()}
     extra = {name: d["sec"] for name, d in extra_detail.items()}
@@ -311,6 +365,7 @@ def main() -> None:
                 # marker (r12; the r11 artifact would have carried it)
                 "suspect": accepted_suspect,
                 "sane_total_bound": None if sane_total == float("inf") else sane_total,
+                "median_total_sec": median_total,
                 "attempt_history": attempt_history,
                 "sf": sf_val,
             }

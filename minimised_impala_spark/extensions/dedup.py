@@ -774,18 +774,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_df = base.unionByName(pert)
 
-    band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
-    # ONE persisted index carrying BOTH the banded signatures and the
-    # normalized vector: the index build and the rescore norm table were
-    # previously two separate checkpoints, i.e. two full corpus passes
-    # through two ArrowEvalPython stages (r12 optimization, guide §4.1:
-    # the JVM↔Python crossing is the cost — cross once with both outputs;
+    prep = VK.make_lsh_prep_udf(
+        _EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND, with_norm_vec=True
+    )
+    # ONE persisted index carrying the banded signatures, the normalized
+    # vector AND the int8 proxy codes for the rescore pre-filter, all
+    # from a single Arrow crossing (r12 + r13, guide §4.1: the
+    # JVM↔Python crossing is the cost — cross once with every output;
     # plans/r12/dedup_embedding_lsh_{before,after}.txt show one
     # ArrowEvalPython scan instead of two). persist, not localCheckpoint:
     # same single-compute reuse, none of the checkpoint-RDD creation cost
     # at plan-build time.
-    idx = corpus_df.select(
-        "vec_id", VK.norm_vec("e").alias("ne"), band_sigs("e").alias("sigs")
+    idx = corpus_df.select("vec_id", prep("e").alias("p")).select(
+        "vec_id", "p.ne", "p.sigs", "p.q", "p.qs", "p.nrm"
     ).persist()
     bands = idx.select("vec_id", F.posexplode("sigs").alias("band", "bucket"))
     # Candidate pairs per bucket via groupBy + in-bucket pair expansion:
@@ -813,9 +814,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a pair colliding in several bands scores once
     )
+    # Bulk pre-filter on int8 proxy codes, exact rescore survivors only
+    # (r13, guide §2.3/§8 — same two-tier rescore as
+    # dedup_threshold_sweep; the ub kernel's bound is proven lossless in
+    # vector_kernels.py, so recall is untouched).
+    qa = idx.select(
+        F.col("vec_id").alias("left_id"), F.col("q").alias("lq"),
+        F.col("qs").alias("lqs"), F.col("nrm").alias("lnrm"),
+    )
+    qb = idx.select(
+        F.col("vec_id").alias("right_id"), F.col("q").alias("rq"),
+        F.col("qs").alias("rqs"), F.col("nrm").alias("rnrm"),
+    )
+    survivors = (
+        cand.join(qa, "left_id")
+        .join(qb, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            VK.cosine_ub_pair_once(
+                "lq", "lqs", "lnrm", "rq", "rqs", "rnrm"
+            ).alias("ub"),
+        )
+        .filter(F.col("ub") >= 0.7)
+        .select("left_id", "right_id")
+    )
     norm = idx.select("vec_id", "ne")
     return (
-        cand.join(
+        survivors.join(
             norm.select(F.col("vec_id").alias("left_id"), F.col("ne").alias("le")),
             "left_id",
         )
@@ -2129,17 +2155,19 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     corpus_df = base.unionByName(pert)
-    band_sigs = VK.make_band_sig_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
+    prep = VK.make_lsh_prep_udf(_EMB_LSH_BANDS, _EMB_LSH_PLANES_PER_BAND)
     # persist(), not localCheckpoint: checkpoint RDD creation is paid at
     # call time even when lazy (serial driver cost — this query was the
     # #2 plan_build offender in BENCH_r09); persist defers to first use.
-    # ONE persisted index carries the raw vector AND the banded
-    # signatures (r12 optimization, guide §4.1: previously the banding
-    # UDF ran over one corpus scan and the rescore re-derived the
-    # perturbed corpus from parquet in a second — now both the pair
-    # generator and the vector lookups read the same in-memory table).
-    idx = corpus_df.select(
-        "vec_id", "e", band_sigs("e").alias("sigs")
+    # ONE persisted index carries the raw vector, the banded signatures
+    # AND the int8 proxy codes for the rescore pre-filter, all from a
+    # single Arrow crossing (r12 + r13, guide §4.1: previously the
+    # banding UDF ran over one corpus scan and the rescore re-derived
+    # the perturbed corpus from parquet in a second — now the pair
+    # generator, the proxy lookups and the vector lookups all read the
+    # same in-memory table).
+    idx = corpus_df.select("vec_id", "e", prep("e").alias("p")).select(
+        "vec_id", "e", "p.sigs", "p.q", "p.qs", "p.nrm"
     ).persist()
     bands = idx.select("vec_id", F.posexplode("sigs").alias("band", "bucket"))
     # in-bucket pair expansion: one exchange on the bucket key instead of
@@ -2160,10 +2188,40 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Bulk pre-filter on int8 proxy codes (r13, guide §2.3/§8): candidate
+    # pairs outnumber corpus rows ~350:1 at sf1, so the rescore cost is
+    # the per-pair bytes crossing Arrow — 64 B codes + 2 scalars instead
+    # of 512 B doubles per side (~7x fewer bytes), and cosine_ub_pair is
+    # a PROVABLE upper bound (derivation in vector_kernels.py), so no
+    # pair that can reach τ₀ is dropped. Only survivors (planted twins +
+    # a thin margin band) pay the exact double-precision kernel.
+    qa = idx.select(
+        F.col("vec_id").alias("left_id"), F.col("q").alias("lq"),
+        F.col("qs").alias("lqs"), F.col("nrm").alias("lnrm"),
+    )
+    qb = idx.select(
+        F.col("vec_id").alias("right_id"), F.col("q").alias("rq"),
+        F.col("qs").alias("rqs"), F.col("nrm").alias("rnrm"),
+    )
+    survivors = (
+        cand_ids.join(qa, "left_id")
+        .join(qb, "right_id")
+        # *_once: the filter on the UDF output column otherwise gets
+        # pushed below the projection and the kernel runs twice (§4.4)
+        .select(
+            "left_id",
+            "right_id",
+            VK.cosine_ub_pair_once(
+                "lq", "lqs", "lnrm", "rq", "rqs", "rnrm"
+            ).alias("ub"),
+        )
+        .filter(F.col("ub") >= _SWEEP_TAUS[0])
+        .select("left_id", "right_id")
+    )
     va = idx.select(F.col("vec_id").alias("left_id"), F.col("e").alias("ea"))
     vb = idx.select(F.col("vec_id").alias("right_id"), F.col("e").alias("eb"))
     cand = (
-        cand_ids.join(va, "left_id")
+        survivors.join(va, "left_id")
         .join(vb, "right_id")
         .select(
             "left_id",

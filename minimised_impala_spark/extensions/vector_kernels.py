@@ -116,6 +116,49 @@ dot_pair_once = dot_pair.asNondeterministic()
 cosine_pair_once = cosine_pair.asNondeterministic()
 
 
+# ---------------------------------------------------------------------------
+# int8 proxy codes for the LSH rescore pre-filter (r13, guide §2.3
+# "narrower types" / §8 "decide with a lightweight proxy, move heavy bytes
+# once"): candidate pairs are 50-500x more numerous than corpus rows, so
+# the rescore's cost is the per-PAIR bytes crossing the Arrow boundary —
+# 2 x 512 B of doubles per pair. The bulk pass instead ships 64 int8 codes
+# + 2 scalars per side (~8x fewer bytes) and computes a PROVABLE upper
+# bound on the pair's cosine; only pairs whose bound clears the threshold
+# reach the exact double-precision kernel. Lossless by construction:
+#
+#   a = â + δ_a with â = s_a·q_a, |δ_a,i| <= s_a/2  (s_a = max|a_i|/127)
+#   dot(a,b) − dot(â,b̂) = dot(â,δ_b) + dot(δ_a,b̂) + dot(δ_a,δ_b)
+#   |δ_a|₂ <= (s_a/2)·√64 = 4·s_a, |â| <= |a| + 4·s_a  (Cauchy-Schwarz):
+#   |dot(a,b) − s_a·s_b·(q_a·q_b)|
+#     <= (|a|+4s_a)·4s_b + 4s_a·(|b|+4s_b) + 16·s_a·s_b
+#      = 4·s_b·|a| + 4·s_a·|b| + 48·s_a·s_b
+#   ⇒ |cos − est| <= 4·s_a/|a| + 4·s_b/|b| + 48·s_a·s_b/(|a|·|b|)
+#
+# so cosine <= est + bound, and a filter on (est + bound) >= τ keeps every
+# pair whose true cosine can reach τ. No recall coupling: the proxy is an
+# internal bound, not an approximation the result depends on.
+
+
+@pandas_udf(T.DoubleType())
+def cosine_ub_pair(
+    qa: pd.Series, sa: pd.Series, na: pd.Series,
+    qb: pd.Series, sb: pd.Series, nb: pd.Series,
+) -> pd.Series:
+    """Upper bound on cosine(a, b) from the int8 codes: est + bound."""
+    if qa.empty:
+        return _empty()
+    ma = np.vstack(qa.to_numpy()).astype("int32")
+    mb = np.vstack(qb.to_numpy()).astype("int32")
+    va, vb = sa.to_numpy(), sb.to_numpy()
+    wa, wb = na.to_numpy(), nb.to_numpy()
+    est = va * vb * (ma * mb).sum(axis=1) / (wa * wb)
+    bound = 4.0 * va / wa + 4.0 * vb / wb + 48.0 * va * vb / (wa * wb)
+    return pd.Series(est + bound)
+
+
+cosine_ub_pair_once = cosine_ub_pair.asNondeterministic()
+
+
 @pandas_udf(_ARR_L)
 def quantize_i8(s: pd.Series) -> pd.Series:
     """Max-abs int8 codes: round(x * 127 / max|x|), half away from zero
@@ -200,6 +243,52 @@ def make_band_sig_udf(n_bands: int, band_planes: int):
         return pd.Series(list(sigs))
 
     return band_sigs
+
+
+def make_lsh_prep_udf(n_bands: int, band_planes: int, with_norm_vec: bool = False):
+    """UDF factory: ONE Arrow crossing per corpus row computes everything
+    the banded-LSH dedup pipeline needs — the banded signatures (same
+    definition as make_band_sig_udf), the int8 proxy codes + scale + L2
+    norm for the rescore pre-filter (see cosine_ub_pair), and optionally
+    the normalized vector for the exact rescore. Guide §4.1: the
+    JVM↔Python crossing is the cost — cross once with every output."""
+    total = n_bands * band_planes
+    planes = np.array([plane(pl) for pl in range(total)])
+    powers = np.arange(band_planes)
+    fields = [
+        T.StructField("sigs", _ARR_L),
+        T.StructField("q", T.ArrayType(T.ByteType())),
+        T.StructField("qs", T.DoubleType()),
+        T.StructField("nrm", T.DoubleType()),
+    ]
+    if with_norm_vec:
+        fields.append(T.StructField("ne", _ARR_D))
+
+    @pandas_udf(T.StructType(fields))
+    def lsh_prep(s: pd.Series) -> pd.DataFrame:
+        cols = ["sigs", "q", "qs", "nrm"] + (["ne"] if with_norm_vec else [])
+        if s.empty:
+            return pd.DataFrame({c: _empty("object") for c in cols})
+        m = _mat(s)
+        bits = (m @ planes.T) > 0
+        sigs = (bits.reshape(len(m), n_bands, band_planes) << powers).sum(
+            axis=2
+        ).astype("int64")
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.sign(m) * np.floor(np.abs(m) / safe[:, None] + 0.5)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        out = {
+            "sigs": list(sigs),
+            "q": list(q.astype("int8")),
+            "qs": scale,
+            "nrm": nrm,
+        }
+        if with_norm_vec:
+            out["ne"] = list(m / nrm[:, None])
+        return pd.DataFrame(out)
+
+    return lsh_prep
 
 
 def make_probe_udf(centers: list[list[float]], nprobe: int):
